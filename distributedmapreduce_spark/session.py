@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults target the test/bench environment (local[N] on one
+big box); every setting is also the right starting point on a real
+cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), UTC session timezone (required for the DuckDB oracle
+comparison), Arrow enabled for the Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "distributedmapreduce_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores.  Shuffle
+    partitions default to the core count — at cluster scale you would
+    size this to total executor cores (or leave AQE's coalescing to
+    shrink an intentionally-high number).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
