@@ -1,0 +1,90 @@
+"""Multimodal column plumbing (SURVEY.md §7.6 / north star).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata.
+The Spark-side machinery — schema, partition-sized Arrow batches,
+mapInPandas signatures — is real and tested; the actual codec step is
+STUBBED (this container has no image/audio libraries) behind a
+deterministic fake so pipelines are runnable end-to-end:
+
+- ``decode_stub``: derives fake (width, height, n_channels) from a
+  stable hash of the bytes; raises NotImplementedError when
+  ``strict=True`` (the behavior a real deployment would see without
+  codecs installed).
+- ``frame_sample_stub``: picks deterministic frame offsets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "asset_id long, n_bytes long, width int, height int, n_channels int, "
+    "sha256 string"
+)
+
+
+def as_binary_assets(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Normalize any table into the multimodal asset shape:
+    (asset_id: long, payload: binary)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+
+
+def _fake_dims(digest: bytes) -> tuple[int, int, int]:
+    w = 64 + digest[0] % 192  # deterministic 64..255
+    h = 64 + digest[1] % 192
+    c = 1 + digest[2] % 4
+    return w, h, c
+
+
+def decode_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """'Decode' each binary payload to image metadata via mapInPandas —
+    Arrow-batched, partition-parallel; the real codec call would slot
+    into ``_decode_one`` unchanged."""
+
+    def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
+        if strict:
+            raise NotImplementedError(
+                "no image codec in this environment; deterministic stub only"
+            )
+        digest = hashlib.sha256(payload).digest()
+        w, h, c = _fake_dims(digest)
+        return w, h, c, digest.hex()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "sha256": [d[3] for d in decoded],
+                }
+            )
+
+    return assets.mapInPandas(_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_offsets(decoded: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame-sampling plan: n_frames evenly-spaced byte
+    offsets per asset (stand-in for video frame extraction) — pure
+    built-in expressions, no Python."""
+    return decoded.select(
+        "asset_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_frames - 1)),
+                lambda i: (F.col("n_bytes") * i / n_frames).cast("long"),
+            )
+        ).alias("frame_offset"),
+    )

@@ -1,0 +1,448 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7.6 / north star):
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+and embedding statistics.
+
+Scale notes baked into each operator:
+- exact dedup = hash-groupBy (one shuffle on the fingerprint);
+- near-dup families avoid the O(n^2) cross join via candidate
+  generation (LSH band buckets / blocking keys), then verify exact
+  similarity only on candidates;
+- brute-force cosine top-k broadcasts the (small) query set over the
+  corpus — no shuffle of the big side; the LSH variant buckets both
+  sides so even the query set can be large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import query, t
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def _norm_text():
+    return F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
+      FROM documents),
+    keep AS (
+      SELECT fingerprint, min(doc_id) AS keeper, count(*) AS n_copies
+      FROM fp GROUP BY fingerprint)
+    SELECT f.doc_id, k.keeper, k.n_copies,
+           CAST(f.doc_id = k.keeper AS BOOLEAN) AS is_kept
+    FROM fp f JOIN keep k USING (fingerprint)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized-text fingerprint;
+    keep the min doc_id of each group."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.md5(_norm_text()).alias("fingerprint")
+    )
+    keep = docs.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return docs.join(keep, "fingerprint").select(
+        "doc_id",
+        "keeper",
+        "n_copies",
+        (F.col("doc_id") == F.col("keeper")).alias("is_kept"),
+    )
+
+
+def _shingles_col(n: int = 3):
+    """Distinct word n-gram shingles of ``text`` as array<string>."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(str_split(lower(text),' '), x -> x <> '')) - 2, 0) + 1),
+               i -> array_to_string(list_filter(str_split(lower(text),' '), x -> x <> '')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))), 4)
+             AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup by 3-gram-shingle Jaccard >= 0.12 with (lang, source)
+    blocking — pairwise compare only within blocks (the blocking key
+    bounds the quadratic term; at 100 TB you'd block on a MinHash band
+    instead, see dedup_minhash_lsh)."""
+    sh = t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", _shingles_col(3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(
+        F.col("lang"),
+        F.col("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("lang"),
+        F.col("source"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.12)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MINHASH_SEEDS = tuple(range(16))
+_BANDS = 4  # 16 hashes -> 4 bands of 4
+
+
+@query("dedup_minhash_lsh", oracle=None)  # xxhash64 not portable to DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH near-dup: 16 minhashes over 3-gram shingles, 4
+    bands of 4; candidate pairs share >= 1 band bucket; candidates are
+    verified with exact Jaccard >= 0.12.  Fully shuffle-bounded: the
+    explode is 4 rows/doc and the join key is (band, bucket-hash).
+    Deterministic (xxhash64 is a fixed function) but not
+    SQL-portable -> rows-only driver check."""
+    sh = t(spark, sf, "documents").select(
+        "doc_id", _shingles_col(3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    def minhash(seed: int):
+        # factory (not a default-arg lambda: two-parameter lambdas are
+        # PySpark's (element, index) form and would hijack the seed)
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    minhashes = F.array(*[minhash(i) for i in _MINHASH_SEEDS])
+    sigs = sh.select("doc_id", "shingles", minhashes.alias("sig"))
+    per_band = len(_MINHASH_SEEDS) // _BANDS
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[b * per_band + j] for j in range(per_band)]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = bands.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.12)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("dedup_simhash", oracle=None)  # bit-level hashing not SQL-portable
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 32-bit simhash over word hashes; pairs whose
+    signatures agree on >= 28 bits, candidate-generated by exact match
+    on each of 4 signature quarters (any quarter equal -> candidate;
+    a 4-bit-difference pair must share at least one quarter)."""
+    ws = F.array_distinct(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    )
+    docs = t(spark, sf, "documents").select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    # hash each word once, then derive the 32 per-bit +1/-1 sums
+    hashed = docs.select(
+        "doc_id", F.transform("ws", lambda w: F.xxhash64(w)).alias("hs")
+    )
+
+    def bit_sum(k: int):
+        # factory: keeps the HOF lambdas single-parameter (see minhash)
+        def step(acc, h):
+            bit = F.shiftright(h, k).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return F.aggregate("hs", F.lit(0), step)
+
+    sig = F.lit(0).cast("long")
+    for k in range(32):
+        sig = sig + F.when(bit_sum(k) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    signed = hashed.select("doc_id", sig.alias("sig"))
+    quarters = signed.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", q * 8).bitwiseAND(F.lit(0xFF))
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "qval"),
+    )
+    a = quarters.select(
+        "q", "qval", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    b = quarters.select(
+        "q", "qval", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(b, ["q", "qval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    hamming = F.bit_count(xor)
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 4)
+               AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10): the
+    small query side is broadcast over the corpus scan — the corpus is
+    never shuffled, so this is linear in corpus size at any scale."""
+    emb = t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+
+
+@query("ann_lsh_topk", oracle=None)  # hyperplanes from fixed hash; not SQL-portable
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8-bit sign signature
+    (hyperplane h_k component j = deterministic pseudo-random from
+    xxhash64(k, j)), bucket on signature, exact cosine only within the
+    query's bucket.  The scale path: both sides shuffle on the bucket
+    key, no cross join anywhere."""
+    emb = t(spark, sf, "embeddings")
+    dim, n_planes = 64, 8
+
+    def plane_component(k: int, j: int):
+        # deterministic pseudo-random in [-1, 1): fixed across engines/runs
+        h = F.xxhash64(F.lit(k), F.lit(j))
+        return (h % 10007).cast("double") / 10007.0 * 2.0 - 1.0
+
+    def signature(vec):
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[plane_component(k, j) for j in range(dim)]),
+                        lambda x, p: x.cast("double") * p,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for k in range(n_planes)
+        ]
+        out = F.lit(0)
+        for i, b in enumerate(bits):
+            out = out + F.shiftleft(b, i)
+        return out
+
+    tagged = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    q = tagged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        tagged.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm,
+           round(avg(embedding[1]), 4) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_dim0"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.8 within label blocks (blocking
+    bounds the pair count; the LSH variant drops the need for labels)."""
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = emb.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.8)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )

@@ -1,0 +1,107 @@
+"""Event-time window aggregations — batch twins of the Structured
+Streaming queries in ``streaming/windows.py`` (SURVEY.md §7.6).
+
+The batch twin runs the same logical window aggregation over the
+static events table so the DuckDB oracle can check it; the streaming
+module runs the identical plan over a stream with a watermark and the
+test suite asserts stream == batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import query, t
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event type."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS wstart, event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
+      FROM events)
+    SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY wstart, event_type
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows: 1h length, 30min slide — every event lands in
+    exactly two windows (oracle enumerates them by hand)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (30min inactivity gap) via lag + cumulative sum —
+    the batch formulation of streaming session_window(ts, '30 minutes')."""
+    ev = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )

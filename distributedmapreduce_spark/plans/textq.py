@@ -1,0 +1,274 @@
+"""Text-analysis operators over the ``documents`` table — the
+reference's text pipeline generalized to a document corpus, plus the
+training-data text-quality operators (SURVEY.md §7.6: language ID,
+quality scoring, token counting, fingerprinting).
+
+All pure built-in expressions (split / explode / regexp / md5 /
+higher-order array functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import query, t
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+# Deterministic marker vocabularies for the n-gram-ish language-ID
+# heuristic.  (The synthetic corpus shares one vocabulary across langs,
+# so this is a deterministic scoring rule, not a trained model.)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("customer", "hash", "join", "und", "der", "die"),
+    "en": ("the", "order", "table", "window", "and", "of"),
+    "es": ("slow", "agg", "merge", "el", "la", "de"),
+    "fr": ("scan", "data", "query", "le", "la", "et"),
+    "zh": ("join", "small", "row", "de", "shi", "le"),
+}
+
+
+def _tokens_col(col: str = "text"):
+    return F.filter(F.split(F.col(col), " "), lambda x: x != F.lit(""))
+
+
+@query(
+    "doc_word_count",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+    """,
+)
+def doc_word_count(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's word-count job (S13) over a document corpus."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(_tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_inverted_index",
+    oracle="""
+    SELECT word,
+           array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS postings,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+    """,
+)
+def doc_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's inverted-index job (S14) generalized: word ->
+    sorted posting list of doc_ids (serialized for oracle hashing)."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@query(
+    "doc_tf_topk",
+    oracle="""
+    SELECT doc_id, word, tf, rn FROM (
+      SELECT doc_id, word, count(*) AS tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, word) AS rn
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word)
+    WHERE rn <= 3
+    """,
+)
+def doc_tf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per document (term-frequency ranking)."""
+    docs = t(spark, sf, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), "word")
+    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(text, ' '), x -> x <> '') AS ws,
+             length(text) AS n_chars_actual
+      FROM documents)
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_distinct,
+           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
+           round(list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE))) / len(ws), 4)
+             AS avg_word_len,
+           round(CAST(len(list_filter(ws, x -> list_contains(
+             {list(_STOPWORDS)!r}, x))) AS DOUBLE) / len(ws), 4) AS stopword_ratio,
+           n_chars_actual
+    FROM toks
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-scoring components used for corpus filtering: token
+    count, type-token ratio, mean word length, stopword ratio."""
+    docs = t(spark, sf, "documents")
+    ws = _tokens_col()
+    n_tok = F.size(ws)
+    n_dis = F.size(F.array_distinct(ws))
+    total_len = F.aggregate(
+        ws, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+    )
+    stop = F.size(
+        F.filter(ws, lambda x: x.isin(*_STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(n_dis.cast("double") / n_tok, 4).alias("ttr"),
+        F.round(total_len / n_tok, 4).alias("avg_word_len"),
+        F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "lang_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = list(_LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_distinct(list_filter(str_split(text, ' '), "
+        f"x -> x <> '')), x -> list_contains({markers!r}, x)))"
+    )
+
+
+@query(
+    "langid_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+             WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted
+    FROM scored
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-vocabulary language ID: score each language by how many
+    of its marker words occur in the document; argmax with
+    alphabetical-language tiebreak (the CASE picks the first max)."""
+    docs = t(spark, sf, "documents")
+    ws_distinct = F.array_distinct(_tokens_col())
+
+    def marker_hits(markers):
+        # NB: factory, not a default-arg lambda — a two-parameter lambda
+        # would be bound as PySpark's (element, index) HOF form
+        return F.size(F.filter(ws_distinct, lambda x: x.isin(*markers)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_hits(m).alias(f"s_{lang}")
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS])
+    # WHEN chain in forward order so ties resolve like the oracle CASE
+    pred = F.when(F.col("s_de") == best, "de")
+    for lang in ["en", "es", "fr"]:
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    pred = pred.otherwise("zh")
+    return scored.select("doc_id", "lang", pred.alias("predicted"))
+
+
+@query(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_ish,
+           len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_ws
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (alpha runs / digit runs / single punctuation)."""
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+        ).alias("n_bpe_ish"),
+        F.size(_tokens_col()).alias("n_ws"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(str_split(lower(text), ' '), x -> x <> ''))), ' ')) AS bag_fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text, and an
+    order-insensitive bag-of-words fingerprint (dedup keys)."""
+    docs = t(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    bag = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+            )
+        ),
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(bag).alias("bag_fingerprint"),
+    )
