@@ -1,0 +1,87 @@
+"""Headline benchmark — run by the driver per round (BENCH_r{N}.json).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the JVM noop sink (no
+driver-side collect cost, no result truncation).  Also records the
+reference-workload yardstick: the inverted-index parity job over the
+reference's own input.txt (the only same-workload comparison possible
+— the reference took "few minutes" on 5 GCP VMs, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributedmapreduce_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_broadcast_nation_revenue",
+    "window_topk_orders_per_customer",
+    "range_join_event_pairs",
+    "sessionization",
+    "stream_tumbling_counts",
+    "doc_word_count",
+    "doc_inverted_index",
+    "text_quality_scores",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "cosine_topk_bruteforce",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    from distributedmapreduce_spark.operators import text as T
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    # JVM/codegen warm-up on the smallest SF (not timed)
+    _materialize(QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # reference-workload yardstick: inverted index over input.txt
+    t0 = time.time()
+    raw = spark.read.text("/root/reference/input.txt")
+    _materialize(T.inverted_index(T.pipeline(raw)))
+    timings["ref_inverted_index_input_txt"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

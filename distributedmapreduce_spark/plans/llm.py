@@ -62,11 +62,25 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _shingles_col(n: int = 3):
-    """Distinct word n-gram shingles of ``text`` as array<string>."""
+    """Distinct word n-gram shingles of ``text`` as array<string>.
+
+    Built by zipping n-1 shifted copies of the token array — linear
+    work per document.  (A sequence()+slice() enumeration is O(tokens²)
+    and runs ~7x slower in Spark's interpreted HOF evaluator.)
+    """
+    assert n == 3, "formulation below is specialized to trigrams"
     ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    shifted1 = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    shifted2 = F.slice(ws, 3, F.greatest(F.size(ws) - 2, F.lit(0)))
+    zip3 = F.zip_with(
+        F.zip_with(ws, shifted1, lambda a, b: F.concat_ws(" ", a, b)),
+        shifted2,
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    # zip_with pads the short side with null; concat_ws silently drops
+    # nulls, so trim the 1- and 2-word tail shingles explicitly
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+        F.slice(zip3, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0)))
     )
 
 
@@ -101,27 +115,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     sh = t(spark, sf, "documents").select(
         "doc_id", "lang", "source", _shingles_col(3).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    a = sh.select(
-        F.col("lang"),
-        F.col("source"),
+    # similarity-join shape: explode shingles, equi-join on
+    # (block, shingle) to count shared shingles per pair — no pairwise
+    # array_intersect, no block-cartesian materialization
+    ex = sh.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = ex.select(
+        "lang",
+        "source",
+        "shingle",
         F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    b = sh.select(
-        F.col("lang"),
-        F.col("source"),
+    b = ex.select(
+        "lang",
+        "source",
+        "shingle",
         F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, ["lang", "source"])
+    shared = (
+        a.join(b, ["lang", "source", "shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.12)
-        .select("doc_a", "doc_b", "jaccard")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        shared.filter(jac >= 0.12)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -165,29 +194,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select(
-        "band",
-        "bucket",
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = bands.select(
-        "band",
-        "bucket",
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    # Candidate pairs WITHOUT a self-join (a self-join would evaluate
+    # the whole minhash subtree once per side): group each band bucket,
+    # enumerate in-bucket pairs with nested array HOFs, explode.
+    # Buckets are tiny (collision groups), so the pair arrays are too.
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.doc_a", "pair.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        verified.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.12)
         .select("doc_a", "doc_b", "jaccard")
     )

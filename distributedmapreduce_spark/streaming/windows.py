@@ -1,0 +1,121 @@
+"""Structured Streaming operators over the events stream
+(SURVEY.md §7.6): watermarked tumbling/sliding window aggregation and
+a custom stateful per-key operator via applyInPandasWithState.
+
+The batch twins in ``plans.streamq`` define the oracle semantics; the
+tests replay the static events table through a file-source stream and
+assert stream output == batch twin (late data handled by watermark).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.testdata import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema pinned from the
+    batch read; ts normalized from nanos exactly like the batch path)."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # the file source wants a directory; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — streaming twin of the
+    ``stream_tumbling_counts`` batch query; events later than the
+    watermark are dropped (late-data policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _user_totals_fn(key, pdfs, state: GroupState):
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals kept in
+    explicit group state (applyInPandasWithState) — the streaming
+    generalization of the reference's reducer-side dict accumulation
+    (reducer_word_count.py:11-18), with state that survives across
+    micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_table(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion over the (finite) file
+    source and return the in-memory result table."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)

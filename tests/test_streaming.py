@@ -1,0 +1,59 @@
+"""Structured Streaming == batch-twin equivalence (SURVEY.md §5.3 /
+§7.6): the streamed events table must produce exactly the batch
+window aggregates, and the custom stateful operator must match a
+plain groupBy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedmapreduce_spark.plans.registry import QUERIES
+from distributedmapreduce_spark.sources.testdata import load_table
+from distributedmapreduce_spark.streaming import windows as SW
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.tumbling_counts(stream), "t_tumbling", "complete"
+    )
+    batch = QUERIES["stream_tumbling_counts"](spark, SF)
+    cols = ["wstart", "event_type", "n", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_sliding_matches_batch(spark):
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.sliding_counts(stream), "t_sliding", "complete"
+    )
+    batch = QUERIES["stream_sliding_counts"](spark, SF)
+    cols = ["wstart", "event_type", "n", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.user_totals_stateful(stream), "t_state", "update"
+    )
+    # update mode emits one row per user per micro-batch; the LAST row
+    # per user is the final state
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["user_id", "n_events"]
+    assert _rows(final, cols) == _rows(batch, cols)
