@@ -18,15 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.text import norm_fingerprint, shingles as _shingles
+from ..functions.vector import cosine as _cosine, dot as _dot_fn, l2_norm as _l2
 from .core import query, t
 
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
-
-
-def _norm_text():
-    return F.lower(F.trim(F.regexp_replace("text", " +", " ")))
 
 
 @query(
@@ -48,7 +46,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: hash-groupBy on a normalized-text fingerprint;
     keep the min doc_id of each group."""
     docs = t(spark, sf, "documents").select(
-        "doc_id", F.md5(_norm_text()).alias("fingerprint")
+        "doc_id", norm_fingerprint("text").alias("fingerprint")
     )
     keep = docs.groupBy("fingerprint").agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
@@ -62,26 +60,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _shingles_col(n: int = 3):
-    """Distinct word n-gram shingles of ``text`` as array<string>.
-
-    Built by zipping n-1 shifted copies of the token array — linear
-    work per document.  (A sequence()+slice() enumeration is O(tokens²)
-    and runs ~7x slower in Spark's interpreted HOF evaluator.)
-    """
-    assert n == 3, "formulation below is specialized to trigrams"
-    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
-    shifted1 = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
-    shifted2 = F.slice(ws, 3, F.greatest(F.size(ws) - 2, F.lit(0)))
-    zip3 = F.zip_with(
-        F.zip_with(ws, shifted1, lambda a, b: F.concat_ws(" ", a, b)),
-        shifted2,
-        lambda ab, c: F.concat_ws(" ", ab, c),
-    )
-    # zip_with pads the short side with null; concat_ws silently drops
-    # nulls, so trim the 1- and 2-word tail shingles explicitly
-    return F.array_distinct(
-        F.slice(zip3, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0)))
-    )
+    return _shingles("text", n)
 
 
 @query(
@@ -301,22 +280,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+_dot = _dot_fn
+_norm = _l2
 
 
 @query(

@@ -1,0 +1,127 @@
+"""Similarity-search extensions: kNN classification over embeddings
+and TF-IDF document ranking (the retrieval-ish workloads an
+LLM-data pipeline runs next to dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine as _cosine
+from .core import query, t
+
+
+@query(
+    "knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+    corpus AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS neighbor_label,
+             c.vec_id AS neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+               AS cosine
+      FROM q JOIN corpus c ON true),
+    top5 AS (
+      SELECT query_id, true_label, neighbor_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 5),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label, count(*) AS votes
+      FROM top5 GROUP BY query_id, true_label, neighbor_label)
+    SELECT query_id, true_label, neighbor_label AS predicted_label FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, neighbor_label) AS rn
+      FROM votes) WHERE rn = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """5-NN majority-vote label prediction for query vectors
+    (vec_id < 20) against the rest of the corpus; ties broken by
+    smallest label.  Query side broadcast — corpus never shuffles."""
+    emb = t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "embedding",
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "neighbor_label",
+        "neighbor_id",
+        _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    top5 = scored.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = W.partitionBy("query_id").orderBy(
+        F.desc("votes"), "neighbor_label"
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf, rn
+    FROM (
+      SELECT tf.doc_id, tf.word,
+             tf.tf, df.df, n.n_docs,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                         tf.word) AS rn
+      FROM tf JOIN df USING (word) CROSS JOIN n)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms.  The document-frequency side is
+    a word-level aggregate broadcast back onto the term stream — two
+    shuffles total (tf groupBy, df groupBy), no joins on the raw
+    corpus."""
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(F.desc(tfidf), "word")
+    return (
+        tf.join(F.broadcast(df), "word")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", F.round(tfidf, 6).alias("tfidf"), "rn")
+    )

@@ -3,7 +3,15 @@
 
 from __future__ import annotations
 
-from . import llm, mmq, relational, streamq, textq  # noqa: F401  (registration)
+from . import (  # noqa: F401  (registration via @query decorators)
+    llm,
+    llm2,
+    mmq,
+    relational,
+    relational2,
+    streamq,
+    textq,
+)
 from .core import Query, registry
 
 

@@ -1,0 +1,227 @@
+"""Second relational battery: analytic window functions, grouping
+sets, exact percentiles, correlation, null-handling scalars, HAVING,
+CASE bucketing, and the vectorized Pandas-UDF path (the engine's
+sanctioned escape hatch when built-ins can't express a computation —
+Arrow-batched, not row-at-a-time)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .core import query, t
+
+
+@query(
+    "window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS last_order,
+           lead(o_orderkey) OVER w AS next_order,
+           round(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cdist"),
+    )
+
+
+@query(
+    "grouping_sets_events",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+    """,
+)
+def grouping_sets_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10),
+                                (event_type, user_id % 10))
+        """
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 4)      AS q1_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``); the approx variant is approx_quantiles below."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
+    )
+
+
+@query("approx_quantiles", oracle=None)  # sketch-based, engine-specific
+def approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5)).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99)).alias("approx_p99"),
+    )
+
+
+@query(
+    "corr_covar",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(var_samp(l_discount), 8)                    AS disc_var
+    FROM lineitem
+    """,
+)
+def corr_covar(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_or_open,
+           CAST(o_orderstatus IS NULL AS BOOLEAN)         AS status_is_null,
+           ifnull(nullif(o_orderpriority, o_orderpriority), 'ALL-NULL') AS forced,
+           least(o_orderkey, o_custkey)                   AS least_key,
+           greatest(o_orderkey, o_custkey)                AS greatest_key
+    FROM orders
+    """,
+)
+def null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.col("o_orderstatus").isNull().alias("status_is_null"),
+        F.ifnull(
+            F.nullif("o_orderpriority", F.col("o_orderpriority")),
+            F.lit("ALL-NULL"),
+        ).alias("forced"),
+        F.least("o_orderkey", "o_custkey").alias("least_key"),
+        F.greatest("o_orderkey", "o_custkey").alias("greatest_key"),
+    )
+
+
+@query(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 5 AND sum(o_totalprice) > 100000
+    """,
+)
+def having_big_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("__spend"),
+        )
+        .filter((F.col("n_orders") >= 5) & (F.col("__spend") > 100000))
+        .select("o_custkey", "n_orders", F.round("__spend", 2).alias("spend"))
+    )
+
+
+@query(
+    "case_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def case_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "pandas_udf_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT avg(value) AS mu, stddev_samp(value) AS sigma FROM events)
+    SELECT event_id, round((value - mu) / sigma, 6) AS zscore
+    FROM events, stats
+    """,
+)
+def pandas_udf_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """The sanctioned Python escape hatch: an Arrow-batched Pandas UDF
+    (vectorized, ~10-100x over row-at-a-time) computing a z-score
+    against broadcast global stats.  Deterministic arithmetic, so it
+    still gets a SQL oracle."""
+    ev = t(spark, sf, "events")
+    mu, sigma = ev.agg(
+        F.avg("value"), F.stddev_samp("value")
+    ).first()
+
+    @F.pandas_udf(T.DoubleType())
+    def zscore(v: pd.Series) -> pd.Series:
+        return (v - mu) / sigma
+
+    return ev.select("event_id", F.round(zscore("value"), 6).alias("zscore"))

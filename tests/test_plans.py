@@ -1,0 +1,53 @@
+"""Physical-plan regression tests (SURVEY.md §7.6 scale notes): the
+optimizations the engine depends on must actually appear in the plans
+— predicate pushdown + column pruning at the parquet scan, broadcast
+joins for small dimensions, no cartesian products in the range join."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributedmapreduce_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = _formatted_plan(spark, "scan_filter_project")
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)" in plan
+    # only the referenced columns reach the scan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double,l_extendedprice:double,l_shipdate" in plan
+    )
+    assert "l_comment" not in plan and "l_tax" not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _formatted_plan(spark, "join_broadcast_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_selective_filter_pushes_through_join(spark):
+    plan = _formatted_plan(spark, "q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_range_join_is_not_cartesian(spark):
+    plan = _formatted_plan(spark, "range_join_event_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_broadcasts_query_side(spark):
+    plan = _formatted_plan(spark, "cosine_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query side, by design
