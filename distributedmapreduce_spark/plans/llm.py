@@ -43,20 +43,18 @@ from .core import query, t
     """,
 )
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on a normalized-text fingerprint;
-    keep the min doc_id of each group."""
+    """Exact dedup: window over the fingerprint — ONE corpus scan and
+    one shuffle (the agg+join formulation scans and fingerprints the
+    corpus twice; at 100 TB the second scan is the dominant cost)."""
     docs = t(spark, sf, "documents").select(
         "doc_id", norm_fingerprint("text").alias("fingerprint")
     )
-    keep = docs.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
-    )
-    return docs.join(keep, "fingerprint").select(
+    w = W.partitionBy("fingerprint")
+    return docs.select(
         "doc_id",
-        "keeper",
-        "n_copies",
-        (F.col("doc_id") == F.col("keeper")).alias("is_kept"),
-    )
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    ).withColumn("is_kept", F.col("doc_id") == F.col("keeper"))
 
 
 def _shingles_col(n: int = 3):
@@ -149,19 +147,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", _shingles_col(3).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
+    # hash each shingle STRING once; derive the 16 minhashes from the
+    # cheap 8-byte hash (string hashing dominates otherwise)
+    base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    hashed = sh.select("doc_id", base.alias("base"))
+
     def minhash(seed: int):
         # factory (not a default-arg lambda: two-parameter lambdas are
         # PySpark's (element, index) form and would hijack the seed)
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+            F.transform(F.col("base"), lambda h: F.xxhash64(h, F.lit(seed)))
         )
 
     minhashes = F.array(*[minhash(i) for i in _MINHASH_SEEDS])
-    sigs = sh.select("doc_id", "shingles", minhashes.alias("sig"))
+    sigs = hashed.select("doc_id", minhashes.alias("sig"))
     per_band = len(_MINHASH_SEEDS) // _BANDS
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[

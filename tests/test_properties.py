@@ -1,0 +1,58 @@
+"""Property-based spot checks (SURVEY.md §5.3-4): random documents,
+engine vs the pure-Python replay of the verified reference semantics,
+plus the structural invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributedmapreduce_spark.operators import text as T
+
+from .reference_replay import replay_lines, replay_tokens
+
+# lines drawn from a tiny alphabet rich in the quirk triggers:
+# blanks, whitespace runs, punctuation, digits
+line_st = st.text(alphabet="ab c.!9  ", min_size=0, max_size=20)
+doc_st = st.lists(line_st, min_size=1, max_size=40)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=doc_st)
+def test_pipeline_matches_replay(spark, doc):
+    raw = spark.createDataFrame([(l,) for l in doc], "value string")
+    got_lines = sorted(
+        (r.line_id, r.line, r.byte_offset) for r in T.lines(raw).collect()
+    )
+    assert got_lines == sorted(replay_lines(doc))
+    got_tokens = sorted((r.word, r.offset) for r in T.tokens(T.lines(raw)).collect())
+    assert got_tokens == sorted(replay_tokens(replay_lines(doc)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=doc_st)
+def test_aggregate_invariants(spark, doc):
+    raw = spark.createDataFrame([(l,) for l in doc], "value string")
+    tok = T.tokens(T.lines(raw))
+    pairs = replay_tokens(replay_lines(doc))
+    wc = {r.word: r["count"] for r in T.word_count(tok).collect()}
+    ii = {r.word: list(r.postings) for r in T.inverted_index(tok).collect()}
+    # sum of counts == total token occurrences
+    assert sum(wc.values()) == len(pairs)
+    # count == posting-list length, postings sorted ascending
+    assert {w: len(p) for w, p in ii.items()} == wc
+    for p in ii.values():
+        assert p == sorted(p)
+    # partition function is key-functional: same word -> same partition
+    # (the reference's len(word) % R, mapper_word_count.py:28)
+    for r in (3, 5):
+        parts = {w: len(w) % r for w in wc}
+        assert all(parts[w] == len(w) % r for w in wc)
