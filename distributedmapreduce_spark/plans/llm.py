@@ -139,36 +139,37 @@ _BANDS = 4  # 16 hashes -> 4 bands of 4
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash + LSH near-dup: 16 minhashes over 3-gram shingles, 4
     bands of 4; candidate pairs share >= 1 band bucket; candidates are
-    verified with exact Jaccard >= 0.12.  Fully shuffle-bounded: the
-    explode is 4 rows/doc and the join key is (band, bucket-hash).
-    Deterministic (xxhash64 is a fixed function) but not
-    SQL-portable -> rows-only driver check."""
+    verified with exact Jaccard >= 0.12 over the hashed shingle sets.
+
+    Formulated as explode -> ONE hash-aggregate: each shingle string is
+    hashed once (xxhash64), then the 16 minhash permutations are plain
+    `min()` aggregates over the 8-byte rehash — partial aggregation
+    (map-side combine) keeps the shuffle at 16 longs + the distinct-hash
+    set per doc, and the codegen stays small and vectorized (the
+    array-HOF formulation compiled a 16-transform expression tree whose
+    first-run codegen dominated wall time).  Deterministic (xxhash64 is
+    a fixed function) but not SQL-portable -> rows-only driver check."""
     sh = t(spark, sf, "documents").select(
         "doc_id", _shingles_col(3).alias("shingles")
     ).filter(F.size("shingles") > 0)
-
-    # hash each shingle STRING once; derive the 16 minhashes from the
-    # cheap 8-byte hash (string hashing dominates otherwise)
-    base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    hashed = sh.select("doc_id", base.alias("base"))
-
-    def minhash(seed: int):
-        # factory (not a default-arg lambda: two-parameter lambdas are
-        # PySpark's (element, index) form and would hijack the seed)
-        return F.array_min(
-            F.transform(F.col("base"), lambda h: F.xxhash64(h, F.lit(seed)))
-        )
-
-    minhashes = F.array(*[minhash(i) for i in _MINHASH_SEEDS])
-    sigs = hashed.select("doc_id", minhashes.alias("sig"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    grouped = ex.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"),
+        *[
+            F.min(F.xxhash64("h", F.lit(seed))).alias(f"m{seed}")
+            for seed in _MINHASH_SEEDS
+        ],
+    )
     per_band = len(_MINHASH_SEEDS) // _BANDS
-    bands = sigs.select(
+    bands = grouped.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        *[F.col("sig")[b * per_band + j] for j in range(per_band)]
+                        *[F.col(f"m{b * per_band + j}") for j in range(per_band)]
                     )
                     for b in range(_BANDS)
                 ]
@@ -203,8 +204,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("pair.doc_a", "pair.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sets = grouped.select("doc_id", "hs")
+    sh_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sh_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
