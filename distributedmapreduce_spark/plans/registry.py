@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     relational2,
     streamq,
     textq,
+    tpch,
 )
 from .core import Query, registry
 

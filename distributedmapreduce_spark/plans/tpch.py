@@ -1,0 +1,408 @@
+"""TPC-H-shaped multi-join analytics over the synthetic star schema.
+
+The reference has no joins at all (SURVEY.md §2.2), but an engine that
+replaces it must run the canonical warehouse query shapes.  These are
+the classic TPC-H forms adapted to the trimmed testdata schema (no
+partsupp, no l_commitdate/l_receiptdate/l_shipmode; p_type is a single
+word; nations are NATION_0..24):
+
+  q4  — semi-join EXISTS with a correlated non-equi predicate
+  q5  — 6-table snowflake join, two broadcast dims
+  q6  — single-scan predicate aggregate (pushdown showcase)
+  q7  — self-aliased dimension (nation x2) + year rollup
+  q10 — fact-fact join + top-k by aggregate
+  q14 — conditional aggregate over a broadcast part join
+  q17 — per-key scalar aggregate joined back (avg-quantity limit)
+  q18 — HAVING-filtered semi join on an aggregate key set
+  q22 — scalar-subquery threshold + date-bounded anti join
+
+Scale notes (100 TB): nation/region/part/supplier are broadcast —
+never shuffled; every fact-fact join keys on orderkey/custkey which
+AQE can skew-split; q17's per-part limit is a partial-agg shuffle of
+(partkey, sum, count), not a window over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .core import query, t
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 shape; the reference schema lacks commit/receipt dates, so
+    "late" is l_shipdate more than 90 days after the order date —
+    still a correlated-EXISTS semi join with a non-equi conjunct."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.date_add("o_orderdate", 90)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    nation_region = broadcast(
+        t(spark, sf, "nation").join(
+            broadcast(t(spark, sf, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    supplier = broadcast(
+        t(spark, sf, "supplier").join(
+            nation_region, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    return (
+        t(spark, sf, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t(spark, sf, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6: the pure pushdown showcase — every predicate reaches the
+    parquet scan; no shuffle at all (single global agg)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    nation = t(spark, sf, "nation")
+    n1 = broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    joined = (
+        broadcast(t(spark, sf, "supplier"))
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _rev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10: top 20 customers by lost (returned) revenue.  c_custkey
+    tiebreak makes the LIMIT deterministic for the oracle hash."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        t(spark, sf, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast(t(spark, sf, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(
+            broadcast(t(spark, sf, "part").select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_rev()), 6).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey AS pa_partkey, 0.2 * avg(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pa_partkey = l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < qty_limit
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17: per-part average-quantity limit joined back to the fact.
+    The limit table is partkey-grouped (partial agg before shuffle);
+    at scale it is orders-of-magnitude smaller than the fact, so the
+    join-back broadcasts."""
+    li = t(spark, sf, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    brand = broadcast(
+        t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    return (
+        li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(part_avg), F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    big = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    ).filter(F.col("sum_qty") > 300).select(
+        F.col("l_orderkey").alias("big_orderkey")
+    )
+    return (
+        t(spark, sf, "customer")
+        .join(t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH threshold AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey < 10
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, threshold
+    WHERE c_nationkey < 10
+      AND c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22: rich customers (above-average balance) with no recent
+    orders — scalar-subquery threshold broadcast as a 1-row cross
+    join, then an anti join against the date-filtered orders."""
+    cust = t(spark, sf, "customer").filter(F.col("c_nationkey") < 10)
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        cust.join(broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -51,3 +51,36 @@ def test_range_join_is_not_cartesian(spark):
 def test_similarity_broadcasts_query_side(spark):
     plan = _formatted_plan(spark, "cosine_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan  # tiny query side, by design
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q5_local_supplier_volume",
+        "tpch_q7_volume_shipping",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue",
+    ],
+)
+def test_tpch_dimensions_broadcast(spark, name):
+    """nation/region/part/supplier must broadcast, never shuffle."""
+    plan = _formatted_plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_no_join_no_wide_scan(spark):
+    """Q6 is a pure scan+agg: predicates pushed, only 4 columns read."""
+    plan = _formatted_plan(spark, "tpch_q6_forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+    assert "l_returnflag" not in plan and "l_tax" not in plan
+
+
+def test_tpch_q4_semi_join(spark):
+    plan = _formatted_plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q22_anti_join(spark):
+    plan = _formatted_plan(spark, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
