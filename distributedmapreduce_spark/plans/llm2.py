@@ -125,3 +125,91 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", F.round(tfidf, 6).alias("tfidf"), "rn")
     )
+
+
+@query("ann_ivf_topk", oracle=None)  # float reduction order -> rows-only
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate NN: K=16 inverted lists, nprobe=4.
+
+    Index build is fully distributed DataFrame code: deterministic
+    seed centroids (the K lowest vec_ids), one Lloyd refinement
+    (assign via broadcast argmin with min_by, re-average per cluster
+    by exploding components), centroids rounded to 6dp to absorb
+    float reduction-order jitter.  Queries probe their 4 nearest
+    centroids and run exact cosine only inside those lists — the
+    corpus shuffles once (on cluster id), never pairwise.  Same
+    output schema as cosine_topk_bruteforce so recall is directly
+    comparable."""
+    from ..functions.vector import dot as _dot, l2_norm as _norm
+
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    k_lists, n_probe, top_k = 16, 4, 5
+
+    seeds = emb.filter(F.col("vec_id") < k_lists).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").alias("c_emb"),
+    )
+
+    def nearest(vectors: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
+        """n nearest centroids per vector by cosine (broadcast K rows)."""
+        scored = vectors.join(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            (
+                _dot(F.col("embedding"), F.col("c_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
+            ).alias("sim"),
+        )
+        if n == 1:
+            return scored.groupBy("vec_id").agg(
+                F.min_by("cluster", -F.col("sim")).alias("cluster"),
+                F.first("embedding").alias("embedding"),
+            )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= n)
+            .select("vec_id", "embedding", "cluster")
+        )
+
+    # one Lloyd iteration: average the members of each seed cluster
+    assigned0 = nearest(emb, seeds, 1)
+    centroids = (
+        assigned0.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c_emb")
+        )
+    )
+
+    lists = nearest(emb, centroids, 1)  # inverted lists: vec -> cluster
+    probes = nearest(
+        emb.filter(F.col("vec_id") < 10), centroids, n_probe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cluster",
+    )
+    scored = (
+        lists.join(probes, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top_k
+    )

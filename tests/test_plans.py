@@ -84,3 +84,19 @@ def test_tpch_q4_semi_join(spark):
 def test_tpch_q22_anti_join(spark):
     plan = _formatted_plan(spark, "tpch_q22_global_sales_opportunity")
     assert "LeftAnti" in plan
+
+
+def test_ann_ivf_structure_and_recall(spark):
+    """IVF returns exactly top-5 per query and finds most of the true
+    neighbors at nprobe=4/16."""
+    ivf = QUERIES["ann_ivf_topk"](spark, SF).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["cosine_topk_bruteforce"](spark, SF).collect()
+    }
+    iv = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(bf & iv) / len(bf) >= 0.5
