@@ -27,6 +27,8 @@ from distributedmapreduce_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
     "join_broadcast_nation_revenue",
     "window_topk_orders_per_customer",
     "range_join_event_pairs",
@@ -38,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "cosine_topk_bruteforce",
+    "ann_ivf_topk",
 ]
 
 
