@@ -175,7 +175,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     # one Lloyd iteration: average the members of each seed cluster
     assigned0 = nearest(emb, seeds, 1)
-    centroids = (
+    refined = (
         assigned0.select("cluster", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cluster", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -186,6 +186,14 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
                 lambda s: s["m"],
             ).alias("c_emb")
         )
+    )
+    # materialize the index-build artifact (K x dim floats): the
+    # centroid lineage is a full corpus pass, and without this it
+    # would re-execute for the list assignment AND the query probes.
+    # This is the IVF build/search split — at scale the centroids
+    # would be persisted next to the index.
+    centroids = spark.createDataFrame(
+        refined.collect(), schema="cluster int, c_emb array<double>"
     )
 
     lists = nearest(emb, centroids, 1)  # inverted lists: vec -> cluster
