@@ -88,3 +88,74 @@ def frame_sample_offsets(decoded: DataFrame, n_frames: int = 4) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+
+def resize_stub(decoded: DataFrame, target_w: int = 224, target_h: int = 224,
+                strict: bool = False) -> DataFrame:
+    """'Resize' each decoded asset to (target_w, target_h) via
+    mapInPandas.  A real deployment swaps ``_resize_one`` for a
+    PIL/opencv call; the Spark plumbing (Arrow batches, schema,
+    partition parallelism) is identical.  The stub emits a
+    deterministic output hash derived from (sha256, target dims)."""
+
+    def _resize_one(sha: str) -> str:
+        if strict:
+            raise NotImplementedError(
+                "no image codec in this environment; deterministic stub only"
+            )
+        return hashlib.sha256(
+            f"{sha}:{target_w}x{target_h}".encode()
+        ).hexdigest()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_stub": True,
+                    "out_sha256": [_resize_one(s) for s in pdf["sha256"]],
+                }
+            )
+
+    schema = (
+        "asset_id long, width int, height int, target_w int, target_h int, "
+        "resized_stub boolean, out_sha256 string"
+    )
+    return decoded.mapInPandas(_batches, schema=schema)
+
+
+def feature_extract_stub(assets: DataFrame, dim: int = 16,
+                         strict: bool = False) -> DataFrame:
+    """'Embed' each binary payload into a dim-float feature vector via
+    mapInPandas (stand-in for a vision/audio encoder).  Deterministic:
+    component j is a [-1,1) float folded out of the payload sha256."""
+
+    def _embed_one(payload: bytes) -> list[float]:
+        if strict:
+            raise NotImplementedError(
+                "no encoder in this environment; deterministic stub only"
+            )
+        out = []
+        digest = b""
+        while len(out) < dim:
+            digest = hashlib.sha256(payload + digest).digest()
+            for k in range(0, min(len(digest), 4 * (dim - len(out))), 4):
+                v = int.from_bytes(digest[k : k + 4], "big")
+                out.append(v / 2**31 - 1.0)
+        return out[:dim]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "feature": [_embed_one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(_batches, schema="asset_id long, feature array<double>")

@@ -63,3 +63,43 @@ def mapreduce_facade_wordcount(spark: SparkSession, sf: str) -> DataFrame:
         num_partitions=8,
         output_schema="word string, n long",
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS asset_id, 224 AS target_w, 224 AS target_h,
+           sha256(concat(sha256(text), ':224x224')) AS out_sha256
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing through the stub codec: the output hash chains
+    the decode hash with the target dims, so the whole
+    decode->transform pipeline is still oracle-checkable."""
+    from ..operators.multimodal import resize_stub
+
+    docs = t(spark, sf, "documents")
+    assets = as_binary_assets(docs, "doc_id", "text")
+    return resize_stub(decode_metadata(assets)).select(
+        "asset_id", "target_w", "target_h", "out_sha256"
+    )
+
+
+@query("multimodal_feature_extract", oracle=None)  # sha256-fold, not SQL-portable
+def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoder plumbing: binary payload -> 16-d feature vector via
+    Arrow-batched mapInPandas; returns (asset_id, dim, l2) so the
+    rows-only check still pins shape and determinism-adjacent stats."""
+    from ..operators.multimodal import feature_extract_stub
+
+    docs = t(spark, sf, "documents")
+    feats = feature_extract_stub(as_binary_assets(docs, "doc_id", "text"))
+    return feats.select(
+        "asset_id",
+        F.size("feature").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)),
+            4,
+        ).alias("l2"),
+    )
