@@ -225,3 +225,42 @@ def pandas_udf_zscore(spark: SparkSession, sf: str) -> DataFrame:
         return (v - mu) / sigma
 
     return ev.select("event_id", F.round(zscore("value"), 6).alias("zscore"))
+
+
+@query(
+    "skew_salted_join_counts",
+    oracle="""
+    SELECT e.event_type, d.type_rank,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN (SELECT event_type, row_number() OVER (ORDER BY event_type)
+                 AS type_rank
+          FROM (SELECT DISTINCT event_type FROM events)) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_rank
+    """,
+)
+def skew_salted_join_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key join through explicit salting: events.event_type has a
+    handful of distinct values (every key is hot), the dimension is
+    replicated n_salts times and the fact side salted, so each key's
+    rows spread over n_salts tasks instead of one.  Output is
+    oracle-identical to the plain join."""
+    from ..operators.skew import salted_join
+
+    events = t(spark, sf, "events")
+    w = W.orderBy("event_type")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_rank", F.row_number().over(w))
+    )
+    return (
+        salted_join(events, dim, on="event_type", n_salts=8)
+        .groupBy("event_type", "type_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
