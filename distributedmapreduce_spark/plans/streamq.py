@@ -105,3 +105,28 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
             "duration_us"
         ),
     )
+
+
+@query(
+    "stream_join_click_purchase",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts - c.ts)) AS BIGINT) AS lag_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_join_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/joins.py): purchases within 1h after a same-user
+    click.  Same shape as the range join — equi key (user) plus a
+    time interval, never a cartesian."""
+    from ..streaming.joins import click_purchase_pairs
+
+    return click_purchase_pairs(t(spark, sf, "events"))

@@ -57,3 +57,15 @@ def test_stateful_user_totals_matches_batch(spark):
     )
     cols = ["user_id", "n_events"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from distributedmapreduce_spark.streaming.joins import click_purchase_pairs
+
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        click_purchase_pairs(stream), "t_ssjoin", "append"
+    )
+    batch = QUERIES["stream_join_click_purchase"](spark, SF)
+    cols = ["user_id", "click_id", "purchase_id", "lag_s"]
+    assert _rows(out, cols) == _rows(batch, cols)
