@@ -28,3 +28,26 @@ def read_table(
     if fmt == "csv":
         reader = reader.option("header", "true")
     return getattr(reader, fmt)(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Hive-style partitioned layout: one directory per partition
+    value.  At 100 TB this is what makes `WHERE pcol = x` a partition
+    prune (directories never listed) instead of a full scan — the
+    reader-side evidence is `PartitionFilters` in the scan node."""
+    getattr(df.write.mode(mode).partitionBy(*partition_cols), fmt)(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, sort_col: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table (bucketBy requires saveAsTable): rows
+    are hash-distributed into n_buckets files per partition by
+    bucket_col.  Two tables bucketed the same way join WITHOUT a
+    shuffle — the pre-partitioning replaces the exchange, the big
+    win for repeated fact-fact joins at scale."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -1,0 +1,63 @@
+"""Storage-layout scale proofs (SCALE.md §1/§3): partitioned writes
+must partition-prune on read, and same-bucketed tables must join
+without a shuffle exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedmapreduce_spark.sources.io import (
+    write_bucketed,
+    write_partitioned,
+)
+from distributedmapreduce_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def _physical_plan(df) -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    events = load_table(spark, "events", SF_DIR)
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _physical_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    n_click = events.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    orders = load_table(spark, "orders", SF_DIR)
+    lineitem = load_table(spark, "lineitem", SF_DIR)
+    write_bucketed(orders, "b_orders", "o_orderkey", 4, "o_orderkey")
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 4, "l_orderkey")
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _physical_plan(joined)
+        join_part = plan.split("SortMergeJoin")[0]
+        # no exchange may feed the join: bucketing replaced the shuffle
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # and the result is still correct
+        plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).groupBy("o_orderpriority").count()
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
