@@ -457,3 +457,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .filter(cos >= 0.8)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(str_split(lower(text),' '), x -> x <> '')) - 3, 0) + 1),
+               i -> array_to_string(list_filter(str_split(lower(text),' '), x -> x <> '')[i:i+3], ' ')
+             )) AS shingles
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (SELECT s FROM toks GROUP BY s HAVING count(DISTINCT doc_id) = 2),
+    e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM toks a JOIN rare USING (s) JOIN toks b USING (s)
+          WHERE a.doc_id <> b.doc_id),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    "shares a rare 4-gram shingle" graph (df=2 shingles — the
+    chain-building signal near-dup pipelines group pairs with), by
+    iterative min-label propagation (Pregel shape: each round is one
+    edge join + min-aggregate, O(diameter) rounds; lineage is cut
+    with localCheckpoint each round so the plan stays flat).  The
+    DuckDB oracle is the same graph closed with a recursive CTE —
+    an iterative distributed algorithm hash-checked against SQL."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", _shingles("text", 4).alias("shingles")
+    )
+    toks = docs.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        toks.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))  # (doc_id, s) is unique
+        .filter(F.col("df") == 2)
+        .select("s")
+    )
+    half = toks.join(rare, "s")
+    edges = (
+        half.select("s", F.col("doc_id").alias("src"))
+        .join(half.select("s", F.col("doc_id").alias("dst")), "s")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(50):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
