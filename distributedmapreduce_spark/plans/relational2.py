@@ -264,3 +264,85 @@ def skew_salted_join_counts(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 4) AS geomean_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf: str) -> DataFrame:
+    """User-defined AGGREGATE surface: a grouped-agg Pandas UDF
+    (Arrow-batched, one Python call per group) computing the geometric
+    mean — a holistic-looking agg that still has an exact SQL twin
+    (exp of avg-log), so the UDAF path itself is hash-checked."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v).mean()))
+
+    @F.pandas_udf(T.LongType())
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one
+        # agg() — the count rides the same Arrow batch instead
+        return len(v)
+
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
+            n_rows("o_totalprice").alias("n"),
+        )
+    )
+
+
+@query(
+    "udtf_token_positions",
+    oracle="""
+    SELECT doc_id, pos, token,
+           CAST(strlen(token) AS INTEGER) AS token_len
+    FROM (
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+      SELECT doc_id,
+             CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos,
+             unnest(ws) AS token
+      FROM toks WHERE len(ws) > 0)
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf: str) -> DataFrame:
+    """User-defined TABLE function surface: a Python UDTF (one row in,
+    N rows out) tokenizing each document — the reference's mapper
+    shape (line -> token pairs, mapper_word_count.py:11-22) expressed
+    through Spark's UDTF API instead of explode, proving arbitrary
+    user Python can own the row-expansion step too."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: A002
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split(" "):
+                if tok:
+                    yield pos, tok, len(tok)
+                    pos += 1
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    t(spark, sf, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tk.pos, tk.token, tk.token_len
+        FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) tk
+        """
+    )
