@@ -57,8 +57,11 @@ def main() -> None:
     from distributedmapreduce_spark.operators import text as T
     from distributedmapreduce_spark.plans.registry import QUERIES
 
-    # JVM/codegen warm-up on the smallest SF (not timed)
+    # JVM/codegen + Python-UDF-worker warm-up on the smallest SF (not
+    # timed): headline queries should measure steady-state execution,
+    # not one-time executor spin-up
     _materialize(QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    _materialize(QUERIES["pandas_udf_zscore"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
