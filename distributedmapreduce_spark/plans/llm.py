@@ -155,13 +155,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("h")
     )
+    # materialize the signature table: it feeds the band explode AND
+    # both verification join sides — as lineage the shingle+aggregate
+    # pass would run three times (at scale: persist signatures next to
+    # the corpus, same build/search split as the IVF index)
     grouped = ex.groupBy("doc_id").agg(
         F.collect_set("h").alias("hs"),
         *[
             F.min(F.xxhash64("h", F.lit(seed))).alias(f"m{seed}")
             for seed in _MINHASH_SEEDS
         ],
-    )
+    ).localCheckpoint()
     per_band = len(_MINHASH_SEEDS) // _BANDS
     bands = grouped.select(
         "doc_id",
@@ -534,3 +538,67 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+@query(
+    "training_data_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(str_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+             len(ws) AS n_tokens,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+      FROM toks WHERE len(ws) > 0),
+    keep AS (
+      SELECT fingerprint, min(doc_id) AS keeper FROM scored GROUP BY fingerprint)
+    SELECT s.doc_id, s.lang, s.source,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           round(s.ttr, 4) AS ttr
+    FROM scored s JOIN keep k USING (fingerprint)
+    WHERE s.doc_id = k.keeper
+      AND s.lang IN ('en', 'de', 'fr', 'es')
+      AND s.n_tokens BETWEEN 20 AND 200
+      AND s.ttr >= 0.35
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation pipeline an LLM corpus actually runs,
+    as ONE composed plan: tokenize -> quality score (token count,
+    type-token ratio) -> language allowlist -> exact-dedup keeper ->
+    final corpus.  Single corpus scan feeds everything; the dedup
+    keeper is a window over the fingerprint (no second scan, cf.
+    dedup_exact); all gates are JVM expressions so the whole pipeline
+    is one codegen'd pass + one shuffle."""
+    from ..functions.text import tokens as _tokens
+
+    docs = t(spark, sf, "documents")
+    ws = _tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        norm_fingerprint("text").alias("fingerprint"),
+        F.size(ws).alias("n_tokens"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias("ttr"),
+    ).filter(F.col("n_tokens") > 0)
+    keeper = F.min("doc_id").over(W.partitionBy("fingerprint"))
+    return (
+        scored.withColumn("keeper", keeper)
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & F.col("lang").isin("en", "de", "fr", "es")
+            & F.col("n_tokens").between(20, 200)
+            & (F.col("ttr") >= 0.35)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("ttr", 4).alias("ttr"),
+        )
+    )
