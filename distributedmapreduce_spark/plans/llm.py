@@ -602,3 +602,50 @@ def training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             F.round("ttr", 4).alias("ttr"),
         )
     )
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible 80/10/10 corpus split: bucket = first 4 md5 bytes
+    of a salted doc key, mod 100.  Hash-based (not sample()-based)
+    splits are stable under corpus growth — a doc's split never
+    changes when other docs are added — and portable across engines,
+    which the oracle proves."""
+    docs = t(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        # lateral column alias: `bucket` here is the select-list alias
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
