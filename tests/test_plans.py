@@ -5,6 +5,8 @@ joins for small dimensions, no cartesian products in the range join."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from distributedmapreduce_spark.plans.registry import QUERIES
@@ -100,3 +102,22 @@ def test_ann_ivf_structure_and_recall(spark):
     }
     iv = {(r.query_id, r.neighbor_id) for r in ivf}
     assert len(bf & iv) / len(bf) >= 0.5
+
+
+def test_training_pipeline_single_scan(spark):
+    """The composed curation pipeline must read the corpus ONCE —
+    quality gates, language filter and the dedup-keeper window all
+    hang off a single parquet scan."""
+    plan = _formatted_plan(spark, "training_data_pipeline")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_dedup_exact_single_scan(spark):
+    plan = _formatted_plan(spark, "dedup_exact")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _formatted_plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
