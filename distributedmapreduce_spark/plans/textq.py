@@ -272,3 +272,83 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.md5(bag).alias("bag_fingerprint"),
     )
+
+
+@query(
+    "ngram_counts_top",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+      FROM toks WHERE len(ws) >= 2)
+    SELECT bigram, count(*) AS n FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def ngram_counts_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide bigram counts, top-50 — the n-gram LM-statistics
+    shape: bigram explode + one count aggregate (map-side combine
+    bounds the shuffle at distinct-bigram cardinality)."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(_repeated_bigrams_col()).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+      FROM toks WHERE len(ws) >= 2),
+    per AS (
+      SELECT doc_id, bigram, count(*) AS c FROM grams GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS BIGINT) AS top_bigram_n,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS repetition_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-style rule: heavily
+    repeated n-grams mark boilerplate/spam): per doc, the most
+    frequent bigram's share of all bigram occurrences.  Two stacked
+    aggregates, both partial-agg friendly."""
+    docs = t(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_repeated_bigrams_col()).alias("bigram")
+    )
+    per = grams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+def _repeated_bigrams_col():
+    """NON-distinct lowercase bigrams (shingles() dedups, repetition
+    scoring must not)."""
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    shifted = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    pairs = F.zip_with(ws, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(pairs, 1, F.greatest(F.size(ws) - 1, F.lit(0)))
