@@ -33,12 +33,15 @@ HEADLINE = [
     "window_topk_orders_per_customer",
     "range_join_event_pairs",
     "sessionization",
+    "asof_join_purchase_click",
     "stream_tumbling_counts",
     "doc_word_count",
     "doc_inverted_index",
     "text_quality_scores",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "training_data_pipeline",
+    "tfidf_top_terms",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
 ]
