@@ -406,3 +406,139 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1997-12-31'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8: one nation's share of a region's PROMO-part revenue by
+    year — 8-way snowflake, every dimension broadcast, the two
+    nation roles as independent broadcast aliases."""
+    li = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    part = broadcast(
+        t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    nation = t(spark, sf, "nation")
+    region = broadcast(t(spark, sf, "region").filter(F.col("r_name") == "AMERICA"))
+    cust_nation = broadcast(
+        t(spark, sf, "customer")
+        .join(
+            nation.join(
+                region, F.col("n_regionkey") == F.col("r_regionkey")
+            ).select(F.col("n_nationkey").alias("cn_key")),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = broadcast(
+        t(spark, sf, "supplier")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = _rev()
+    nation5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(nation5) / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13: distribution of per-customer order counts — left join with
+    an ON-clause filter (customers with zero matching orders must
+    survive with count 0), then an aggregate of an aggregate."""
+    cust = t(spark, sf, "customer").select("c_custkey")
+    orders = t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15: supplier(s) with the quarter's max revenue — the revenue
+    "view" built once, its max joined back as a broadcast scalar."""
+    rev = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        broadcast(t(spark, sf, "supplier"))
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
