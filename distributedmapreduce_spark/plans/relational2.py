@@ -346,3 +346,65 @@ def udtf_token_positions(spark: SparkSession, sf: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) tk
         """
     )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           count(l_quantity) AS n_non_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 4) AS min_v,
+           round(max(l_quantity), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           count(DISTINCT l_discount),
+           round(min(l_discount), 4), round(max(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+    FROM lineitem
+    """,
+)
+def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling audit (the pre-ingest sanity pass a pipeline
+    runs on every new source): per-column null/distinct/min/max in ONE
+    scan — the per-column stats are stacked with a literal-array
+    explode, not one scan per column like the naive UNION ALL."""
+    li = t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    per = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c in cols
+            for e in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.round(F.min(c), 4).alias(f"mn_{c}"),
+                F.round(F.max(c), 4).alias(f"mx_{c}"),
+            )
+        ],
+    )
+    stacked = per.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_non_null"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_v"),
+                        F.col(f"mx_{c}").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")

@@ -51,3 +51,15 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def compact(spark: SparkSession, path: str, out_path: str,
+            target_files: int, fmt: str = "parquet") -> None:
+    """Small-files compaction: rewrite a directory into target_files
+    output files.  The classic lake-maintenance job — streaming sinks
+    and over-parallel writers leave thousands of tiny files whose
+    per-file open/footer cost dominates scans at 100 TB.  coalesce()
+    avoids a shuffle when reducing file count (repartition() would be
+    correct but pays a full shuffle)."""
+    df = getattr(spark.read, fmt)(path)
+    getattr(df.coalesce(target_files).write.mode("overwrite"), fmt)(out_path)

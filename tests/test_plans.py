@@ -121,3 +121,10 @@ def test_minhash_no_cartesian(spark):
     plan = _formatted_plan(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_columns_single_scan(spark):
+    """Profiling 3 columns must NOT be 3 scans (the UNION ALL trap) —
+    the stacked-struct formulation reads the table once."""
+    plan = _formatted_plan(spark, "profile_columns")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -61,3 +61,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from distributedmapreduce_spark.sources.io import compact
+
+    events = load_table(spark, "events", SF_DIR)
+    frag = str(tmp_path / "fragmented")
+    events.repartition(37).write.parquet(frag)
+    n_before = len([p for p in __import__("os").listdir(frag) if p.endswith(".parquet")])
+    assert n_before == 37
+    out = str(tmp_path / "compacted")
+    compact(spark, frag, out, target_files=4)
+    n_after = len([p for p in __import__("os").listdir(out) if p.endswith(".parquet")])
+    assert n_after == 4
+    assert spark.read.parquet(out).count() == events.count()
