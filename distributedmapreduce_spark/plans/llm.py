@@ -649,3 +649,16 @@ def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query("stratified_sample", oracle=None)  # seeded sampling: engine-specific
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language stratified sample (sampleBy, fixed seed):
+    downsample the dominant language to balance the corpus — the
+    rebalancing step before training-data mixing.  Bernoulli sampling
+    is seed-deterministic within Spark but not portable across
+    engines -> rows-only check of the per-stratum counts."""
+    docs = t(spark, sf, "documents")
+    fractions = {"en": 0.35, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions=fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

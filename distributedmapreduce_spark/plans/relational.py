@@ -714,3 +714,71 @@ def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("purchase_id", "last_click_id")
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset intersect — duplicates survive up to the min
+    multiplicity per side (the bag semantics SQL engines implement
+    with a counted anti/semi aggregate underneath)."""
+    o = t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             round(p_retailprice, 2) AS retailprice
+      FROM part)
+    UNPIVOT (val FOR attr IN (size, retailprice))
+    """,
+)
+def unpivot_part_attrs(spark: SparkSession, sf: str) -> DataFrame:
+    """unpivot/melt — wide-to-long reshape, the inverse of
+    pivot_status_priority."""
+    p = t(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
