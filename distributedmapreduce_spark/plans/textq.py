@@ -352,3 +352,110 @@ def _repeated_bigrams_col():
     shifted = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
     pairs = F.zip_with(ws, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.slice(pairs, 1, F.greatest(F.size(ws) - 1, F.lit(0)))
+
+
+_SEARCH_TERMS = ("join", "filter", "window")
+
+
+@query(
+    "search_multiword_and",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '')) AS word
+      FROM documents)
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched
+    FROM toks WHERE word IN {_SEARCH_TERMS!r}
+    GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+    """,
+)
+def search_multiword_and(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive (AND) search over the inverted index: a doc
+    qualifies iff it contains EVERY query term.  Expressed as the
+    posting-list intersection the index exists for — explode distinct
+    terms, filter to the query vocabulary (a tiny IN list that
+    pushes into the scan), count per doc, keep count == |query|."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens_col_lower())).alias("word"),
+    )
+    return (
+        toks.filter(F.col("word").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
+        .filter(F.col("n_matched") == len(_SEARCH_TERMS))
+    )
+
+
+def _tokens_col_lower(col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.col(col)), " "), lambda x: x != F.lit("")
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(str_split(lower(text), ' '),
+                            x -> x <> '')) AS word
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+           WHERE word IN {_SEARCH_TERMS!r} GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))) AS score
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25 FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) for a fixed conjunctive query —
+    the retrieval scorer an LLM-data search stack runs over the
+    inverted index.  Corpus stats (N, avgdl) are a 1-row broadcast;
+    per-term df a broadcast dim; the fact stream is the tf table.
+    Top-20 with doc_id tiebreak for the deterministic oracle hash."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col_lower()).alias("word")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    k1, b = 1.2, 0.75
+    term = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"))
+    )
+    w = W.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
