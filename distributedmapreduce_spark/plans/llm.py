@@ -506,7 +506,9 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("df") == 2)
         .select("s")
     )
-    half = toks.join(rare, "s")
+    # materialize the rare-token stream: the pair self-join reads it
+    # twice, and each lineage replay would redo shingling + the df agg
+    half = toks.join(rare, "s").localCheckpoint()
     edges = (
         half.select("s", F.col("doc_id").alias("src"))
         .join(half.select("s", F.col("doc_id").alias("dst")), "s")
@@ -522,10 +524,23 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         prop = edges.join(
             labels, edges.src == labels.doc_id
         ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
+        mins = (
             labels.union(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping (path doubling): also adopt the label OF the
+        # current label — long chains collapse in O(log diameter)
+        # rounds instead of O(diameter)
+        jump = mins.select(
+            F.col("doc_id").alias("j_doc"), F.col("label").alias("j_label")
+        )
+        new_labels = (
+            mins.join(jump, mins.label == jump.j_doc, "left")
+            .select(
+                "doc_id",
+                F.least("label", "j_label").alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
