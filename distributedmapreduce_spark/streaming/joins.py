@@ -59,3 +59,16 @@ def click_purchase_pairs(
         .cast("long")
         .alias("lag_s"),
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event_id
+    arriving within the watermark window (the at-least-once -> 
+    exactly-once repair every event pipeline needs).  State is one
+    key per event_id, evicted once the watermark passes — bounded,
+    unlike a naive dropDuplicates on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

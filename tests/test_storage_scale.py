@@ -76,3 +76,23 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     n_after = len([p for p in __import__("os").listdir(out) if p.endswith(".parquet")])
     assert n_after == 4
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: a later batch adds a column; a
+    mergeSchema read unions the schemas with nulls for the old files."""
+    base = str(tmp_path / "evolving")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.write.parquet(base + "/batch=1")
+    orders.withColumn("o_channel", F.lit("web")).write.parquet(
+        base + "/batch=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {
+        "o_orderkey", "o_totalprice", "o_channel", "batch"
+    }
+    n = orders.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("o_channel").isNull()).count() == n

@@ -69,3 +69,16 @@ def test_stream_stream_join_matches_batch(spark):
     batch = QUERIES["stream_join_click_purchase"](spark, SF)
     cols = ["user_id", "click_id", "purchase_id", "lag_s"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_drops_redeliveries(spark):
+    from distributedmapreduce_spark.streaming.joins import dedup_events_stream
+
+    # simulate at-least-once delivery: the stream source reads the
+    # events file, we union it with itself batch-side first
+    stream = SW.stream_events(spark, SF)
+    deduped = dedup_events_stream(stream.union(stream))
+    out = SW.run_stream_to_table(deduped, "t_dedup", "append")
+    batch_n = load_table(spark, "events", SF).count()
+    assert out.count() == batch_n
+    assert out.select("event_id").distinct().count() == batch_n
