@@ -459,3 +459,84 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s) - 7, 0) + 1),
+               i -> list_sum(list_transform(range(0, 8),
+                      j -> unicode(s[i+j:i+j])
+                           * CAST(pow(31, 7-j) AS BIGINT))) % 1000000007)
+               AS hashes
+      FROM norm),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hashes) - 3, 0) + 1),
+               i -> list_min(hashes[i:i+3]))) AS fps
+      FROM h WHERE len(hashes) >= 4)
+    SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+    FROM w
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Karp-Rabin 8-char-gram
+    polynomial hash, base 31 mod 1e9+7, winnowed with window 4 — the
+    MOSS selection rule: each window contributes its minimum hash, so
+    fingerprint density is position-independent and two documents
+    sharing any 11+ char run share a fingerprint).  All integer
+    arithmetic chosen to be overflow-free in a 64-bit long so the
+    DuckDB twin computes bit-identical values."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    weights = np.array([31 ** (7 - j) for j in range(8)], dtype="int64")
+
+    # exact int64 arithmetic (no overflow: 8 * 255 * 31^7 < 2^63), so
+    # the numpy path computes bit-identical values to the SQL twin —
+    # vectorized because the per-char HOF formulation is interpreted
+    # expression evaluation (measured 22s vs ~1s at sf0.01)
+    def _winnow_fn(s):
+        out_n, out_d = [], []
+        for text in s:
+            codes = np.array([ord(c) for c in text], dtype="int64")
+            if len(codes) < 11:  # need >= 4 k-gram windows
+                out_n.append(None)
+                out_d.append(None)
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(codes, 8)
+            hashes = (win @ weights) % 1_000_000_007
+            mins = np.lib.stride_tricks.sliding_window_view(hashes, 4).min(
+                axis=1
+            )
+            fps = np.unique(mins)
+            out_n.append(len(fps))
+            out_d.append(
+                hashlib.md5(
+                    ",".join(str(int(x)) for x in fps).encode()
+                ).hexdigest()
+            )
+        return pd.DataFrame({"n_fps": out_n, "fp_digest": out_d})
+
+    # real (non-string) annotations: `from __future__ import
+    # annotations` would stringify inline hints and break pandas_udf
+    # signature inference
+    _winnow_fn.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    winnow = F.pandas_udf(_winnow_fn, "n_fps int, fp_digest string")
+
+    return (
+        docs.select("doc_id", winnow(norm).alias("w"))
+        .select("doc_id", "w.n_fps", "w.fp_digest")
+        .filter(F.col("n_fps").isNotNull())
+    )
