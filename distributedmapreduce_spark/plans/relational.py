@@ -782,3 +782,46 @@ def unpivot_part_attrs(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     )
+
+
+@query(
+    "time_rollup_multires",
+    oracle="""
+    SELECT resolution, bucket, event_type, n, total_value FROM (
+      SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket,
+             event_type, count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type,
+             count(*), round(sum(value), 4)
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'week', date_trunc('week', ts), event_type,
+             count(*), round(sum(value), 4)
+      FROM events GROUP BY 2, 3)
+    """,
+)
+def time_rollup_multires(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour/day/week
+    resolutions in ONE scan via GROUPING SETS over the three
+    date_trunc buckets (the UNION ALL oracle formulation scans per
+    resolution).  At scale this materializes incrementally per
+    ingest window; the grouping-sets shape is the batch backfill."""
+    ev = t(spark, sf, "events")
+    ev.createOrReplaceTempView("__rollup_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS resolution,
+               coalesce(h, d, w) AS bucket,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS total_value
+        FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                     date_trunc('week', ts) AS w, event_type, value
+              FROM __rollup_events)
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type),
+                                (w, event_type))
+        """
+    )
