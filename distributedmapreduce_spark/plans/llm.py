@@ -15,6 +15,7 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -341,43 +342,41 @@ def cosine_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None)  # hyperplanes from fixed hash; not SQL-portable
+@query("ann_lsh_topk", oracle=None)  # seeded hyperplanes; not SQL-portable
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: 8-bit sign signature
-    (hyperplane h_k component j = deterministic pseudo-random from
-    xxhash64(k, j)), bucket on signature, exact cosine only within the
+    (hyperplanes drawn once from a fixed-seed generator — deterministic
+    across runs), bucket on signature, exact cosine only within the
     query's bucket.  The scale path: both sides shuffle on the bucket
-    key, no cross join anywhere."""
+    key, no cross join anywhere.  Signature = one (batch x dim) @
+    (dim x 8) matmul per Arrow batch; the builtin-HOF formulation was
+    interpreted per element and 4x slower."""
+    import numpy as np
+
     emb = t(spark, sf, "embeddings")
     dim, n_planes = 64, 8
+    planes = np.random.RandomState(42).standard_normal((n_planes, dim))
+    pow2 = 1 << np.arange(n_planes)
 
-    def plane_component(k: int, j: int):
-        # deterministic pseudo-random in [-1, 1): fixed across engines/runs
-        h = F.xxhash64(F.lit(k), F.lit(j))
-        return (h % 10007).cast("double") / 10007.0 * 2.0 - 1.0
+    def _sig_fn(col):
+        m = np.vstack(col.to_numpy()).astype("float64")
+        bits = (m @ planes.T) > 0
+        return pd.Series((bits @ pow2).astype("int64"))
 
-    def signature(vec):
-        bits = [
-            (
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[plane_component(k, j) for j in range(dim)]),
-                        lambda x, p: x.cast("double") * p,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0
-            ).cast("int")
-            for k in range(n_planes)
-        ]
-        out = F.lit(0)
-        for i, b in enumerate(bits):
-            out = out + F.shiftleft(b, i)
-        return out
+    _sig_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    sig = F.pandas_udf(_sig_fn, "long")
 
-    tagged = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    def _cos_fn(a, b):
+        ma = np.vstack(a.to_numpy()).astype("float64")
+        mb = np.vstack(b.to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 4))
+
+    _cos_fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    pair_cos = F.pandas_udf(_cos_fn, "double")
+
+    tagged = emb.select("vec_id", "embedding", sig("embedding").alias("bucket"))
     q = tagged.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -389,36 +388,12 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
-                4,
-            ).alias("cosine"),
+            pair_cos("q_emb", "embedding").alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 5
-    )
-
-
-@query(
-    "embedding_stats",
-    oracle="""
-    SELECT label, count(*) AS n,
-           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                           CAST(embedding AS DOUBLE[])))), 4)
-             AS avg_norm,
-           round(avg(embedding[1]), 4) AS avg_dim0
-    FROM embeddings GROUP BY label
-    """,
-)
-def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
-    emb = t(spark, sf, "embeddings")
-    return emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
-        F.round(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_dim0"),
     )
 
 
