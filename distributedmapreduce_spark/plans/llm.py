@@ -408,11 +408,11 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.8
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup: cosine >= 0.8 within label blocks (blocking
+    """Embedding near-dup: cosine >= 0.4 within label blocks (blocking
     bounds the pair count; the LSH variant drops the need for labels)."""
     emb = t(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -433,7 +433,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.8)
+        .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
     )
 

@@ -250,11 +250,17 @@ def join_semi_customers_with_f_orders(spark: SparkSession, sf: str) -> DataFrame
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
-    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    """Anti join: customers with no RECENT orders (the unfiltered
+    variant is vacuously empty on this data — every customer has some
+    order; the date predicate makes the anti semantics observable)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
