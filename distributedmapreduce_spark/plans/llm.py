@@ -225,49 +225,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)  # bit-level hashing not SQL-portable
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 32-bit simhash over word hashes; pairs whose
-    signatures agree on >= 28 bits, candidate-generated by exact match
-    on each of 4 signature quarters (any quarter equal -> candidate;
-    a 4-bit-difference pair must share at least one quarter)."""
+    """SimHash near-dup: 64-bit simhash over word hashes; near-dups
+    agree on >= 60 bits.  Candidates are generated by exact match on
+    each of FIVE signature blocks (~13 bits each): a pair with <= 4
+    differing bits cannot hit all 5 blocks, so pigeonhole guarantees
+    at least one shared block — with 4 blocks (the classic quarters
+    layout) a 4-bit difference CAN straddle every block and the pair
+    is silently missed.  Word hashing stays JVM-side (xxhash64); the
+    64 per-bit majority sums are one numpy pass per Arrow batch."""
+    import numpy as np
+
     ws = F.array_distinct(
         F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
     )
     docs = t(spark, sf, "documents").select("doc_id", ws.alias("ws")).filter(
         F.size("ws") > 0
     )
-    # hash each word once, then derive the 32 per-bit +1/-1 sums
     hashed = docs.select(
         "doc_id", F.transform("ws", lambda w: F.xxhash64(w)).alias("hs")
     )
 
-    def bit_sum(k: int):
-        # factory: keeps the HOF lambdas single-parameter (see minhash)
-        def step(acc, h):
-            bit = F.shiftright(h, k).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, 1).otherwise(-1)
+    shifts = np.arange(64, dtype="uint64")
 
-        return F.aggregate("hs", F.lit(0), step)
+    def _simhash_fn(col):
+        out = []
+        for hs in col:
+            h = np.asarray(hs, dtype="int64").astype("uint64")
+            bits = ((h[:, None] >> shifts) & 1).sum(axis=0)
+            sig = np.where(2 * bits > len(h), 1, 0).astype("uint64")
+            out.append(int((sig << shifts).sum().astype("uint64")))
+        # back to signed int64 for Spark's long
+        return pd.Series(np.array(out, dtype="uint64").astype("int64"))
 
-    sig = F.lit(0).cast("long")
-    for k in range(32):
-        sig = sig + F.when(bit_sum(k) > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    signed = hashed.select("doc_id", sig.alias("sig"))
-    quarters = signed.select(
+    _simhash_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    simhash = F.pandas_udf(_simhash_fn, "long")
+
+    signed = hashed.select("doc_id", simhash("hs").alias("sig"))
+    # five ~13-bit blocks: [0,13) [13,26) [26,39) [39,52) [52,64)
+    block_bounds = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+    blocks = signed.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sig", q * 8).bitwiseAND(F.lit(0xFF))
-                    for q in range(4)
+                    F.shiftrightunsigned("sig", lo).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for lo, width in block_bounds
                 ]
             )
         ).alias("q", "qval"),
     )
-    a = quarters.select(
+    a = blocks.select(
         "q", "qval", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )
-    b = quarters.select(
+    b = blocks.select(
         "q", "qval", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
     cand = (
@@ -282,15 +295,6 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= 4)
         .select("doc_a", "doc_b", "hamming")
     )
-
-
-# --------------------------------------------------------------------------
-# Similarity search over embeddings
-# --------------------------------------------------------------------------
-
-
-_dot = _dot_fn
-_norm = _l2
 
 
 @query(
