@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_fingerprint, shingles as _shingles
-from ..functions.vector import cosine as _cosine, dot as _dot_fn, l2_norm as _l2
+from ..functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm  # noqa: F401
 from .core import query, t
 
 # --------------------------------------------------------------------------
