@@ -82,3 +82,29 @@ def test_stream_dedup_drops_redeliveries(spark):
     batch_n = load_table(spark, "events", SF).count()
     assert out.count() == batch_n
     assert out.select("event_id").distinct().count() == batch_n
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """foreachBatch sink: stream micro-batches land in parquet with
+    batch ids; total rows equal the source (the idempotent-writer
+    pattern — a real deployment keys the write on batch_id)."""
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out)
+
+    stream = SW.stream_events(spark, SF)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == load_table(spark, "events", SF).count()
+    assert "batch_id" in written.columns
