@@ -402,6 +402,26 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "embedding_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm,
+           round(avg(embedding[1]), 4) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.round(F.avg(F.col("embedding")[0].cast("double")), 4).alias("avg_dim0"),
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH n AS (
