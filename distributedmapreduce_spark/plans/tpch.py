@@ -542,3 +542,76 @@ def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .join(broadcast(top), F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21: the sole-blame query — suppliers whose line was the ONLY
+    late one on a multi-supplier finished order ("late" adapted to
+    shipdate > orderdate + 60d; the trimmed schema has no receipt/
+    commit dates).  The EXISTS becomes a semi join against other-
+    supplier lines, the NOT EXISTS an anti join against other-supplier
+    LATE lines — both keyed on orderkey, correlated predicates carried
+    as non-equi join conditions."""
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    sole_blame = (
+        l1.join(
+            l2,
+            (F.col("k2") == F.col("l_orderkey"))
+            & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("k3") == F.col("l_orderkey"))
+            & (F.col("s3") != F.col("l_suppkey"))
+            & (F.col("d3") > F.date_add("o_orderdate", 60)),
+            "left_anti",
+        )
+    )
+    return (
+        sole_blame.join(
+            broadcast(t(spark, sf, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
