@@ -34,6 +34,9 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("multimodal_frame_sample", oracle=None)  # plumbing demo, rows-only
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling plumbing: 4 evenly-spaced byte
+    offsets per decoded binary asset (pure built-in expressions; a
+    real codec swaps in at the decode stage)."""
     docs = t(spark, sf, "documents")
     assets = as_binary_assets(docs, "doc_id", "text")
     from ..operators.multimodal import frame_sample_offsets

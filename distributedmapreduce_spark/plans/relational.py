@@ -117,6 +117,8 @@ def agg_battery(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("approx_count_distinct", oracle=None)  # HLL sketches differ per engine
 def approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL-sketch distinct estimates (the 100 TB substitute for exact
+    countDistinct); sketches differ per engine -> rows-only check."""
     return t(spark, sf, "lineitem").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),

@@ -96,6 +96,8 @@ def percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("approx_quantiles", oracle=None)  # sketch-based, engine-specific
 def approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (the scale path next
+    to percentiles_exact); sketch-based -> rows-only check."""
     li = t(spark, sf, "lineitem")
     return li.agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5)).alias("approx_median"),
