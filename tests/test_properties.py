@@ -56,3 +56,38 @@ def test_aggregate_invariants(spark, doc):
     for r in (3, 5):
         parts = {w: len(w) % r for w in wc}
         assert all(parts[w] == len(w) % r for w in wc)
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_results_invariant_to_shuffle_parallelism(spark):
+    """Distributed-correctness property: changing
+    spark.sql.shuffle.partitions (7 vs 32) must not change any query
+    result — catches accidental dependence on partition count or
+    intra-partition order (nondeterministic collect_list/first
+    without canonicalization would fail this)."""
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    names = [
+        "q1_pricing_summary",
+        "window_topk_orders_per_customer",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "doc_inverted_index",
+    ]
+    sf = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in names:
+                results.setdefault(name, []).append(
+                    _canon_rows(QUERIES[name](spark, sf))
+                )
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} changed under different parallelism"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
