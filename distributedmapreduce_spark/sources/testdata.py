@@ -31,6 +31,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which a
+        # vanilla SparkSession refuses to read (PARQUET_TYPE_ILLEGAL).
+        # nanosAsLong is runtime-settable, so enable it here instead of
+        # relying on the repo's own session factory — the engine must
+        # work under ANY caller-provided session (e.g. the driver's).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), surfaced as nanos-since-epoch
