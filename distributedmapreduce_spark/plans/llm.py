@@ -62,6 +62,9 @@ def _shingles_col(n: int = 3):
     return _shingles("text", n)
 
 
+_SHINGLE_DF_CAP = 64  # drop shingles present in > this many docs of a block
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
@@ -71,25 +74,44 @@ def _shingles_col(n: int = 3):
                range(1, greatest(len(list_filter(str_split(lower(text),' '), x -> x <> '')) - 2, 0) + 1),
                i -> array_to_string(list_filter(str_split(lower(text),' '), x -> x <> '')[i:i+2], ' ')
              )) AS shingles
-      FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))), 4)
-             AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-      AND CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.12
+      FROM documents),
+    ex AS (
+      SELECT doc_id, lang, source, unnest(shingles) AS shingle FROM sh),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, source, shingle,
+               count(*) OVER (PARTITION BY lang, source, shingle) AS df
+        FROM ex)
+      WHERE df <= 64),
+    n AS (
+      SELECT doc_id, lang, source, count(*) AS n_sh
+      FROM capped GROUP BY doc_id, lang, source),
+    inter AS (
+      SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared
+      FROM capped a JOIN capped b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.lang, a.source, a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.shared AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - i.shared), 4) AS jaccard
+    FROM inter i
+    JOIN n na ON na.doc_id = i.doc_a AND na.lang = i.lang AND na.source = i.source
+    JOIN n nb ON nb.doc_id = i.doc_b AND nb.lang = i.lang AND nb.source = i.source
+    WHERE CAST(i.shared AS DOUBLE) / (na.n_sh + nb.n_sh - i.shared) >= 0.12
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup by 3-gram-shingle Jaccard >= 0.12 with (lang, source)
-    blocking — pairwise compare only within blocks (the blocking key
-    bounds the quadratic term; at 100 TB you'd block on a MinHash band
-    instead, see dedup_minhash_lsh)."""
+    blocking AND a shingle document-frequency cap: shingles appearing
+    in more than _SHINGLE_DF_CAP docs of a block (stop-word shingles)
+    are dropped before the pair join, bounding the per-shingle join
+    fan-out — without the cap a single hot shingle emits O(df^2) pair
+    rows, the classic scale-killer of shared-token similarity joins.
+    Jaccard is computed over the capped shingle sets (standard near-dup
+    practice: ubiquitous shingles carry no dedup signal).  At 100 TB
+    you'd block on MinHash bands instead — see dedup_minhash_lsh."""
     sh = t(spark, sf, "documents").select(
         "doc_id", "lang", "source", _shingles_col(3).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -100,17 +122,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         "source",
         "doc_id",
-        F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
-    a = ex.select(
+    # df-cap via a window over the SAME key the pair join shuffles on
+    # (lang, source, shingle) — the exchange is reused by the join, so
+    # the cap adds no extra shuffle of the exploded stream; per-doc
+    # sizes are then recounted over the capped sets
+    capped = (
+        ex.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("lang", "source", "shingle"))
+        )
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .drop("df")
+        .withColumn(
+            "n_sh",
+            F.count(F.lit(1)).over(W.partitionBy("lang", "source", "doc_id")),
+        )
+    )
+    a = capped.select(
         "lang",
         "source",
         "shingle",
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
     )
-    b = ex.select(
+    b = capped.select(
         "lang",
         "source",
         "shingle",
@@ -421,42 +457,106 @@ def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# sign-bit hyperplane LSH: band b's bucket = the sign bits of dims
+# [b*r, b*r+r).  Axis-aligned hyperplanes keep the signature JVM-side
+# AND SQL-portable, so the DuckDB oracle reproduces the blocking
+# bit-for-bit (random-rotation planes — the higher-recall variant —
+# need the numpy path, see ann_lsh_topk, and go rows-only).
+_EMB_LSH_BANDS = 16
+_EMB_LSH_BITS = 4  # bucket bits per band; grows ~log(corpus) at scale
+
+
+def _emb_band_buckets():
+    return F.array(
+        *[
+            sum(
+                (F.col("embedding")[b * _EMB_LSH_BITS + j] > 0).cast("int")
+                * (1 << j)
+                for j in range(_EMB_LSH_BITS)
+            )
+            for b in range(_EMB_LSH_BANDS)
+        ]
+    )
+
+
+def _emb_lsh_oracle_bucket(prefix: str = "") -> str:
+    """DuckDB expression for a band bucket (1-indexed list access)."""
+    terms = " + ".join(
+        f"CAST({prefix}embedding[band*{_EMB_LSH_BITS} + {j + 1}] > 0 AS INT) * {1 << j}"
+        for j in range(_EMB_LSH_BITS)
+    )
+    return terms
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH n AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, r.range AS band,
+             {_emb_lsh_oracle_bucket()} AS bucket
+      FROM embeddings CROSS JOIN range(0, {_EMB_LSH_BANDS}) r),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM ex a JOIN ex b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT c.vec_a, c.vec_b,
            round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
     WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup: cosine >= 0.4 within label blocks (blocking
-    bounds the pair count; the LSH variant drops the need for labels)."""
-    emb = t(spark, sf, "embeddings").select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    """Embedding near-dup: cosine >= 0.4 among pairs sharing at least
+    one LSH band bucket (16 bands x 4 sign bits).  Candidate generation
+    is a bucketed equi-join — NO all-pairs join anywhere in the plan:
+    pair fan-out is bounded by band-bucket size, and at scale the bits
+    per band grow with log(corpus) to keep buckets small (the earlier
+    label-blocked formulation divided the quadratic pair count by a
+    small constant without bounding it).  Candidates are then verified
+    with exact cosine; the DuckDB oracle computes the identical
+    blocking, so the hash-match is exact by construction at any SF."""
+    emb = t(spark, sf, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(_emb_band_buckets()).alias("band", "bucket"),
     )
-    a = emb.select(
-        "label",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("nrm").alias("n_a"),
+    cand = (
+        ex.join(
+            ex.select(
+                F.col("vec_id").alias("vec_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
     )
-    b = emb.select(
-        "label",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("nrm").alias("n_b"),
+    n = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("e_a"),
+                F.col("nrm").alias("n_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("e_b"),
+                F.col("nrm").alias("n_b"),
+            ),
+            "vec_b",
+        )
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
     )
