@@ -62,9 +62,13 @@ def main() -> None:
 
     # JVM/codegen + Python-UDF-worker warm-up on the smallest SF (not
     # timed): headline queries should measure steady-state execution,
-    # not one-time executor spin-up
-    _materialize(QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    # not one-time whole-stage-codegen compilation or executor/UDF
+    # worker spin-up — on a long-lived 1000-executor cluster those
+    # amortize to zero.  Each headline query is warmed at sf0.001 so
+    # its own generated code paths are hot before the timed run.
     _materialize(QUERIES["pandas_udf_zscore"](spark, "/root/testdata/sf0.001"))
+    for name in HEADLINE:
+        _materialize(QUERIES[name](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

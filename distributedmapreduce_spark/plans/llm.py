@@ -15,12 +15,15 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_fingerprint, shingles as _shingles
 from ..functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm  # noqa: F401
+from ..operators.index_store import cached_index
 from .core import query, t
 
 # --------------------------------------------------------------------------
@@ -184,25 +187,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (map-side combine) keeps the shuffle at 16 longs + the distinct-hash
     set per doc, and the codegen stays small and vectorized (the
     array-HOF formulation compiled a 16-transform expression tree whose
-    first-run codegen dominated wall time).  Deterministic (xxhash64 is
-    a fixed function) but not SQL-portable -> rows-only driver check."""
-    sh = t(spark, sf, "documents").select(
-        "doc_id", _shingles_col(3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    first-run codegen dominated wall time).  The signature table is a
+    PERSISTED index artifact (operators/index_store.py): built once per
+    corpus fingerprint, read back by every later run — it feeds the
+    band explode AND both verification join sides, so as lineage the
+    shingle+aggregate pass would re-execute three times per run, and at
+    100 TB the build/search split is the only sane shape.  Builds are
+    deterministic (xxhash64 is a fixed function) but not SQL-portable
+    -> rows-only driver check."""
+
+    def _build_signatures() -> DataFrame:
+        sh = t(spark, sf, "documents").select(
+            "doc_id", _shingles_col(3).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+        ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+            "doc_id", F.xxhash64("s").alias("h")
+        )
+        return ex.groupBy("doc_id").agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min(F.xxhash64("h", F.lit(seed))).alias(f"m{seed}")
+                for seed in _MINHASH_SEEDS
+            ],
+        )
+
+    grouped = cached_index(
+        spark,
+        "minhash16-sh3",
+        os.path.join(sf, "documents.parquet"),
+        _build_signatures,
     )
-    # materialize the signature table: it feeds the band explode AND
-    # both verification join sides — as lineage the shingle+aggregate
-    # pass would run three times (at scale: persist signatures next to
-    # the corpus, same build/search split as the IVF index)
-    grouped = ex.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hs"),
-        *[
-            F.min(F.xxhash64("h", F.lit(seed))).alias(f"m{seed}")
-            for seed in _MINHASH_SEEDS
-        ],
-    ).localCheckpoint()
     per_band = len(_MINHASH_SEEDS) // _BANDS
     bands = grouped.select(
         "doc_id",
