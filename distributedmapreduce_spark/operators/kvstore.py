@@ -75,6 +75,14 @@ class SolutionStore:
         rows = current.filter(F.col(self.key_col) == key).limit(2).collect()
         if not rows:
             return None
+        if len(rows) > 1:
+            # upsert() guarantees key uniqueness; duplicates mean the
+            # backing parquet was written externally. Fail loudly with
+            # the key instead of a bare unpack ValueError.
+            raise ValueError(
+                f"duplicate rows for key {key!r} in solution store "
+                f"{self.path} — written outside upsert()?"
+            )
         (row,) = rows
         others = [c for c in row.asDict() if c != self.key_col]
         if len(others) == 1:

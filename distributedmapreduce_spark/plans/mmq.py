@@ -32,7 +32,17 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     return decode_metadata(assets).select("asset_id", "n_bytes", "sha256")
 
 
-@query("multimodal_frame_sample", oracle=None)  # plumbing demo, rows-only
+@query(
+    "multimodal_frame_sample",
+    # offsets are pure arithmetic: floor(n_bytes*i/4), i in 0..3.
+    # DuckDB CAST(double AS BIGINT) rounds-to-nearest where Spark's
+    # cast truncates, hence the explicit floor (all values >= 0).
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(floor(strlen(text) * u.f / 4) AS BIGINT) AS frame_offset
+    FROM documents, unnest([0, 1, 2, 3]) AS u(f)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video-style frame sampling plumbing: 4 evenly-spaced byte
     offsets per decoded binary asset (pure built-in expressions; a
