@@ -1,0 +1,309 @@
+"""Training-corpus curation, stage 2 (SURVEY.md §2.2 extension
+surface): benchmark decontamination, sequence packing, deterministic
+weighted sampling, source-mixture balancing, and the global training
+shuffle.  Everything here is portable-hash based (md5) so each query
+has a bit-identical DuckDB oracle — no seeded RNG, no engine-specific
+hashing — and every plan is a shuffle-bounded DataFrame composition
+(no Python in any hot path).
+
+Scale notes (the 100 TB story for each):
+- decontamination joins on the shingle STRING with a document-
+  frequency cap, so fan-out is bounded per shingle and the eval side
+  (benchmarks are small) broadcasts;
+- sequence packing uses the distributed two-pass prefix sum
+  (operators/prefix_sum.py) over range-partitioned doc order — the
+  naive global-window cumsum would funnel the corpus through one
+  partition;
+- weighted sampling / mixture balancing / shuffle-sharding derive
+  per-row uniforms from md5, so they are single-scan map-side filters
+  (plus one bounded window for the per-source ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles as _shingles, tokens as _tokens
+from ..operators.prefix_sum import with_prefix_sums
+from .core import query, t
+
+# Portable per-row uniform in [0, 1): the top 32 bits of md5 divided
+# by 2^32.  k/2^32 is exact in a double (power-of-two denominator), so
+# Spark and DuckDB produce bit-identical values — usable in oracle-
+# checked filters, unlike rand(seed) or xxhash64.
+_TWO32 = 4294967296.0
+
+
+def _md5_uniform(tag: str, col) -> "F.Column":
+    h = F.md5(F.concat(F.lit(tag + ":"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_TWO32)
+
+
+def _md5_uniform_sql(tag: str, expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{tag}:', "
+        f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT) / {_TWO32}"
+    )
+
+
+_DECON_N = 3  # shingle width (words)
+_DECON_MIN_SHARED = 2  # flag pairs sharing >= this many shingles
+_DECON_DF_CAP = 50  # drop shingles present in more docs than this
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(ws) - {_DECON_N} + 2),
+             i -> array_to_string(ws[i:i + {_DECON_N} - 1], ' '))) AS s
+    FROM toks WHERE len(ws) >= {_DECON_N}
+  )
+), capped AS (
+  SELECT doc_id, s FROM sh
+  QUALIFY count(*) OVER (PARTITION BY s) <= {_DECON_DF_CAP}
+)
+SELECT t.doc_id AS train_doc_id,
+       e.doc_id AS eval_doc_id,
+       count(*) AS shared_ngrams
+FROM (SELECT * FROM capped WHERE doc_id % 50 <> 0) t
+JOIN (SELECT * FROM capped WHERE doc_id % 50 = 0) e USING (s)
+GROUP BY 1, 2
+HAVING count(*) >= {_DECON_MIN_SHARED}
+"""
+
+
+@query("decontaminate_ngram_overlap", oracle=_DECON_ORACLE)
+def decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 2
+    distinct word 3-grams with any eval-set doc (eval set here: every
+    50th doc_id — stand-in for a held-out benchmark suite).
+
+    Plan shape: shingle-explode both sides, drop shingles with corpus
+    document frequency above a cap (stop-phrase shingles are what
+    makes shingle joins quadratic at scale — same armor as
+    dedup_ngram_jaccard), then an equi-join on the shingle string.
+    The eval side is tiny by nature (benchmarks, not corpora), so at
+    scale it broadcasts and the train side never shuffles."""
+    sh = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(_shingles("text", _DECON_N)).alias("s"))
+    )
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("s"))
+    ).filter(F.col("df") <= _DECON_DF_CAP)
+    train = capped.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    ev = capped.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(ev), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= _DECON_MIN_SHARED)
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+), cum AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok WHERE n > 0
+)
+SELECT doc_id, seq_id,
+       least((seq_id + 1) * {_PACK_BUDGET}, start + n)
+         - greatest(seq_id * {_PACK_BUDGET}, start) AS n_tokens
+FROM (
+  SELECT doc_id, n, start,
+         unnest(range(
+           CAST(floor(start / {_PACK_BUDGET}) AS BIGINT),
+           CAST(floor((start + n - 1) / {_PACK_BUDGET}) AS BIGINT) + 1
+         )) AS seq_id
+  FROM cum
+)
+"""
+
+
+@query("sequence_packing", oracle=_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LM training
+    prep): documents are concatenated in doc_id order and sliced into
+    fixed 256-token sequences; a doc spanning a boundary contributes
+    to every sequence it overlaps.  Output: one row per (doc, seq)
+    with the token count the doc contributes to that sequence.
+
+    The cumulative token offset is the distributed two-pass prefix sum
+    over range-partitioned doc order (operators/prefix_sum.py) — the
+    same operator that reproduces the reference's byte-offset cursor
+    — NOT a global window, which would put the whole corpus through
+    one partition.  After the offsets exist, bin assignment is pure
+    arithmetic + a bounded explode (a doc spans at most
+    ceil(n/budget)+1 sequences)."""
+    docs = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.size(_tokens("text")).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    ordered = docs.repartitionByRange(32, "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
+    cum = with_prefix_sums(ordered, {"start": F.col("n")})
+    b = F.lit(_PACK_BUDGET)
+    spanned = cum.select(
+        "doc_id",
+        "n",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / b),
+                F.floor((F.col("start") + F.col("n") - 1) / b),
+            )
+        ).alias("seq_id"),
+    )
+    return spanned.select(
+        "doc_id",
+        "seq_id",
+        (
+            F.least((F.col("seq_id") + 1) * b, F.col("start") + F.col("n"))
+            - F.greatest(F.col("seq_id") * b, F.col("start"))
+        ).alias("n_tokens"),
+    )
+
+
+_QWS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, u
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         {_md5_uniform_sql('qws', 'doc_id')} AS u
+  FROM tok
+)
+WHERE u < least(1.0, n_tokens / 40.0)
+"""
+
+
+@query("quality_weighted_sample", oracle=_QWS_ORACLE)
+def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic quality-weighted subsampling: keep each doc with
+    probability p = min(1, n_tokens/40) — longer docs survive, short
+    ones are thinned — using the portable md5 uniform instead of
+    rand(), so the SAME rows are kept on any engine, any partitioning,
+    any cluster size (reproducible corpus builds are a hard
+    requirement for training pipelines).  Single scan, map-side
+    filter, no shuffle at all."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(_tokens("text")).alias("n_tokens")
+    )
+    u = _md5_uniform("qws", F.col("doc_id"))
+    return docs.withColumn("u", u).filter(
+        F.col("u") < F.least(F.lit(1.0), F.col("n_tokens") / F.lit(40.0))
+    )
+
+
+_MIX_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_md5_uniform_sql('mix', 'doc_id')}, doc_id
+         ) AS rk
+  FROM documents
+), floor_n AS (
+  SELECT min(cnt) AS m FROM (
+    SELECT count(*) AS cnt FROM documents GROUP BY source
+  )
+)
+SELECT doc_id, source FROM ranked, floor_n WHERE rk <= m
+"""
+
+
+@query("source_mixture_balance", oracle=_MIX_ORACLE)
+def source_mixture_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture balancing: downsample every source to the size
+    of the SMALLEST source (equal-weight mixture), choosing survivors
+    by the portable md5 uniform so the selection is deterministic and
+    engine-independent.  One shuffle on source for the rank window
+    (each source's rows stay together — at 100 TB salt the window by
+    a uniform prefix if a single source dominates), plus a broadcast
+    of the single-row floor count."""
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    floor_n = docs.groupBy("source").count().agg(
+        F.min("count").alias("m")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            _md5_uniform("mix", F.col("doc_id")), "doc_id"
+        )
+    )
+    return (
+        docs.withColumn("rk", rk)
+        .join(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "source")
+    )
+
+
+_SHARDS = 8
+
+_SHUF_ORACLE = f"""
+SELECT doc_id, shard_id,
+       row_number() OVER (
+         PARTITION BY shard_id ORDER BY u, doc_id
+       ) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('shard:',
+           CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % {_SHARDS}
+           AS shard_id,
+         {_md5_uniform_sql('pos', 'doc_id')} AS u
+  FROM documents
+)
+"""
+
+
+@query("global_shuffle_shard", oracle=_SHUF_ORACLE)
+def global_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """The global training shuffle: every doc gets a deterministic
+    pseudo-random shard (md5 % 8) and a position within its shard
+    (rank of a second independent md5 uniform) — the exact output
+    layout a dataloader consumes, reproducible across engines and
+    cluster sizes.  This IS a full repartition of the corpus (that is
+    the point of a global shuffle), but it is ONE shuffle on the
+    shard key and the per-shard rank window runs partition-parallel;
+    shard count scales with the corpus, keeping windows bounded."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        (h % _SHARDS).alias("shard_id"),
+        _md5_uniform("pos", F.col("doc_id")).alias("u"),
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard_id").orderBy("u", "doc_id")
+    )
+    return docs.select("doc_id", "shard_id", pos.alias("pos"))

@@ -6,6 +6,7 @@ from __future__ import annotations
 from . import (  # noqa: F401  (registration via @query decorators)
     llm,
     llm2,
+    llm3,
     mmq,
     relational,
     relational2,
