@@ -84,28 +84,47 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     distinct word 3-grams with any eval-set doc (eval set here: every
     50th doc_id — stand-in for a held-out benchmark suite).
 
-    Plan shape: shingle-explode both sides, drop shingles with corpus
-    document frequency above a cap (stop-phrase shingles are what
-    makes shingle joins quadratic at scale — same armor as
-    dedup_ngram_jaccard), then an equi-join on the shingle string.
-    The eval side is tiny by nature (benchmarks, not corpora), so at
-    scale it broadcasts and the train side never shuffles."""
+    Plan shape: ONE scan, ONE shuffle, NO self-join.  Shingles are
+    exploded and grouped once; each shingle's posting lists (train ids
+    and eval ids) are collected in the same aggregate that computes
+    its document frequency, shingles over the df cap are dropped
+    (stop-phrase shingles are what makes shingle joins quadratic at
+    scale — same armor as dedup_ngram_jaccard), and the surviving
+    (train x eval) pairs explode from the posting lists.  Because the
+    cap bounds df, every collect_list is <= cap elements and the
+    per-shingle pair fan-out is <= cap^2 — memory- and shuffle-safe
+    by construction at any corpus size.  (The naive formulation —
+    df-window then train/eval self-join — scans and windows the corpus
+    twice: Spark's exchange reuse does not fire across the join
+    branches because lambda-function expression ids defeat plan
+    canonicalization.)"""
+    is_eval = (F.col("doc_id") % 50) == 0
     sh = (
         t(spark, sf, "documents")
         .select("doc_id", F.explode(_shingles("text", _DECON_N)).alias("s"))
     )
-    capped = sh.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("s"))
-    ).filter(F.col("df") <= _DECON_DF_CAP)
-    train = capped.filter(F.col("doc_id") % 50 != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "s"
+    postings = (
+        sh.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list(F.when(~is_eval, F.col("doc_id"))).alias(
+                "train_ids"
+            ),
+            F.collect_list(F.when(is_eval, F.col("doc_id"))).alias(
+                "eval_ids"
+            ),
+        )
+        .filter(
+            (F.col("df") <= _DECON_DF_CAP)
+            & (F.size("train_ids") > 0)
+            & (F.size("eval_ids") > 0)
+        )
     )
-    ev = capped.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "s"
-    )
+    pairs = postings.select(
+        F.explode("train_ids").alias("train_doc_id"), "eval_ids"
+    ).select("train_doc_id", F.explode("eval_ids").alias("eval_doc_id"))
     return (
-        train.join(F.broadcast(ev), "s")
-        .groupBy("train_doc_id", "eval_doc_id")
+        pairs.groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= _DECON_MIN_SHARED)
     )

@@ -128,3 +128,20 @@ def test_profile_columns_single_scan(spark):
     the stacked-struct formulation reads the table once."""
     plan = _formatted_plan(spark, "profile_columns")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_decontamination_single_scan_no_self_join(spark):
+    """Decontamination groups shingles ONCE (posting-list formulation):
+    one corpus scan, no join operator at all, no cartesian."""
+    plan = _formatted_plan(spark, "decontaminate_ngram_overlap")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_distributed_prefix_sum(spark):
+    """Packing's cumulative offset must be the range-partitioned
+    two-pass prefix sum, never a global single-partition window."""
+    plan = _formatted_plan(spark, "sequence_packing")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
