@@ -39,12 +39,15 @@ def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
         return q.fn.__module__.rsplit(".", 1)[-1]
 
     out: dict[str, Query] = {}
-    for name, q in reg.items():
-        if family(q) in _PRIORITY_FAMILIES:
-            out[name] = q
+    # named queries FIRST: the six events.parquet queries red in
+    # CORRECTNESS_r01 must land inside any entry-capped harness window
+    # no matter how large the priority families grow
     for name in _PRIORITY_NAMES:
-        if name in reg and name not in out:
+        if name in reg:
             out[name] = reg[name]
+    for name, q in reg.items():
+        if family(q) in _PRIORITY_FAMILIES and name not in out:
+            out[name] = q
     for name, q in reg.items():
         if name not in out:
             out[name] = q

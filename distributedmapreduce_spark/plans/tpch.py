@@ -6,14 +6,25 @@ the classic TPC-H forms adapted to the trimmed testdata schema (no
 partsupp, no l_commitdate/l_receiptdate/l_shipmode; p_type is a single
 word; nations are NATION_0..24):
 
+All 22 canonical query shapes are covered (q1/q3 live in
+plans/relational.py as the pricing-summary and shipping-priority
+flagships):
+
+  q2  — min-cost supplier per part (correlated min -> partition window)
   q4  — semi-join EXISTS with a correlated non-equi predicate
   q5  — 6-table snowflake join, two broadcast dims
   q6  — single-scan predicate aggregate (pushdown showcase)
   q7  — self-aliased dimension (nation x2) + year rollup
+  q9  — product-line profit by nation x year (5-way join)
   q10 — fact-fact join + top-k by aggregate
+  q11 — HAVING vs a global scalar aggregate (broadcast 1-row total)
+  q12 — CASE-sum priority mix by ship-latency bucket
   q14 — conditional aggregate over a broadcast part join
+  q16 — distinct supplier counts + NOT-IN exclusion (anti join)
   q17 — per-key scalar aggregate joined back (avg-quantity limit)
   q18 — HAVING-filtered semi join on an aggregate key set
+  q19 — disjunctive AND-group predicate, one equi-join (no union)
+  q20 — nested-IN chain (part filter -> grouped HAVING -> semi join)
   q22 — scalar-subquery threshold + date-bounded anti join
 
 Scale notes (100 TB): nation/region/part/supplier are broadcast —
@@ -614,4 +625,399 @@ def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), candidates AS (
+      SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+      FROM part
+      JOIN cost ON p_partkey = l_partkey
+      JOIN eu   ON l_suppkey = s_suppkey
+      WHERE p_type = 'LARGE' AND p_size <= 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM candidates WHERE unit_cost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 shape (no partsupp in this schema): the supplier offering
+    the minimum unit cost per part within one region, unit cost
+    derived from observed lineitem prices.  The canonical correlated
+    scalar subquery (min cost per part, region-scoped) becomes a
+    min-window over the part key — partition-parallel, no re-scan of
+    the fact; region dims broadcast.  Cost is rounded to 6dp BEFORE
+    the min on both engines so the equality join on the minimum is
+    bit-identical."""
+    cost = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+            ).alias("unit_cost")
+        )
+    )
+    eu = (
+        t(spark, sf, "supplier")
+        .join(
+            broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            broadcast(t(spark, sf, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    from pyspark.sql import Window as W
+
+    cands = (
+        broadcast(parts)
+        .join(cost, F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "best_cost",
+            F.min("unit_cost").over(W.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        cands.filter(F.col("unit_cost") == F.col("best_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 shape: per-nation per-year profit on one product line.  No
+    partsupp means no ps_supplycost; cost is modeled as half the
+    part's retail price per unit, keeping the canonical
+    revenue-minus-cost aggregate over a 5-way join with broadcast
+    part/supplier/nation dims.  Sum is exact at 4dp (2dp x 2dp
+    factors), so round(...,4) is engine-stable."""
+    li = t(spark, sf, "lineitem")
+    profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(
+            broadcast(
+                t(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            broadcast(t(spark, sf, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            broadcast(t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t(spark, sf, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_part_value",
+    oracle="""
+    WITH scoped AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 2
+    ), total AS (SELECT sum(v) AS tot FROM scoped)
+    SELECT l_partkey AS p_key, round(sum(v), 4) AS part_value
+    FROM scoped, total
+    GROUP BY l_partkey, tot
+    HAVING sum(v) > 0.001 * tot
+    """,
+)
+def tpch_q11_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 shape: parts representing a significant fraction of one
+    region's traded value — a HAVING threshold against a global
+    scalar aggregate.  The scalar total broadcasts as a 1-row cross
+    join (never a second scan pass per group); the scoped revenue CTE
+    shuffles once on partkey."""
+    nations = (
+        t(spark, sf, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey")
+    )
+    scoped = (
+        t(spark, sf, "lineitem")
+        .join(
+            broadcast(t(spark, sf, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("l_partkey", _rev().alias("v"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("v").alias("pv"))
+    total = scoped.agg(F.sum("v").alias("tot"))
+    return (
+        per_part.join(broadcast(total))
+        .filter(F.col("pv") > 0.001 * F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.round("pv", 4).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_ship_latency_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                THEN 'SLOW' ELSE 'FAST' END AS ship_latency,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_ship_latency_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shape (no l_shipmode column): order-priority mix by ship
+    latency bucket — the canonical conditional-count (CASE-sum)
+    aggregate over the orders x lineitem join with the date filter
+    pushed to the lineitem scan."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.when(
+                F.datediff("l_shipdate", "o_orderdate") > 60, "SLOW"
+            )
+            .otherwise("FAST")
+            .alias("ship_latency")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per part attribute with a
+    NOT-IN supplier exclusion (negative account balance stands in for
+    the comment-based complaints filter; supplier-part pairs come from
+    lineitem since there is no partsupp).  The exclusion is a
+    broadcast anti join; the distinct count shuffles once on the
+    grouped attributes."""
+    excluded = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    return (
+        t(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape: revenue under an OR of AND-groups mixing part
+    attributes and lineitem quantities — the classic disjunctive
+    predicate that must still execute as ONE broadcast equi-join on
+    partkey with the disjunction as a post-join filter (not a union
+    of three scans, and never a cartesian)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 45
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape: suppliers in one region who moved more than a
+    threshold quantity of any 'small*' part in 1996 — the canonical
+    nested-IN chain (part filter -> grouped lineitem HAVING ->
+    supplier semi join), each level a broadcast or semi join, no
+    correlated re-execution."""
+    small_parts = (
+        t(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    movers = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(
+            broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    region_nations = (
+        t(spark, sf, "nation")
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey")
+    )
+    return (
+        t(spark, sf, "supplier")
+        .join(
+            broadcast(region_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(
+            movers,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
     )
