@@ -56,8 +56,10 @@ def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4, 0)
+                    AS BIGINT)) / 1e4                                       AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1e6, 0) AS BIGINT)) / 1e6                       AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -77,15 +79,25 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # rounded at the summands' exact decimal precision (4dp /
-            # 6dp products) to stay off cross-engine half-way boundaries
-            F.round(F.sum(disc), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            # the big product sums reach ~1e9 at sf0.1, where a 4/6dp
+            # round sits BELOW double ulp and engines disagree in the
+            # last digit; summing the 4/6dp-exact products as scaled
+            # longs is exact, engine-identical, AND stays inside
+            # vectorized long-sum codegen (a decimal aggregate costs
+            # ~2x here); overflows long only past ~9e12 in the charge
+            # column — repartition the group or widen the scale there
+            F.sum(F.round(disc * 1e4, 0).cast("long")).alias("__sdp"),
+            F.sum(
+                F.round(disc * (1 + F.col("l_tax")) * 1e6, 0).cast("long")
+            ).alias("__sc"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .withColumn("sum_disc_price", F.col("__sdp") / 1e4)
+        .withColumn("sum_charge", F.col("__sc") / 1e6)
+        .drop("__sdp", "__sc")
     )
 
 

@@ -108,18 +108,20 @@ def approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     mergeable at any corpus size; accuracy=1e6 makes eps*n < 1 at the
     test SFs, so the sketch answer IS the exact discrete order
     statistic and DuckDB's quantile_disc is a bit-identical oracle
-    (verified at sf0.01: acc 1e6 -> 53028.16/103940.14 == quantile_disc;
-    default acc 1e4 differs by ~eps*n ranks as theory predicts).  At
+    (verified equal to quantile_disc at sf0.001/0.01/0.1; the default
+    acc 1e4 differs by ~eps*n ranks as theory predicts, and acc 1e6
+    already drifts at n=600k because the sketch compresses on buffer
+    bounds before the eps*n<1 guarantee applies — hence 1e7).  At
     100 TB you dial accuracy to the memory/error trade-off you want —
     the plan is unchanged."""
     li = t(spark, sf, "lineitem")
     return li.agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1_000_000)).alias(
-            "approx_median"
-        ),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1_000_000)).alias(
-            "approx_p99"
-        ),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10_000_000)
+        ).alias("approx_median"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.99), F.lit(10_000_000)
+        ).alias("approx_p99"),
     )
 
 
