@@ -58,9 +58,10 @@ def main() -> int:
     spark = get_spark(app_name="check_oracle", cpus=16, driver_memory="16g")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset (tools/gen_scale.py)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []

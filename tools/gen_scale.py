@@ -48,8 +48,14 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale"
     spark = get_spark(app_name="gen_scale")
+    from distributedmapreduce_spark.sources.testdata import load_table
+
     for table, keys in SHIFT_COLS.items():
-        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        # the engine loader, not a raw read: events.ts arrives as
+        # TIMESTAMP(NANOS) and must be written back as a standard
+        # micros timestamp so the replica is readable by any engine
+        # (a raw read under nanosAsLong would persist ts as BIGINT)
+        src = load_table(spark, table, SRC)
         if not keys:  # fixed dimensions
             src.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
             continue
