@@ -145,3 +145,33 @@ def test_sequence_packing_distributed_prefix_sum(spark):
     plan = _formatted_plan(spark, "sequence_packing")
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q19_single_join_no_union(spark):
+    """The disjunctive predicate must stay one broadcast equi-join —
+    not a UNION of three filtered scans, not a cartesian."""
+    plan = _formatted_plan(spark, "tpch_q19_disjunctive_revenue")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_correlated_min_as_window(spark):
+    """Q2's correlated min-cost subquery must compile to a partition
+    window over the joined costs, never a re-executed subquery or a
+    cartesian."""
+    plan = _formatted_plan(spark, "tpch_q2_min_cost_supplier")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = _formatted_plan(spark, "tpch_q16_supplier_part_count")
+    assert "LeftAnti" in plan
+
+
+def test_q20_nested_in_as_semi_joins(spark):
+    plan = _formatted_plan(spark, "tpch_q20_excess_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
