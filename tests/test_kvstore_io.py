@@ -44,3 +44,29 @@ def test_format_round_trip(spark, tmp_path, fmt):
     back = read_table(spark, path, fmt, schema=src.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
     assert back.schema == src.schema
+
+
+def test_job_rerun_upserts_idempotently(spark, tmp_path):
+    """Reference lifecycle: re-running a job against the same solution
+    store overwrites per key (database_server.py:88-102) — the store
+    must converge, not duplicate or error, on a full job re-run."""
+    from distributedmapreduce_spark.operators import text as T
+
+    store = SolutionStore(spark, str(tmp_path / "rerun"), key_col="word")
+    lines = T.lines(spark.read.text("/root/reference/input.txt"))
+    wc = T.word_count(T.tokens(lines))
+    store.upsert(wc)
+    first = store.to_local()
+    store.upsert(wc)  # identical re-run
+    assert store.to_local() == first
+    assert len(first) == 5568
+
+
+def test_externally_written_duplicates_raise_named_error(spark, tmp_path):
+    path = str(tmp_path / "dups")
+    spark.createDataFrame(
+        [("k", 1), ("k", 2)], "word string, count long"
+    ).write.parquet(path)
+    store = SolutionStore(spark, path, key_col="word")
+    with pytest.raises(ValueError, match="duplicate rows for key 'k'"):
+        store.get("k")
