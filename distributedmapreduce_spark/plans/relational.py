@@ -284,7 +284,8 @@ def join_anti_customers_without_orders(spark: SparkSession, sf: str) -> DataFram
     "join_broadcast_nation_revenue",
     oracle="""
     SELECT n_name, r_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4, 0)
+                    AS BIGINT)) / 1e4 AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -306,8 +307,19 @@ def join_broadcast_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # nation-level revenue reaches ~1e10 at 10x sf0.1, where a
+            # 4dp round sits below double ulp — sum the 4dp-exact
+            # products as scaled longs (see q1_pricing_summary)
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 1e4,
+                        0,
+                    ).cast("long")
+                )
+                / 1e4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
