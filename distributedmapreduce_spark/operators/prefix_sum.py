@@ -17,6 +17,15 @@ two-pass prefix sum:
 Correctness requires that partition order equals row order, which
 holds for ``spark.read.text`` over a single file (splits are laid out
 in byte order).  For multi-file inputs, sort the file list first.
+
+CONTRACT (why this is only for deterministic scans): the totals pass
+and the output pass execute the input lineage TWICE, so the lineage
+must produce the identical partitioning and row order both times.  A
+file scan does; a ``repartitionByRange`` does NOT (its sampled range
+boundaries are not guaranteed identical across executions — observed
+divergence at 50k rows).  For running totals over a key column's
+order, use ``keyed_prefix_sum``, which depends only on key values and
+is deterministic at any partitioning.
 """
 
 from __future__ import annotations
@@ -26,6 +35,57 @@ from pyspark.sql import functions as F
 
 _PID = "__psum_pid"
 _MID = "__psum_mid"
+
+
+def keyed_prefix_sum(
+    df: DataFrame,
+    key: str,
+    contrib: Column,
+    out: str = "start",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Exclusive running total over the ORDER OF A UNIQUE KEY COLUMN —
+    the scale-safe cumsum for keyed data (``with_prefix_sums`` is for
+    encounter order over deterministic scans; see its caveat).
+
+    Three-level plan, deterministic at any partitioning because every
+    step depends only on key VALUES:
+
+    1. bucket rows by ``floor(key / bucket_width)`` and aggregate
+       per-bucket contribution totals (map-side combinable);
+    2. a window over the BUCKET table (tiny: <= n_rows/bucket_width
+       rows — pick bucket_width so this fits one task even at 100 TB)
+       produces each bucket's exclusive base;
+    3. broadcast the bases back and add a per-bucket window ordered by
+       the key for the within-bucket running total — partition-
+       parallel across buckets.
+    """
+    b = df.withColumn("__kps_bucket", F.floor(F.col(key) / bucket_width))
+    b = b.withColumn("__kps_c", contrib.cast("long"))
+    btot = b.groupBy("__kps_bucket").agg(F.sum("__kps_c").alias("__kps_bn"))
+    wb = Window.orderBy("__kps_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bbase = btot.select(
+        "__kps_bucket",
+        F.coalesce(F.sum("__kps_bn").over(wb), F.lit(0)).alias("__kps_base"),
+    )
+    wl = (
+        Window.partitionBy("__kps_bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(bbase), "__kps_bucket")
+        .withColumn(
+            out,
+            (
+                F.col("__kps_base")
+                + F.coalesce(F.sum("__kps_c").over(wl), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__kps_bucket", "__kps_c", "__kps_base")
+    )
 
 
 def with_order_columns(df: DataFrame) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles as _shingles, tokens as _tokens
-from ..operators.prefix_sum import with_prefix_sums
+from ..operators.prefix_sum import keyed_prefix_sum
 from .core import query, t
 
 # Portable per-row uniform in [0, 1): the top 32 bits of md5 divided
@@ -165,11 +165,15 @@ def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     to every sequence it overlaps.  Output: one row per (doc, seq)
     with the token count the doc contributes to that sequence.
 
-    The cumulative token offset is the distributed two-pass prefix sum
-    over range-partitioned doc order (operators/prefix_sum.py) — the
-    same operator that reproduces the reference's byte-offset cursor
-    — NOT a global window, which would put the whole corpus through
-    one partition.  After the offsets exist, bin assignment is pure
+    The cumulative token offset is the bucketed keyed prefix sum
+    (operators/prefix_sum.py::keyed_prefix_sum): per-bucket totals, a
+    tiny bucket-level window for the bases, broadcast back, and a
+    partition-parallel within-bucket window — NOT a global window,
+    which would put the whole corpus through one partition.  (The
+    encounter-order prefix sum is wrong here: it re-executes its
+    lineage for the totals and output passes, and repartitionByRange
+    boundaries are not execution-stable — caught by the 10x oracle
+    sweep.)  After the offsets exist, bin assignment is pure
     arithmetic + a bounded explode (a doc spans at most
     ceil(n/budget)+1 sequences)."""
     docs = (
@@ -177,10 +181,7 @@ def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.size(_tokens("text")).alias("n"))
         .filter(F.col("n") > 0)
     )
-    ordered = docs.repartitionByRange(32, "doc_id").sortWithinPartitions(
-        "doc_id"
-    )
-    cum = with_prefix_sums(ordered, {"start": F.col("n")})
+    cum = keyed_prefix_sum(docs, "doc_id", F.col("n"), out="start")
     b = F.lit(_PACK_BUDGET)
     spanned = cum.select(
         "doc_id",

@@ -140,11 +140,13 @@ def test_decontamination_single_scan_no_self_join(spark):
 
 
 def test_sequence_packing_distributed_prefix_sum(spark):
-    """Packing's cumulative offset must be the range-partitioned
-    two-pass prefix sum, never a global single-partition window."""
+    """Packing's cumulative offset must be the bucketed keyed prefix
+    sum: the corpus-sized window partitions by bucket (parallel), and
+    the only single-partition exchange is the TINY bucket-totals
+    table (<= n_rows/bucket_width rows) — never the corpus itself."""
     plan = _formatted_plan(spark, "sequence_packing")
-    assert "rangepartitioning" in plan
-    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__kps_bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_q19_single_join_no_union(spark):
