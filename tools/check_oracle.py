@@ -55,7 +55,22 @@ def main() -> int:
     from distributedmapreduce_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="check_oracle", cpus=16, driver_memory="16g")
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        # driver-parity mode: a bare SparkSession with NONE of the
+        # engine factory's settings — every query must still pass
+        # (the engine may not assume its own session configuration;
+        # round 1's six failures were exactly such an assumption)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check_oracle_vanilla")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check_oracle", cpus=16, driver_memory="16g")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
