@@ -91,3 +91,34 @@ def test_results_invariant_to_shuffle_parallelism(spark):
             assert a == b, f"{name} changed under different parallelism"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_keyed_prefix_sum_matches_python_cumsum(spark):
+    """Property: keyed_prefix_sum == Python exclusive cumsum in key
+    order, for sparse/clustered/duplicate-free random keys, at any
+    bucket width — including widths that force many/few buckets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributedmapreduce_spark.operators.prefix_sum import (
+        keyed_prefix_sum,
+    )
+
+    rnd = random.Random(7)
+    keys = rnd.sample(range(10**12), 300) + [10**15 + i * 17 for i in range(50)]
+    rows = [(k, rnd.randint(0, 99)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v long")
+    want = {}
+    acc = 0
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+    for width in (1, 64, 10**9):
+        got = {
+            r.k: r.start
+            for r in keyed_prefix_sum(
+                df, "k", F.col("v"), bucket_width=width
+            ).collect()
+        }
+        assert got == want, f"width={width}"
