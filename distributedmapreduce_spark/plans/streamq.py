@@ -130,3 +130,30 @@ def stream_join_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.joins import click_purchase_pairs
 
     return click_purchase_pairs(t(spark, sf, "events"))
+
+
+@query(
+    "stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState custom stateful
+    operator (streaming/windows.py::user_totals_stateful): per-user
+    event counts + value totals.  The streaming version keeps the
+    SAME (n, total) pair in explicit group state across micro-batches
+    and its final state equals this aggregate —
+    tests/test_streaming.py::test_stateful_user_totals_matches_batch
+    asserts the equivalence; this entry makes the stateful family
+    driver-visible.  Float note: the stateful operator accumulates in
+    arrival order while this aggregate reduces in partition order, so
+    the oracle checks the BATCH aggregate (exactly what the stream's
+    converged state must match at 2dp)."""
+    ev = t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
