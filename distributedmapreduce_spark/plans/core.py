@@ -28,6 +28,20 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Microsecond-pinned events relation for oracle SQL.  events.parquet
+# stores ts as parquet TIMESTAMP(NANOS): Spark surfaces it truncated
+# to microseconds (sources/testdata.py — `ts div 1000`), DuckDB <= 1.0
+# also truncates at read, but DuckDB >= 1.1 PRESERVES the nanoseconds
+# (TIMESTAMP_NS column).  An oracle that orders, subtracts, or
+# epoch_us()'s the raw column under a ns-preserving DuckDB evaluates
+# on values Spark never sees — round 2's `sessionization` driver
+# hash-fail.  Every events oracle must therefore read through this
+# µs-pinned relation: the CAST is a no-op under DuckDB <= 1.0 and an
+# ns -> µs truncation (plain integer division in DuckDB's
+# CastTimestampNsToUs) under >= 1.1, so both engines agree byte-for-
+# byte at any engine version.
+EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query (and optional DuckDB oracle twin)."""

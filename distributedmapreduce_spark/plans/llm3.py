@@ -132,25 +132,33 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
 _PACK_BUDGET = 256  # tokens per packed training sequence
 
+# Every intermediate is pinned to BIGINT: DuckDB's sum() over BIGINT
+# returns HUGEINT (INT128), and HUGEINT leaks into every downstream
+# expression (`/` promotes to DOUBLE, least/greatest unify to HUGEINT,
+# and the HUGEINT -> pandas dtype mapping differs across DuckDB
+# releases) — the round-2 driver hash-fail class.  CAST the window sum
+# to BIGINT at the source and use integer division `//` so all
+# arithmetic — including the output column — is 64-bit integer on any
+# engine version, exactly matching Spark's LongType.
 _PACK_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,
-         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
   FROM documents
 ), cum AS (
   SELECT doc_id, n,
-         coalesce(sum(n) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
   FROM tok WHERE n > 0
 )
 SELECT doc_id, seq_id,
-       least((seq_id + 1) * {_PACK_BUDGET}, start + n)
-         - greatest(seq_id * {_PACK_BUDGET}, start) AS n_tokens
+       CAST(least((seq_id + 1) * {_PACK_BUDGET}, start + n)
+         - greatest(seq_id * {_PACK_BUDGET}, start) AS BIGINT) AS n_tokens
 FROM (
   SELECT doc_id, n, start,
          unnest(range(
-           CAST(floor(start / {_PACK_BUDGET}) AS BIGINT),
-           CAST(floor((start + n - 1) / {_PACK_BUDGET}) AS BIGINT) + 1
+           start // {_PACK_BUDGET},
+           (start + n - 1) // {_PACK_BUDGET} + 1
          )) AS seq_id
   FROM cum
 )

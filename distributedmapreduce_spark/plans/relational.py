@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .core import query, t
+from .core import EVENTS_US, query, t
 
 # --------------------------------------------------------------------------
 # Scan / filter / projection (pushdown exercised: predicate + pruning)
@@ -159,10 +159,10 @@ def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "cube_events",
-    oracle="""
+    oracle=f"""
     SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
            count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events
+    FROM {EVENTS_US} events
     GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
     """,
 )
@@ -419,11 +419,11 @@ def window_rank_dense_ntile(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "window_lag_event_gaps",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
            epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
                                                  ORDER BY ts, event_id)) AS gap_us
-    FROM events
+    FROM {EVENTS_US} events
     """,
 )
 def window_lag_event_gaps(spark: SparkSession, sf: str) -> DataFrame:
@@ -437,11 +437,11 @@ def window_lag_event_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "window_running_sum_per_user",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING), 2) AS running_value
-    FROM events
+    FROM {EVENTS_US} events
     """,
 )
 def window_running_sum_per_user(spark: SparkSession, sf: str) -> DataFrame:
@@ -655,9 +655,9 @@ def json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "range_join_event_pairs",
-    oracle="""
+    oracle=f"""
     SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
-    FROM events a JOIN events b
+    FROM {EVENTS_US} a JOIN {EVENTS_US} b
       ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 SECOND
     GROUP BY a.event_type, b.event_type
     """,
@@ -699,10 +699,10 @@ def range_join_event_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "asof_join_purchase_click",
-    oracle="""
+    oracle=f"""
     SELECT p.event_id AS purchase_id,
            max(c.event_id) AS last_click_id
-    FROM events p JOIN events c
+    FROM {EVENTS_US} p JOIN {EVENTS_US} c
       ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts <= p.ts
          AND c.event_id <> p.event_id
     WHERE p.event_type = 'purchase'
@@ -818,19 +818,19 @@ def unpivot_part_attrs(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "time_rollup_multires",
-    oracle="""
+    oracle=f"""
     SELECT resolution, bucket, event_type, n, total_value FROM (
       SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket,
              event_type, count(*) AS n, round(sum(value), 4) AS total_value
-      FROM events GROUP BY 2, 3
+      FROM {EVENTS_US} events GROUP BY 2, 3
       UNION ALL
       SELECT 'day', date_trunc('day', ts), event_type,
              count(*), round(sum(value), 4)
-      FROM events GROUP BY 2, 3
+      FROM {EVENTS_US} events GROUP BY 2, 3
       UNION ALL
       SELECT 'week', date_trunc('week', ts), event_type,
              count(*), round(sum(value), 4)
-      FROM events GROUP BY 2, 3)
+      FROM {EVENTS_US} events GROUP BY 2, 3)
     """,
 )
 def time_rollup_multires(spark: SparkSession, sf: str) -> DataFrame:

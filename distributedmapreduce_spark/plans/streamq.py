@@ -12,15 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .core import query, t
+from .core import EVENTS_US, query, t
 
 
 @query(
     "stream_tumbling_counts",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
            count(*) AS n, round(sum(value), 2) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM {EVENTS_US} events GROUP BY 1, 2
     """,
 )
 def stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -38,13 +38,13 @@ def stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "stream_sliding_counts",
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
       SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS wstart, event_type, value
-      FROM events
+      FROM {EVENTS_US} events
       UNION ALL
       SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
-      FROM events)
+      FROM {EVENTS_US} events)
     SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS total_value
     FROM assigned GROUP BY wstart, event_type
     """,
@@ -65,14 +65,14 @@ def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "sessionization",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      FROM {EVENTS_US} events),
     sessions AS (
       SELECT user_id, ts, event_id,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -109,13 +109,13 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "stream_join_click_purchase",
-    oracle="""
+    oracle=f"""
     SELECT c.user_id,
            c.event_id AS click_id,
            p.event_id AS purchase_id,
            CAST(floor(epoch(p.ts - c.ts)) AS BIGINT) AS lag_s
-    FROM events c
-    JOIN events p
+    FROM {EVENTS_US} c
+    JOIN {EVENTS_US} p
       ON c.user_id = p.user_id
      AND p.ts >= c.ts
      AND p.ts <= c.ts + INTERVAL 1 HOUR

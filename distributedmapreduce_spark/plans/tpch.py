@@ -713,8 +713,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
+           sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity) * 1e4, 0)
+               AS BIGINT)) / 1e4 AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -729,8 +730,12 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     partsupp means no ps_supplycost; cost is modeled as half the
     part's retail price per unit, keeping the canonical
     revenue-minus-cost aggregate over a 5-way join with broadcast
-    part/supplier/nation dims.  Sum is exact at 4dp (2dp x 2dp
-    factors), so round(...,4) is engine-stable."""
+    part/supplier/nation dims.  Each profit term is 4dp-exact
+    (2dp x 2dp revenue; 3dp cost), so the group sum runs as scaled
+    longs — exact, engine-identical, and inside vectorized long-sum
+    codegen — instead of round(sum(double), 4), whose last digit can
+    flip across engines once the sum nears a 0.00005 boundary (the
+    q1_pricing_summary pattern)."""
     li = t(spark, sf, "lineitem")
     profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     return (
@@ -756,7 +761,11 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .agg(
+            (F.sum(F.round(profit * 1e4, 0).cast("long")) / 1e4).alias(
+                "sum_profit"
+            )
+        )
     )
 
 
@@ -904,7 +913,8 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4, 0)
+               AS BIGINT)) / 1e4 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -949,7 +959,12 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(clause)
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        # scaled-long sum: 4dp-exact revenue terms, see q9 / q1 notes
+        .agg(
+            (F.sum(F.round(_rev() * 1e4, 0).cast("long")) / 1e4).alias(
+                "revenue"
+            )
+        )
     )
 
 

@@ -48,7 +48,17 @@ import math
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Spark's Python WORKERS import distributedmapreduce_spark too (the
+# facade jobs ship cloudpickled closures over its functions).  Workers
+# inherit PYTHONPATH, not the driver's sys.path — without this, running
+# run_job from any cwd outside the repo (the natural usage: specs name
+# inputs relative to the job directory) dies in the executor with
+# ModuleNotFoundError.  Must be set before the SparkSession starts.
+os.environ["PYTHONPATH"] = _REPO_ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 
 def _load_user_fn(py_path: str, fn_name: str):
@@ -71,6 +81,13 @@ def run_spec(spark, spec: dict) -> "dict":
     from distributedmapreduce_spark.sources.text import read_text_lines
 
     input_path = spec["input_file_location"]
+    if not os.path.isabs(input_path) and not os.path.exists(input_path):
+        # reference specs name the input relative to the spec's own
+        # directory (input_info.json sits next to input.txt); fall back
+        # to that when the cwd-relative path doesn't resolve
+        spec_dir = spec.get("__spec_dir__")
+        if spec_dir and os.path.exists(os.path.join(spec_dir, input_path)):
+            input_path = os.path.join(spec_dir, input_path)
     n_map = int(spec.get("no_of_mappers", 3))
     n_red = int(spec.get("no_of_reducers", 3))
     mapper = os.path.basename(spec["mapper_file"])
@@ -131,6 +148,7 @@ def main() -> int:
 
     with open(args.spec) as f:
         spec = json.load(f)
+    spec["__spec_dir__"] = os.path.dirname(os.path.abspath(args.spec))
 
     from distributedmapreduce_spark.session import get_spark
 
