@@ -3,15 +3,20 @@
 
 Registration ORDER is driver-facing: an entry-capped correctness
 harness (round 1 evaluated only the first 50 of the registry) checks
-queries front-to-back, so the registry self-prioritizes from the
-newest ``CORRECTNESS_r*.json`` artifact in the repo root:
+queries front-to-back, so the registry self-prioritizes from ALL
+``CORRECTNESS_r*.json`` artifacts in the repo root, merged with the
+newest per-query verdict winning (rounds are parsed numerically — a
+single-artifact or lexicographic read would misrank r2 vs r10, and
+counting only the newest artifact's window as "checked" would let
+r01-green queries crowd the never-checked ones out of the cap):
 
-1. queries whose last driver verdict FAILED (err, or any of
+1. queries whose LATEST driver verdict FAILED (err, or any of
    rows/schema/hash false) — a fix must be re-verified first;
-2. queries the driver has NEVER checked — new or previously outside
+2. queries NO driver round has ever checked — new or always outside
    the window, so every round widens hard coverage;
-3. queries already driver-green, in registration order — re-checked
-   only once everything else fits.
+3. queries already driver-green, STALEST verdict first — the window
+   re-validates the green set round-robin instead of re-checking the
+   same prefix forever.
 
 With no CORRECTNESS artifact present the registration order stands.
 This rotates the verified set automatically every round with no
@@ -23,6 +28,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from . import (  # noqa: F401  (registration via @query decorators)
     llm,
@@ -42,41 +48,54 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
-def _latest_verdicts() -> dict[str, bool]:
-    """name -> passed, from the newest CORRECTNESS_r*.json (empty if
-    none).  A query counts as passed only if nothing about it failed:
-    no error and no explicit false in rows/schema/hash."""
-    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
-    if not paths:
-        return {}
-    try:
-        with open(paths[-1]) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    out: dict[str, bool] = {}
-    for name, v in data.items():
-        if not isinstance(v, dict):
+def _round_of(path: str) -> int:
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _merged_verdicts() -> dict[str, tuple[bool, int]]:
+    """name -> (passed, round), merged over every CORRECTNESS_r*.json
+    in ascending round order so the newest verdict per query wins.
+    A query counts as passed only if nothing about it failed: no
+    error and no explicit false in rows/schema/hash."""
+    paths = sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
+        key=_round_of,
+    )
+    out: dict[str, tuple[bool, int]] = {}
+    for path in paths:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
             continue
-        err = v.get("err")
-        # "no_oracle" with rows produced is the driver's rows-only
-        # weak pass (sketch/seeded queries) — not a failure
-        err_ok = err in (None, "") or (
-            err == "no_oracle" and v.get("spark_rows") is not None
-        )
-        ok = err_ok and all(
-            v.get(k) is not False
-            for k in ("rows_match", "schema_match", "hash_match")
-        )
-        out[name] = ok
+        rnd = _round_of(path)
+        for name, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            err = v.get("err")
+            # "no_oracle" with rows produced is the driver's rows-only
+            # weak pass (sketch/seeded queries) — not a failure
+            err_ok = err in (None, "") or (
+                err == "no_oracle" and v.get("spark_rows") is not None
+            )
+            ok = err_ok and all(
+                v.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            out[name] = (ok, rnd)
     return out
 
 
 def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
-    verdicts = _latest_verdicts()
-    failed = [n for n in reg if verdicts.get(n) is False]
+    verdicts = _merged_verdicts()
+    failed = [n for n in reg if n in verdicts and not verdicts[n][0]]
     unchecked = [n for n in reg if n not in verdicts]
-    green = [n for n in reg if verdicts.get(n) is True]
+    # stalest green first: the driver window re-validates round-robin
+    green = sorted(
+        (n for n in reg if n in verdicts and verdicts[n][0]),
+        key=lambda n: verdicts[n][1],
+    )
     return {n: reg[n] for n in (*failed, *unchecked, *green)}
 
 

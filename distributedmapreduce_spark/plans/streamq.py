@@ -75,8 +75,8 @@ def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
       FROM {EVENTS_US} events),
     sessions AS (
       SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, count(*) AS n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us

@@ -24,6 +24,71 @@ def test_registry_entries_well_formed():
             assert "SELECT" in q.oracle.upper(), name
 
 
+def test_registry_self_prioritization_order():
+    """Front of the registry = latest-verdict fails, then queries no
+    driver round ever checked, then greens stalest-round-first — the
+    ordering the entry-capped driver window depends on.  Expectations
+    are recomputed from the CORRECTNESS artifacts on disk, so this
+    test keeps holding as new rounds land."""
+    from distributedmapreduce_spark.plans.registry import (
+        _merged_verdicts,
+        _round_of,
+    )
+
+    assert _round_of("CORRECTNESS_r02.json") == 2
+    assert _round_of("/x/CORRECTNESS_r10.json") == 10  # not lexicographic
+
+    verdicts = _merged_verdicts()
+    if not verdicts:  # fresh checkout without artifacts
+        return
+    names = list(get_registry())
+    failed = {n for n in names if n in verdicts and not verdicts[n][0]}
+    unchecked = {n for n in names if n not in verdicts}
+    head = names[: len(failed) + len(unchecked)]
+    assert set(head) == failed | unchecked
+    assert set(head[: len(failed)]) == failed
+    # greens are non-decreasing in verdict round (stalest first)
+    green_rounds = [verdicts[n][1] for n in names if n in verdicts and verdicts[n][0]]
+    tail_rounds = [
+        verdicts[n][1]
+        for n in names[len(failed) + len(unchecked):]
+    ]
+    assert tail_rounds == sorted(green_rounds)
+
+
+def test_oracle_diff_artifact(tmp_path, monkeypatch):
+    """A value mismatch writes row-level forensics to the repo root."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import check_oracle as co
+
+    monkeypatch.setattr(
+        co, "_write_diff_artifact", co._write_diff_artifact
+    )
+    # redirect the artifact away from the real repo root
+    real_join = co.os.path.join
+
+    def fake_join(a, *p):
+        if a == "/root/repo" and p and p[0].startswith("ORACLE_DIFF_"):
+            return real_join(str(tmp_path), *p)
+        return real_join(a, *p)
+
+    monkeypatch.setattr(co.os.path, "join", fake_join)
+    co._write_diff_artifact(
+        "demo",
+        ["k", "v"],
+        [(1, "a"), (2, "b")],
+        ["k", "v"],
+        [(1, "a"), (2, "c")],
+        {"duckdb": "x", "pyspark": "y"},
+    )
+    data = json.loads((tmp_path / "ORACLE_DIFF_demo.json").read_text())
+    assert data["versions"] == {"duckdb": "x", "pyspark": "y"}
+    assert data["spark_only_rows"] and data["oracle_only_rows"]
+
+
 def test_driver_contract_exports_registry():
     import importlib.util
 

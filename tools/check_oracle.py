@@ -4,6 +4,13 @@ at sf0.01, compare row count + column names + order-insensitive
 values.  Usage:
 
     python3 tools/check_oracle.py [query_name ...]
+
+Forensics (round-2 lesson: two driver hash-fails were unreproducible
+locally and the artifacts carried no evidence): every run prints the
+duckdb/pyspark versions, and any value mismatch writes
+``ORACLE_DIFF_<query>.json`` to the repo root with both engines'
+versions and the first 20 differing canonical rows from each side —
+so a driver/local disagreement always ships row-level evidence.
 """
 
 from __future__ import annotations
@@ -48,11 +55,41 @@ def _rows_to_multiset(rows, colnames):
     )
 
 
+def _write_diff_artifact(name, scols, srows, dcols, drows, versions):
+    """Persist row-level mismatch evidence (first 20 differing rows
+    per engine, canonicalized) so a gate disagreement is debuggable
+    after the fact."""
+    import json
+
+    sm = _rows_to_multiset(srows, scols)
+    dm = _rows_to_multiset(drows, dcols)
+    sset, dset = set(map(repr, sm)), set(map(repr, dm))
+    spark_only = [r for r in sm if repr(r) not in dset][:20]
+    duck_only = [r for r in dm if repr(r) not in sset][:20]
+    out = {
+        "query": name,
+        "versions": versions,
+        "columns_sorted": sorted(scols),
+        "spark_rows": len(srows),
+        "oracle_rows": len(drows),
+        "spark_only_rows": [[repr(v) for v in r] for r in spark_only],
+        "oracle_only_rows": [[repr(v) for v in r] for r in duck_only],
+    }
+    path = os.path.join("/root/repo", f"ORACLE_DIFF_{name}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"        wrote {path}")
+
+
 def main() -> int:
     import duckdb
+    import pyspark
 
     import __spark_entry__ as E
     from distributedmapreduce_spark.session import get_spark
+
+    versions = {"duckdb": duckdb.__version__, "pyspark": pyspark.__version__}
+    print(f"engines: {versions}")
 
     only = set(sys.argv[1:])
     if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
@@ -129,6 +166,8 @@ def main() -> int:
             diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
             for a, b in diff:
                 print(f"        spark={a}\n        duck ={b}")
+        if not (ok_cols and ok_count and ok_vals):
+            _write_diff_artifact(name, scols, srows, dcols, drows, versions)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
