@@ -216,6 +216,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "minhash16-sh3",
         os.path.join(sf, "documents.parquet"),
         _build_signatures,
+        params=("shingle_w", 3, "seeds", tuple(_MINHASH_SEEDS)),
     )
     per_band = len(_MINHASH_SEEDS) // _BANDS
     bands = grouped.select(

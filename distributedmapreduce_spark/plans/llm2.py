@@ -201,7 +201,11 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     cent_rows = cached_index(
-        spark, "ivf16-centroids", src, _build_centroids
+        spark,
+        "ivf16-centroids",
+        src,
+        _build_centroids,
+        params=("k", k_lists, "seed", "lowest-vec-ids", "lloyd", 1),
     ).collect()
     c1 = np.array(
         [r.centroid for r in sorted(cent_rows, key=lambda r: r.cluster)],
@@ -212,7 +216,12 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         return emb.withColumn("cluster", assign_udf(c1)("embedding"))
 
     lists = cached_index(
-        spark, "ivf16-assign", src, _build_assignments, partition_by="cluster"
+        spark,
+        "ivf16-assign",
+        src,
+        _build_assignments,
+        partition_by="cluster",
+        params=("k", k_lists, "seed", "lowest-vec-ids", "lloyd", 1),
     )
 
     # probe the n_probe nearest lists per query (driver-side: the

@@ -76,6 +76,55 @@ def doc_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEG_SIZE = 100  # doc_ids per posting segment
+
+
+@query(
+    "doc_inverted_index_segmented",
+    oracle=f"""
+    SELECT word,
+           doc_id // {_SEG_SIZE} AS segment,
+           array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS postings,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word, doc_id // {_SEG_SIZE}
+    """,
+)
+def doc_inverted_index_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index with (word, segment) composite keys — the 100 TB
+    shape of doc_inverted_index (SCALE.md §2's stop-word mitigation,
+    promised there and implemented here).
+
+    The plain index collects ONE posting list per word, so a stop-word
+    appearing in every document funnels the whole corpus's doc_ids
+    into a single aggregation state on a single task — at sf0.1 the
+    hottest word's list is already the full 5k-doc corpus, and at
+    100 TB it's billions of entries: unbounded state, one straggler
+    task.  Segmenting by doc_id // {_SEG_SIZE} caps EVERY list at
+    {_SEG_SIZE} entries by construction, spreads each hot word over
+    corpus_size/{_SEG_SIZE} independent reduce keys (no skew, no
+    straggler), and keeps lists ordered so a reader can stream
+    segments in doc_id order or fetch a range by key — the same
+    layout term-sharded search indexes use.  Readers wanting the
+    plain list concat segments in segment order; doc_freq per word is
+    the sum over segments."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"doc_id div {_SEG_SIZE}").alias("segment"),
+            F.explode(_tokens_col()).alias("word"),
+        )
+        .groupBy("word", "segment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
 @query(
     "doc_tf_topk",
     oracle="""

@@ -96,3 +96,23 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     n = orders.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("o_channel").isNull()).count() == n
+
+
+def test_index_fingerprint_keys_on_params(tmp_path):
+    """The persisted-index cache key must change when the build
+    params change (else editing seeds/K silently serves a stale
+    artifact) and track sub-second source rewrites via mtime_ns."""
+    import os
+
+    from distributedmapreduce_spark.operators.index_store import index_path
+
+    src = tmp_path / "corpus.parquet"
+    src.write_bytes(b"x" * 64)
+    p_a = index_path("minhash", str(src), params=("seeds", (1, 2)))
+    p_b = index_path("minhash", str(src), params=("seeds", (1, 3)))
+    assert p_a != p_b
+    # same-size rewrite with a different mtime_ns -> new key
+    st = os.stat(src)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    p_a2 = index_path("minhash", str(src), params=("seeds", (1, 2)))
+    assert p_a2 != p_a
