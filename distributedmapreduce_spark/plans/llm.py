@@ -175,6 +175,54 @@ _MINHASH_SEEDS = tuple(range(16))
 _BANDS = 4  # 16 hashes -> 4 bands of 4
 
 
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted minhash signature index (doc_id, hs, m0..m15) — the
+    build half of dedup_minhash_lsh, exposed so diagnostics
+    (tools/pair_growth.py) measure the exact production recipe."""
+
+    def _build_signatures() -> DataFrame:
+        sh = t(spark, sf, "documents").select(
+            "doc_id", _shingles_col(3).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+        ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+            "doc_id", F.xxhash64("s").alias("h")
+        )
+        return ex.groupBy("doc_id").agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min(F.xxhash64("h", F.lit(seed))).alias(f"m{seed}")
+                for seed in _MINHASH_SEEDS
+            ],
+        )
+
+    return cached_index(
+        spark,
+        "minhash16-sh3",
+        os.path.join(sf, "documents.parquet"),
+        _build_signatures,
+        params=("shingle_w", 3, "seeds", tuple(_MINHASH_SEEDS)),
+    )
+
+
+def minhash_band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH blocking stage of
+    dedup_minhash_lsh."""
+    per_band = len(_MINHASH_SEEDS) // _BANDS
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"m{b * per_band + j}") for j in range(per_band)]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None)  # xxhash64 not portable to DuckDB
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash + LSH near-dup: 16 minhashes over 3-gram shingles, 4
@@ -195,43 +243,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     100 TB the build/search split is the only sane shape.  Builds are
     deterministic (xxhash64 is a fixed function) but not SQL-portable
     -> rows-only driver check."""
-
-    def _build_signatures() -> DataFrame:
-        sh = t(spark, sf, "documents").select(
-            "doc_id", _shingles_col(3).alias("shingles")
-        ).filter(F.size("shingles") > 0)
-        ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-            "doc_id", F.xxhash64("s").alias("h")
-        )
-        return ex.groupBy("doc_id").agg(
-            F.collect_set("h").alias("hs"),
-            *[
-                F.min(F.xxhash64("h", F.lit(seed))).alias(f"m{seed}")
-                for seed in _MINHASH_SEEDS
-            ],
-        )
-
-    grouped = cached_index(
-        spark,
-        "minhash16-sh3",
-        os.path.join(sf, "documents.parquet"),
-        _build_signatures,
-        params=("shingle_w", 3, "seeds", tuple(_MINHASH_SEEDS)),
-    )
-    per_band = len(_MINHASH_SEEDS) // _BANDS
-    bands = grouped.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col(f"m{b * per_band + j}") for j in range(per_band)]
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    grouped = minhash_signatures(spark, sf)
+    bands = minhash_band_buckets(grouped)
     # Candidate pairs WITHOUT a self-join (a self-join would evaluate
     # the whole minhash subtree once per side): group each band bucket,
     # enumerate in-bucket pairs with nested array HOFs, explode.
@@ -274,16 +287,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)  # bit-level hashing not SQL-portable
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 64-bit simhash over word hashes; near-dups
-    agree on >= 60 bits.  Candidates are generated by exact match on
-    each of FIVE signature blocks (~13 bits each): a pair with <= 4
-    differing bits cannot hit all 5 blocks, so pigeonhole guarantees
-    at least one shared block — with 4 blocks (the classic quarters
-    layout) a 4-bit difference CAN straddle every block and the pair
-    is silently missed.  Word hashing stays JVM-side (xxhash64); the
-    64 per-bit majority sums are one numpy pass per Arrow batch."""
+def simhash_block_buckets(
+    spark: SparkSession, sf: str, paired: bool = False
+) -> DataFrame:
+    """(doc_id, sig, q, qval) — the 5-block pigeonhole blocking stage
+    of dedup_simhash, exposed for diagnostics (tools/pair_growth.py).
+
+    ``paired=True`` is the SCALE path for low-entropy corpora: buckets
+    keyed on PAIRS of blocks (C(5,2)=10 tables, ~26 bits each) instead
+    of single ~13-bit blocks.  Single-block buckets degenerate when
+    document signatures cluster (measured in SCALE.md §9b: a 31-word
+    synthetic vocabulary put 2,061 of 5,000 docs in one bucket); the
+    26-bit key roughly squares the bucket entropy.  Recall semantics:
+    <= 3 differing bits leave >= 2 clean blocks (pigeonhole over 5),
+    so hamming <= 3 pairs are still GUARANTEED a shared block pair;
+    hamming-4 pairs whose 4 diffs land in 4 distinct blocks are missed
+    (probabilistic recall at exactly 4) — the standard
+    tables-vs-recall LSH trade, chosen over unbounded buckets."""
     import numpy as np
 
     ws = F.array_distinct(
@@ -314,20 +334,37 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     signed = hashed.select("doc_id", simhash("hs").alias("sig"))
     # five ~13-bit blocks: [0,13) [13,26) [26,39) [39,52) [52,64)
     block_bounds = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
-    blocks = signed.select(
+    blocks = [
+        F.shiftrightunsigned("sig", lo).bitwiseAND(F.lit((1 << width) - 1))
+        for lo, width in block_bounds
+    ]
+    if paired:
+        from itertools import combinations
+
+        keys = [
+            blocks[i] * F.lit(1 << 13) + blocks[j]
+            for i, j in combinations(range(len(blocks)), 2)
+        ]
+    else:
+        keys = blocks
+    return signed.select(
         "doc_id",
         "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sig", lo).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for lo, width in block_bounds
-                ]
-            )
-        ).alias("q", "qval"),
+        F.posexplode(F.array(*keys)).alias("q", "qval"),
     )
+
+
+@query("dedup_simhash", oracle=None)  # bit-level hashing not SQL-portable
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 64-bit simhash over word hashes; near-dups
+    agree on >= 60 bits.  Candidates are generated by exact match on
+    each of FIVE signature blocks (~13 bits each): a pair with <= 4
+    differing bits cannot hit all 5 blocks, so pigeonhole guarantees
+    at least one shared block — with 4 blocks (the classic quarters
+    layout) a 4-bit difference CAN straddle every block and the pair
+    is silently missed.  Word hashing stays JVM-side (xxhash64); the
+    64 per-bit majority sums are one numpy pass per Arrow batch."""
+    blocks = simhash_block_buckets(spark, sf)
     a = blocks.select(
         "q", "qval", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )
@@ -494,6 +531,55 @@ def _emb_band_buckets():
     )
 
 
+def embedding_band_buckets(
+    emb: DataFrame, bits_per_band: int | None = _EMB_LSH_BITS
+) -> DataFrame:
+    """(vec_id, band, bucket) — the sign-LSH blocking stage of
+    dedup_embedding_cosine, exposed for diagnostics
+    (tools/pair_growth.py).
+
+    ``bits_per_band=None`` enables the SCALE path: bits grow with
+    log2(corpus / target-bucket-size) so the 2^bits bucket space keeps
+    pace with the corpus and per-band bucket size stays ~constant —
+    with the default fixed 4 bits the bucket space is a CONSTANT 256
+    cells and candidate pairs grow quadratically (measured in SCALE.md
+    §9b).  Bits 0..3 stay the raw component signs (bit-compatible with
+    the fixed recipe and its DuckDB oracle); bits >= 4 are signs of
+    deterministic coordinate-difference hyperplanes
+    sign(x[p] - x[q]) = sign((e_p - e_q) . x) — a valid cosine-LSH
+    family that needs no stored random planes, stays JVM-side, and is
+    SQL-portable.  More bits trade recall per band (p^bits match
+    probability) for bucket size; the registry query keeps the fixed
+    4-bit recipe because the driver's sf0.01 corpus is small enough
+    that auto mode picks 4 bits there anyway."""
+    if bits_per_band is None:
+        n = emb.count()
+        # target ~64 vectors per band-bucket; 4-bit floor, 16-bit cap
+        bits_per_band = max(4, min(16, (max(n, 1) // 64).bit_length()))
+    dim = 64
+
+    def _bit(b: int, j: int):
+        if j < _EMB_LSH_BITS:
+            return (F.col("embedding")[b * _EMB_LSH_BITS + j] > 0).cast("int")
+        p = (b * _EMB_LSH_BITS + j * 7) % dim
+        q = (b * _EMB_LSH_BITS + j * 13 + 1) % dim
+        if p == q:
+            q = (q + 1) % dim
+        return (
+            F.col("embedding")[p] > F.col("embedding")[q]
+        ).cast("int")
+
+    buckets = F.array(
+        *[
+            sum(_bit(b, j) * (1 << j) for j in range(bits_per_band))
+            for b in range(_EMB_LSH_BANDS)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(buckets).alias("band", "bucket")
+    )
+
+
 def _emb_lsh_oracle_bucket(prefix: str = "") -> str:
     """DuckDB expression for a band bucket (1-indexed list access)."""
     terms = " + ".join(
@@ -536,10 +622,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     with exact cosine; the DuckDB oracle computes the identical
     blocking, so the hash-match is exact by construction at any SF."""
     emb = t(spark, sf, "embeddings")
-    ex = emb.select(
-        "vec_id",
-        F.posexplode(_emb_band_buckets()).alias("band", "bucket"),
-    )
+    ex = embedding_band_buckets(emb)
     cand = (
         ex.join(
             ex.select(

@@ -1,0 +1,74 @@
+"""Scale-path blocking semantics (SCALE.md §9b): the paired-simhash
+and auto-bits-embedding variants must keep their documented recall
+and compatibility guarantees — these are the knobs a 100 TB run
+flips, so their contracts are pinned at test scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributedmapreduce_spark.plans.llm import (
+    embedding_band_buckets,
+    simhash_block_buckets,
+)
+from distributedmapreduce_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR_001
+
+
+def _pairs(blocks):
+    a = blocks.select("q", "qval", F.col("doc_id").alias("doc_a"))
+    b = blocks.select("q", "qval", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["q", "qval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def test_simhash_paired_candidates_subset_and_hamming3_complete(spark):
+    """A block-pair match implies two single-block matches, so paired
+    candidates are a subset of single-block candidates; and any pair
+    with hamming <= 3 has >= 2 clean blocks (pigeonhole over 5), so
+    the paired blocking must retain EVERY such pair."""
+    single = _pairs(simhash_block_buckets(spark, SF_DIR_001))
+    paired = _pairs(simhash_block_buckets(spark, SF_DIR_001, paired=True))
+    assert paired.join(single, ["doc_a", "doc_b"], "left_anti").count() == 0
+
+    sigs = (
+        simhash_block_buckets(spark, SF_DIR_001)
+        .select("doc_id", "sig")
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    ham3 = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    missed = ham3.join(paired, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_embedding_auto_bits_matches_fixed_at_small_corpus(spark):
+    """At a corpus small enough that auto mode picks 4 bits, the
+    buckets must be bit-identical to the fixed production recipe
+    (the compatibility claim that lets the registry query stay on
+    the oracle-checked fixed path)."""
+    emb = load_table(spark, "embeddings", SF_DIR_001)
+    n = emb.count()
+    auto_bits = max(4, min(16, (max(n, 1) // 64).bit_length()))
+    fixed = embedding_band_buckets(emb)
+    auto = embedding_band_buckets(emb, bits_per_band=None)
+    if auto_bits == 4:
+        assert fixed.exceptAll(auto).count() == 0
+        assert auto.exceptAll(fixed).count() == 0
+    else:
+        # corpus grew past the 4-bit regime: auto must produce a
+        # strictly larger bucket space than fixed
+        assert (
+            auto.select("bucket").distinct().count()
+            >= fixed.select("bucket").distinct().count()
+        )

@@ -2,9 +2,12 @@
 key-shifted replication, to measure the engine's scaling curve
 (SCALE.md §9).  Usage:
 
-    python3 tools/gen_scale.py [REPLICAS] [OUT_DIR]
+    python3 tools/gen_scale.py [REPLICAS] [OUT_DIR] [TABLE ...]
 
-Defaults: 10 replicas -> /tmp/sfscale (≈ sf1: lineitem ~6M rows).
+Defaults: 10 replicas -> /tmp/sfscale (≈ sf1: lineitem ~6M rows),
+all tables.  Naming specific tables (e.g. ``documents embeddings``)
+writes only those — the dedup/ANN growth sweeps don't need a 60M-row
+lineitem.
 
 Replication semantics (join keys shift together so query semantics
 scale linearly instead of degenerating):
@@ -47,10 +50,13 @@ SHIFT_COLS = {
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale"
+    only = set(sys.argv[3:])
     spark = get_spark(app_name="gen_scale")
     from distributedmapreduce_spark.sources.testdata import load_table
 
     for table, keys in SHIFT_COLS.items():
+        if only and table not in only:
+            continue
         # the engine loader, not a raw read: events.ts arrives as
         # TIMESTAMP(NANOS) and must be written back as a standard
         # micros timestamp so the replica is readable by any engine

@@ -1,0 +1,151 @@
+"""Candidate-pair growth sweep for the dedup/ANN blocking schemes
+(SCALE.md §9 / round-2 advice item 5).
+
+The quadratic traps in near-dup detection are armored by blocking
+(minhash bands, simhash blocks, embedding sign-LSH buckets) — but
+"armored" is a claim about how CANDIDATE PAIRS grow with corpus size,
+and nothing measured it.  This tool computes, per method and scale,
+the bucket-size distribution and the total candidate-pair count
+(sum over buckets of n*(n-1)/2 — the exact shuffle fan-out of the
+in-bucket pair enumeration, BEFORE pair dedup), then reports the
+growth exponent between scales: pairs ~ corpus^alpha.  alpha ≈ 1 is
+linear (healthy blocking); alpha -> 2 is the quadratic trap.
+
+Usage:
+    python3 tools/pair_growth.py [--scales 1,10,100]
+
+Scale 1 reads /root/testdata/sf0.1 directly; other scales are
+generated on demand with tools/gen_scale.py (documents + embeddings
+only) under /tmp/pairscale<N>.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def _scale_dir(n: int) -> str:
+    if n == 1:
+        return BASE
+    out = f"/tmp/pairscale{n}"
+    if not os.path.exists(f"{out}/documents.parquet"):
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "gen_scale.py"),
+                str(n),
+                out,
+                "documents",
+                "embeddings",
+            ],
+            check=True,
+        )
+    return out
+
+
+def _bucket_stats(buckets_df, key_cols, id_col) -> dict:
+    """n items, n buckets, max/p99 bucket size, total C(n,2) pairs."""
+    sizes = buckets_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.expr("percentile(n, 0.99)").alias("p99_bucket"),
+        F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("cand_pairs"),
+    ).first()
+    n_items = buckets_df.select(id_col).distinct().count()
+    return {
+        "items": n_items,
+        "buckets": row.n_buckets,
+        "max_bucket": row.max_bucket,
+        "p99_bucket": float(row.p99_bucket),
+        "cand_pairs": row.cand_pairs,
+    }
+
+
+def main() -> None:
+    scales = [1, 10, 100]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from distributedmapreduce_spark.plans.llm import (
+        embedding_band_buckets,
+        minhash_band_buckets,
+        minhash_signatures,
+        simhash_block_buckets,
+    )
+    from distributedmapreduce_spark.session import get_spark
+    from distributedmapreduce_spark.sources.testdata import load_table
+
+    spark = get_spark(app_name="pair_growth")
+    results: dict[str, dict[int, dict]] = {}
+    for n in scales:
+        sf = _scale_dir(n)
+        t0 = time.time()
+        results.setdefault("minhash_lsh", {})[n] = _bucket_stats(
+            minhash_band_buckets(minhash_signatures(spark, sf)),
+            ["band", "bucket"],
+            "doc_id",
+        )
+        results.setdefault("simhash", {})[n] = _bucket_stats(
+            simhash_block_buckets(spark, sf), ["q", "qval"], "doc_id"
+        )
+        # the scale path: block-PAIR keys (~26 bits, hamming<=3 exact)
+        results.setdefault("simhash_paired", {})[n] = _bucket_stats(
+            simhash_block_buckets(spark, sf, paired=True),
+            ["q", "qval"],
+            "doc_id",
+        )
+        results.setdefault("embedding_cosine", {})[n] = _bucket_stats(
+            embedding_band_buckets(
+                load_table(spark, "embeddings", sf)
+            ),
+            ["band", "bucket"],
+            "vec_id",
+        )
+        # the scale path: bits-per-band grows with log2(corpus)
+        results.setdefault("embedding_cosine_auto", {})[n] = _bucket_stats(
+            embedding_band_buckets(
+                load_table(spark, "embeddings", sf), bits_per_band=None
+            ),
+            ["band", "bucket"],
+            "vec_id",
+        )
+        print(f"scale {n}x done in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    print(
+        "| method | scale | docs/vecs | buckets | max bucket | "
+        "p99 bucket | candidate pairs | alpha vs prev |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for method, per_scale in results.items():
+        prev = None
+        for n in scales:
+            s = per_scale[n]
+            alpha = ""
+            if prev is not None:
+                growth = s["cand_pairs"] / max(prev[1]["cand_pairs"], 1)
+                size = s["items"] / prev[1]["items"]
+                alpha = f"{math.log(growth) / math.log(size):.2f}"
+            print(
+                f"| {method} | {n}x | {s['items']:,} | {s['buckets']:,} "
+                f"| {s['max_bucket']:,} | {s['p99_bucket']:.0f} "
+                f"| {s['cand_pairs']:,} | {alpha} |"
+            )
+            prev = (n, s)
+
+
+if __name__ == "__main__":
+    main()
