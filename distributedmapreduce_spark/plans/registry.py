@@ -31,6 +31,7 @@ import os
 import re
 
 from . import (  # noqa: F401  (registration via @query decorators)
+    curation,
     llm,
     llm2,
     llm3,
