@@ -41,10 +41,20 @@ def _md5_uniform(tag: str, col) -> "F.Column":
 
 
 def _md5_uniform_sql(tag: str, expr: str) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5(concat('{tag}:', "
-        f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT) / {_TWO32}"
+    # Hex -> integer via per-digit arithmetic rather than DuckDB's
+    # CAST('0x..' AS BIGINT), which only exists in DuckDB >= 0.10 —
+    # version skew in the driver's engine is the one failure class
+    # the round-2 gate couldn't explain, so every oracle construct is
+    # pinned to arithmetic any engine version evaluates identically.
+    # (Value-equality of the two forms is asserted by
+    # tests/test_llm_pipeline.py::test_md5_uniform_sql_portable.)
+    h = f"substr(md5(concat('{tag}:', CAST({expr} AS VARCHAR))), 1, 8)"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
     )
+    return f"(CAST({terms} AS BIGINT) / {_TWO32})"
 
 
 _DECON_N = 3  # shingle width (words)

@@ -62,6 +62,25 @@ def test_no_fragile_output_types(con):
     assert not offenders, offenders
 
 
+def test_md5_uniform_sql_portable(con):
+    """The oracle-side md5 uniform converts hex arithmetically
+    (strpos per digit) instead of CAST('0x..' AS BIGINT), which only
+    DuckDB >= 0.10 supports.  Assert the arithmetic form equals the
+    hex-cast form bit-for-bit over the whole documents table (this
+    host has a cast-capable DuckDB, so both forms evaluate)."""
+    from distributedmapreduce_spark.plans.llm3 import _TWO32, _md5_uniform_sql
+
+    hex_cast = (
+        "CAST(concat('0x', substr(md5(concat('t:', "
+        f"CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / {_TWO32}"
+    )
+    n_bad = con.sql(
+        f"SELECT count(*) FROM documents "
+        f"WHERE {_md5_uniform_sql('t', 'doc_id')} <> {hex_cast}"
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
 def test_events_ts_oracles_are_microsecond_pinned():
     """Any oracle that touches events.ts must read it through the
     µs-pinned EVENTS_US relation (CAST(ts AS TIMESTAMP)) so DuckDB
