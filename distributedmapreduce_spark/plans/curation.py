@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import norm_fingerprint
+from ..functions.text import norm_fingerprint, shingles, tokens
 from .core import EVENTS_US, query, t
 from .llm3 import _md5_uniform, _md5_uniform_sql
 
@@ -255,4 +255,303 @@ def stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
         stream.dropDuplicates(["event_id"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_BOILER_FRAC = 0.07  # a shingle is boilerplate if df > 7% of the corpus
+
+
+@query(
+    "boilerplate_shingle_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> array_to_string(ws[i:i + 1], ' '))) AS s
+        FROM toks WHERE len(ws) >= 2)),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    df AS (
+      SELECT s, count(*) > (SELECT {_BOILER_FRAC} * n FROM ndocs)
+               AS is_boiler
+      FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE df.is_boiler) AS n_boiler,
+           CAST(floor(count(*) FILTER (WHERE df.is_boiler)
+                      / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT)
+             AS boiler_ratio_e6
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def boilerplate_shingle_score(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/CCNet-style boilerplate detection adapted to span-less docs:
+    a word 2-shingle is "boilerplate" when it appears in more than 7%
+    of the corpus (relative threshold, so the definition is stable at
+    any SF); each doc reports its distinct-shingle count and the
+    fraction that are boilerplate (1e-6 ticks, BIGINT-pinned).  A
+    curation pipeline drops docs above a ratio cutoff — emitting the
+    score, not the verdict, keeps the whole distribution checkable.
+    Scale: explode -> ONE hash-aggregate for df (map-side combinable),
+    then the boilerplate flag joins BACK to the exploded shingles on
+    the shingle string — posting-list-bounded exactly like
+    decontaminate_ngram_overlap, with the df aggregate reused for both
+    the corpus-size scalar and the flag.  No self-join, no window over
+    the corpus."""
+    docs = t(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n=2)).alias("s")
+    )
+    n_docs = docs.count()  # O(metadata) scalar, not a hot-path collect
+    df_flags = sh.groupBy("s").agg(
+        (F.count(F.lit(1)) > _BOILER_FRAC * n_docs).alias("is_boiler")
+    )
+    joined = sh.join(df_flags, "s")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler"),
+        F.floor(
+            F.count(F.when(F.col("is_boiler"), 1))
+            / F.count(F.lit(1)).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("boiler_ratio_e6"),
+    )
+
+
+_CHUNK = 32  # tokens per training chunk
+_STRIDE = 24  # chunk stride (8-token overlap)
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents)
+    SELECT doc_id,
+           CAST((i - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(ws[i:i + {_CHUNK} - 1]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ws[i:i + {_CHUNK} - 1], ' ')) AS chunk_hash
+    FROM toks, unnest(range(1, len(ws) + 1, {_STRIDE})) AS u(i)
+    WHERE len(ws) > 0
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size training-chunk splitter: 32-token chunks on a
+    24-token stride (8-token overlap), the tokenize-and-pack front end
+    of every LLM pretraining / RAG-indexing pipeline.  Emits one row
+    per chunk with its token count and content hash; the final partial
+    chunk is kept (packing handles padding downstream —
+    sequence_packing in plans/llm3.py is the next stage).  Scale:
+    pure map-side — tokenize, explode the stride positions, slice;
+    no shuffle at all, so it pipelines into the pretraining shuffle
+    (global_shuffle_shard) without a barrier.  Chunk hashes are md5
+    of the space-joined slice, identical on both engines."""
+    docs = t(spark, sf, "documents")
+    ws = docs.select("doc_id", tokens(F.col("text"), lowercase=True).alias("ws"))
+    ws = ws.filter(F.size("ws") > 0)
+    starts = ws.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, _CHUNK)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "scd2_user_tier_history",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             coalesce(CAST(floor(value / 25.0) AS BIGINT), -1) AS tier
+      FROM {EVENTS_US} events),
+    chg AS (
+      SELECT user_id, ts, event_id, tier FROM (
+        SELECT *, lag(tier) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e)
+      WHERE prev IS NULL OR prev <> tier)
+    SELECT user_id, tier, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM chg
+    """,
+)
+def scd2_user_tier_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 history build from a changelog: collapse each user's
+    event stream to the rows where their value tier (floor(value/25))
+    actually changes, then stamp half-open [valid_from, valid_to)
+    validity windows (open tail = NULL valid_to) — the standard
+    dimension-table temporal pattern, fed here by the events stream.
+    Ties on ts are broken by event_id so the row order — and therefore
+    the collapsed history — is fully deterministic.  Scale: two
+    windows over the SAME (user_id) hash partitioning, so one shuffle
+    total; state per user is one row lookback, never the event list.
+    Timestamps are µs-pinned via EVENTS_US on the oracle side."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.floor(F.col("value") / 25.0).cast("long"), F.lit(-1)
+        ).alias("tier"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev", F.lag("tier").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("tier")))
+        .drop("prev")
+    )
+    return chg.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "price_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders)
+    SELECT CAST(least(floor((o_totalprice - lo)
+                            / ((hi - lo) / {_HIST_BINS}.0)),
+                      {_HIST_BINS - 1}) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM orders, b
+    GROUP BY bin
+    """,
+)
+def price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the global [min, max] price
+    range) — the profiling op behind range-partition planning and
+    data-skew diagnosis.  The max value is clamped into the last bin.
+    Scale: the min/max scalar aggregate broadcasts to a map-side bin
+    assignment, then ONE 20-group aggregate — two passes over the
+    data, no shuffle wider than 20 rows.  Bin edges are computed with
+    the identical IEEE double operation order on both engines, so bin
+    assignment is bit-deterministic."""
+    orders = t(spark, sf, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_HIST_BINS)
+    binc = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(_HIST_BINS - 1),
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_BUDGET_TOKENS = 10_000  # corpus-selection token budget
+_TB_BUCKETS = 1024  # score-bucket fan-out for the scale-safe cumsum
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(ws)) AS BIGINT)
+               / CAST(len(ws) AS DOUBLE) AS score,
+             CAST(len(ws) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS ws
+            FROM documents)
+      WHERE len(ws) > 0)
+    SELECT doc_id, n_tokens,
+           CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+    FROM (
+      SELECT *, CAST(sum(n_tokens) OVER
+                     (ORDER BY score DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM s)
+    WHERE cum <= {_BUDGET_TOKENS}
+    """,
+)
+def token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection: take the highest-quality docs
+    (quality = type-token ratio, ties broken by doc_id) until the
+    cumulative token count hits the budget — the "best N tokens"
+    selection every data-constrained pretraining run performs.
+
+    The oracle is the obvious global-window cumsum; the Spark plan is
+    the SCALE-SAFE equivalent (a global ORDER BY window funnels the
+    corpus through one task): quantize scores into 1024 buckets,
+    aggregate per-bucket token totals, run the cumsum over that TINY
+    bucket table (descending score order), then (a) buckets whose
+    inclusive total stays under budget are selected wholesale with no
+    window at all, and (b) only the single boundary bucket gets a
+    per-doc window — partitioned by bucket, so it never sees more
+    than ~1/1024 of the corpus.  Same three-level shape as
+    operators/prefix_sum.py::keyed_prefix_sum, generalized to an
+    ordering key that isn't unique."""
+    docs = t(spark, sf, "documents")
+    ws = tokens(F.col("text"), lowercase=True)
+    s = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(ws)).cast("long")
+            / F.size(ws).cast("double")
+        ).alias("score"),
+        F.size(ws).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    # score is in (0, 1]: bucket 0 = best.  floor() on the identical
+    # double product keeps bucketing deterministic.
+    s = s.withColumn(
+        "bkt",
+        (F.lit(_TB_BUCKETS - 1) - F.floor(F.col("score") * (_TB_BUCKETS - 1)))
+        .cast("long"),
+    )
+    btot = s.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
+        "btok",
+    )
+    joined = s.join(F.broadcast(bbase), "bkt")
+    full = joined.filter(F.col("base") + F.col("btok") <= _BUDGET_TOKENS)
+    boundary = joined.filter(
+        (F.col("base") <= _BUDGET_TOKENS)
+        & (F.col("base") + F.col("btok") > _BUDGET_TOKENS)
+    )
+    wd = W.partitionBy("bkt").orderBy(F.desc("score"), "doc_id")
+    part = boundary.withColumn(
+        "cum", F.col("base") + F.sum("n_tokens").over(wd)
+    ).filter(F.col("cum") <= _BUDGET_TOKENS)
+    out = full.select("doc_id", "n_tokens", "score").unionByName(
+        part.select("doc_id", "n_tokens", "score")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
     )

@@ -177,3 +177,34 @@ def test_q20_nested_in_as_semi_joins(spark):
     plan = _formatted_plan(spark, "tpch_q20_excess_suppliers")
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_select_no_corpus_global_window(spark):
+    """The budget cumsum must run over the TINY score-bucket table
+    (and the boundary-bucket window partitions by bkt) — the corpus
+    itself never funnels through a single-partition sort."""
+    plan = _formatted_plan(spark, "token_budget_select")
+    assert "hashpartitioning(bkt" in plan
+    # the only single-partition exchange is the <=1024-row bucket table
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_boilerplate_no_self_join_no_cartesian(spark):
+    """Boilerplate df flag joins back on the shingle string (posting-
+    list bounded) — no cartesian and no broadcast-nested-loop."""
+    plan = _formatted_plan(spark, "boilerplate_shingle_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_map_side_only(spark):
+    """Chunk splitting is tokenize + explode + slice: zero shuffles."""
+    plan = _formatted_plan(spark, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+
+
+def test_scd2_single_shuffle(spark):
+    """Both SCD2 windows share one (user_id) hash partitioning."""
+    plan = _formatted_plan(spark, "scd2_user_tier_history")
+    assert "hashpartitioning(user_id" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
