@@ -31,6 +31,7 @@ import os
 import re
 
 from . import (  # noqa: F401  (registration via @query decorators)
+    analytics,
     curation,
     llm,
     llm2,

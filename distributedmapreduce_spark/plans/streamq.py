@@ -108,6 +108,48 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "session_window_native",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM {EVENTS_US} events),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM marked)
+    SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the streaming-capable
+    one — sessionization above is the lag+cumsum batch formulation;
+    this entry makes the built-in operator itself driver-visible).
+    Boundary semantics: session_window merges an event into the
+    current session only while gap < 30min STRICTLY — a gap of
+    exactly 30min starts a new session — so the oracle marks new
+    sessions with >= INTERVAL 30 MINUTE (the lag+cumsum twin uses >,
+    which only agrees because no gap in this dataset lands exactly on
+    the boundary; here the semantics are pinned correctly regardless
+    of data).  Scale: session_window is a first-class aggregation —
+    one (user_id) shuffle, sessions merged within partitions, and in
+    streaming mode the same plan runs with watermark-bounded state."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("sess_start"), "n_events"
+        )
+    )
+
+
+@query(
     "stream_join_click_purchase",
     oracle=f"""
     SELECT c.user_id,

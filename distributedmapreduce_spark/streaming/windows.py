@@ -72,6 +72,26 @@ def sliding_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session-window counts — streaming twin of the
+    ``session_window_native`` batch query.  session_window is a
+    first-class streaming aggregation: Spark merges per-user sessions
+    inside the state store and the watermark bounds how long an open
+    session can wait for a late event before it is finalized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("sess_start"), "n_events"
+        )
+    )
+
+
 USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 

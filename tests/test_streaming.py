@@ -39,6 +39,16 @@ def test_stream_sliding_matches_batch(spark):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_stream_session_window_matches_batch(spark):
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.session_counts(stream), "t_session", "complete"
+    )
+    batch = QUERIES["session_window_native"](spark, SF)
+    cols = ["user_id", "sess_start", "n_events"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def test_stateful_user_totals_matches_batch(spark):
     stream = SW.stream_events(spark, SF)
     out = SW.run_stream_to_table(
