@@ -1,0 +1,144 @@
+"""Custom Python DataSource for the reference's KV-store JSON format.
+
+The reference persists results as one JSON object per store —
+``{"word": [offsets...], ...}`` (database_server.py:88-116 writes it,
+driver.py:144 scp's it home; /root/reference/solution_database.json is
+the packaged example).  This module makes that format a first-class
+Spark source/sink via the Spark 4 Python DataSource API
+(pyspark.sql.datasource), so a reference user can
+``spark.read.format("kvjson").load(path)`` their existing stores:
+
+- **read**: rows ``(key string, value string)`` where ``value`` is the
+  JSON serialization of the stored value (the store is dynamically
+  typed; JSON text is the lossless relational spelling).  The single
+  JSON object is split across ``numPartitions`` readers by a
+  deterministic md5 hash of the key, so downstream stages start
+  parallel — the FORMAT is single-file, the scan need not be.
+- **write**: each task writes its partition as a JSON part object;
+  ``commit`` merges the parts into one reference-format store file
+  (last writer wins on duplicate keys within a single save, matching
+  the reference's upsert semantics).
+
+For warehouse-scale stores, SolutionStore (operators/kvstore.py) over
+parquet is the real path; this source exists for format parity with
+the reference's on-disk artifacts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _key_shard(key: str, n: int) -> int:
+    """Deterministic shard id (md5, not Python's salted hash())."""
+    return int.from_bytes(
+        hashlib.md5(key.encode("utf-8")).digest()[:4], "big"
+    ) % n
+
+
+@dataclass
+class _Shard(InputPartition):
+    idx: int
+    n: int
+    path: str
+
+
+class KVJsonReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvjson requires a path (load(<path>))")
+        self.n = int(options.get("numPartitions", "8"))
+
+    def partitions(self) -> list[_Shard]:
+        return [_Shard(i, self.n, self.path) for i in range(self.n)]
+
+    def read(self, partition: _Shard) -> Iterator[tuple]:
+        # Each task re-reads the (single-file) store and yields its
+        # hash slice; the file read is the irreducible cost of the
+        # format, the slicing is what lets downstream stages fan out.
+        with open(partition.path, "r", encoding="utf-8") as f:
+            store = json.load(f)
+        for k, v in store.items():
+            if _key_shard(k, partition.n) == partition.idx:
+                yield (k, json.dumps(v, sort_keys=True))
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    part_path: str
+
+
+class KVJsonWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvjson requires a path (save(<path>))")
+        self.overwrite = overwrite
+        self.staging = self.path + ".parts"
+
+    def write(self, rows: Iterator) -> _PartFile:
+        os.makedirs(self.staging, exist_ok=True)
+        part: dict[str, object] = {}
+        for row in rows:
+            part[row[0]] = json.loads(row[1])
+        part_path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.json")
+        with open(part_path, "w", encoding="utf-8") as f:
+            json.dump(part, f)
+        return _PartFile(part_path)
+
+    def commit(self, messages: list[_PartFile]) -> None:
+        if os.path.exists(self.path) and not self.overwrite:
+            raise FileExistsError(
+                f"{self.path} exists and mode is not overwrite"
+            )
+        merged: dict[str, object] = {}
+        for m in messages:
+            with open(m.part_path, "r", encoding="utf-8") as f:
+                merged.update(json.load(f))
+            os.remove(m.part_path)
+        os.rmdir(self.staging)
+        with open(self.path, "w", encoding="utf-8") as f:
+            json.dump(merged, f)
+
+    def abort(self, messages: list[_PartFile]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.part_path):
+                os.remove(m.part_path)
+
+
+class KVJsonDataSource(DataSource):
+    """``spark.read.format("kvjson")`` / ``df.write.format("kvjson")``
+    for reference-format JSON KV stores."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvjson"
+
+    def schema(self) -> str:
+        return "key string, value string"
+
+    def reader(self, schema: StructType) -> KVJsonReader:
+        return KVJsonReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> KVJsonWriter:
+        return KVJsonWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotently register the kvjson format on a session."""
+    spark.dataSource.register(KVJsonDataSource)
