@@ -145,6 +145,35 @@ def event_transition_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json once into a variant column, then typed variant_get
+    extraction — the open-schema ingestion path that replaces
+    per-field get_json_object re-parsing (json_extract_props in
+    plans/relational.py is the string-path twin; this one parses each
+    props value exactly once and serves any number of field reads
+    from the binary variant encoding, which is the cost model that
+    matters when props is a 2 KB blob with 40 fields, not '{"k": n}').
+    Sums are BIGINT-pinned per ORACLE_PORTABILITY.md."""
+    ev = t(spark, sf, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "retention_cohorts",
     oracle="""
     WITH firsts AS (

@@ -1,0 +1,222 @@
+"""Structural invariants of the round-3 curation/analytics operators
+(hypothesis over random micro-corpora, mirroring test_properties.py):
+chunking must tile the token stream exactly, SCD2 windows must
+partition each user's timeline, and the token-budget selection must
+equal the greedy reference algorithm.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+word_st = st.sampled_from(["alpha", "beta", "gamma", "x", "yz"])
+doc_st = st.lists(word_st, min_size=0, max_size=80).map(" ".join)
+corpus_st = st.lists(doc_st, min_size=1, max_size=12)
+
+CHUNK, STRIDE = 32, 24
+
+
+def _spark_chunks(spark, corpus):
+    from distributedmapreduce_spark.plans.curation import doc_chunk_overlap
+    import distributedmapreduce_spark.plans.curation as C
+    from pyspark.sql import functions as F
+    from distributedmapreduce_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    ws = docs.select(
+        "doc_id", tokens(F.col("text"), lowercase=True).alias("ws")
+    ).filter(F.size("ws") > 0)
+    starts = ws.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, CHUNK)
+    return starts.select(
+        "doc_id", "chunk_idx", chunk.alias("chunk")
+    ).collect()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_st)
+def test_chunking_tiles_every_token(spark, corpus):
+    """Every token position lands in >= 1 chunk; consecutive chunks of
+    a doc overlap by exactly CHUNK - STRIDE positions (except a short
+    final chunk); concatenating each chunk's non-overlapped prefix
+    reconstructs the token stream."""
+    rows = _spark_chunks(spark, corpus)
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = list(r.chunk)
+    for i, text in enumerate(corpus):
+        toks = [w for w in text.lower().split(" ") if w]
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        k = CHUNK - STRIDE  # overlap width
+        rebuilt: list[str] = []
+        for ci in sorted(chunks):
+            rebuilt.extend(chunks[ci][k:] if ci else chunks[ci])
+            if ci:  # overlap region must agree with the previous chunk
+                ov = chunks[ci][:k]
+                assert ov == chunks[ci - 1][STRIDE : STRIDE + len(ov)]
+        assert rebuilt == toks
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 10**6),  # ts offset (seconds)
+        st.floats(0.0, 499.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_st)
+def test_scd2_partitions_each_user_timeline(spark, events):
+    """Per user: validity windows are chronologically chained
+    (valid_to == next valid_from, final window open), tiers of
+    consecutive windows differ, and the first window starts at the
+    user's first event."""
+    import datetime as dt
+    from pyspark.sql import functions as F, Window as W
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, u, base + dt.timedelta(seconds=s), float(v))
+        for eid, (u, s, v) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tier = F.coalesce(
+        F.floor(F.col("value") / 25.0).cast("long"), F.lit(-1)
+    )
+    chg = (
+        ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+        .withColumn("prev", F.lag("tier").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("tier")))
+        .drop("prev")
+    )
+    hist = chg.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    firsts = {}
+    for eid, (u, s, v) in enumerate(events):
+        t = base + dt.timedelta(seconds=s)
+        if u not in firsts or (t, eid) < firsts[u]:
+            firsts[u] = (t, eid)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert rs[0].valid_from == firsts[u][0]
+        assert rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # chained, no gaps
+            assert a.tier != b.tier  # real changes only
+
+
+budget_corpus_st = st.lists(
+    st.lists(word_st, min_size=1, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=budget_corpus_st, budget=st.integers(0, 200))
+def test_token_budget_matches_greedy_reference(spark, corpus, budget):
+    """The bucketed two-phase plan must select exactly the greedy
+    prefix: docs in (score desc, doc_id) order while cumulative
+    tokens <= budget."""
+    import distributedmapreduce_spark.plans.curation as C
+    from pyspark.sql import functions as F, Window as W
+    from distributedmapreduce_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    # replicate the plan with the test budget (the registry constant
+    # is fixed; the PLAN is what we're property-testing)
+    ws = tokens(F.col("text"), lowercase=True)
+    s = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(ws)).cast("long")
+            / F.size(ws).cast("double")
+        ).alias("score"),
+        F.size(ws).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    B = C._TB_BUCKETS
+    s = s.withColumn(
+        "bkt",
+        (F.lit(B - 1) - F.floor(F.col("score") * (B - 1))).cast("long"),
+    )
+    btot = s.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
+        "btok",
+    )
+    joined = s.join(F.broadcast(bbase), "bkt")
+    full = joined.filter(F.col("base") + F.col("btok") <= budget)
+    boundary = joined.filter(
+        (F.col("base") <= budget)
+        & (F.col("base") + F.col("btok") > budget)
+    )
+    wd = W.partitionBy("bkt").orderBy(F.desc("score"), "doc_id")
+    part = boundary.withColumn(
+        "cum", F.col("base") + F.sum("n_tokens").over(wd)
+    ).filter(F.col("cum") <= budget)
+    got = sorted(
+        r.doc_id
+        for r in full.select("doc_id").unionByName(part.select("doc_id")).collect()
+    )
+
+    # prefix reference on the driver: cumulative tokens in (score
+    # desc, doc_id) order, selection stops at the first overflow —
+    # the oracle's `WHERE cum <= budget` semantics (NOT skip-greedy:
+    # a doc that overflows still counts toward cum, ending the
+    # prefix, exactly like the SQL window sum)
+    scored = []
+    for i, text in enumerate(corpus):
+        toks = [w for w in text.lower().split(" ") if w]
+        if toks:
+            scored.append((i, len(set(toks)) / len(toks), len(toks)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want, cum = [], 0
+    for i, _, n in scored:
+        cum += n
+        if cum <= budget:
+            want.append(i)
+    assert got == sorted(want)
