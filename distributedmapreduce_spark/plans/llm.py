@@ -874,3 +874,141 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     fractions = {"en": 0.35, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     sampled = docs.sampleBy("lang", fractions=fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Portable (oracle-checked) MinHash — md5-based twin of dedup_minhash_lsh
+# --------------------------------------------------------------------------
+
+_PMH_N = 8  # portable minhash permutations
+_PMH_BANDS = 4  # bands of 2 -> candidate if any band matches
+_PMH_TAU_E6 = 120_000  # exact-Jaccard verification, 1e-6 ticks
+
+
+def _pmh_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    sig_cols = ",\n             ".join(
+        f"min({_md5_u32_sql(str(i), 's')}) AS m{i}" for i in range(_PMH_N)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(CAST(m{2 * b} AS VARCHAR), ':', "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(_PMH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i + 2], ' '))) AS s
+        FROM toks WHERE len(ws) >= 3)),
+    sig AS (
+      SELECT doc_id,
+             list(DISTINCT {_md5_u32_sql('J', 's')}) AS hs,
+             {sig_cols}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(floor(len(list_intersect(x.hs, y.hs))
+                      / CAST(len(x.hs) + len(y.hs)
+                             - len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                      * 1e6) AS BIGINT) AS jac_e6
+    FROM cand
+    JOIN sig x ON x.doc_id = doc_a
+    JOIN sig y ON y.doc_id = doc_b
+    WHERE CAST(floor(len(list_intersect(x.hs, y.hs))
+                     / CAST(len(x.hs) + len(y.hs)
+                            - len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                     * 1e6) AS BIGINT) >= {_PMH_TAU_E6}
+    """
+
+
+@query("dedup_minhash_portable", oracle=_pmh_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH with a fully ORACLE-CHECKED hash family: every
+    stage — 8 md5-derived minhash permutations over 3-gram shingles,
+    4 bands of 2, in-bucket candidate pairs, exact-Jaccard
+    verification over the hashed shingle sets — is bit-reproduced by
+    the DuckDB twin, upgrading the MinHash family from rows-only to
+    hash-verified (dedup_minhash_lsh keeps xxhash64 as the production
+    hash: one JVM hash call vs md5+hex-parse per shingle ~ 3-4x
+    cheaper; THIS query proves the pipeline's structure end-to-end).
+    Same single-aggregate shape as dedup_minhash_lsh: shingles hashed
+    once per permutation, signatures via map-side-combinable min()s,
+    pairs enumerated inside band buckets without a self-join of the
+    signature subtree."""
+    from .llm3 import _md5_u32
+
+    sh = (
+        t(spark, sf, "documents")
+        .select("doc_id", _shingles_col(3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    grouped = ex.groupBy("doc_id").agg(
+        F.collect_set(_md5_u32("J", F.col("s"))).alias("hs"),
+        *[
+            F.min(_md5_u32(str(i), F.col("s"))).alias(f"m{i}")
+            for i in range(_PMH_N)
+        ],
+    )
+    bands = grouped.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                    )
+                    for b in range(_PMH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.doc_a", "pair.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = grouped.select("doc_id", "hs")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    jac_e6 = F.floor(inter / union.cast("double") * 1e6).cast("long")
+    return (
+        joined.select("doc_a", "doc_b", jac_e6.alias("jac_e6"))
+        .filter(F.col("jac_e6") >= _PMH_TAU_E6)
+    )

@@ -35,26 +35,36 @@ from .core import query, t
 _TWO32 = 4294967296.0
 
 
-def _md5_uniform(tag: str, col) -> "F.Column":
+def _md5_u32(tag: str, col) -> "F.Column":
+    """Top 32 bits of md5(tag:value) as a BIGINT — the portable hash
+    primitive (identical in DuckDB via _md5_u32_sql)."""
     h = F.md5(F.concat(F.lit(tag + ":"), col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_TWO32)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
-def _md5_uniform_sql(tag: str, expr: str) -> str:
+def _md5_uniform(tag: str, col) -> "F.Column":
+    return _md5_u32(tag, col) / F.lit(_TWO32)
+
+
+def _md5_u32_sql(tag: str, expr: str) -> str:
     # Hex -> integer via per-digit arithmetic rather than DuckDB's
     # CAST('0x..' AS BIGINT), which only exists in DuckDB >= 0.10 —
     # version skew in the driver's engine is the one failure class
     # the round-2 gate couldn't explain, so every oracle construct is
     # pinned to arithmetic any engine version evaluates identically.
     # (Value-equality of the two forms is asserted by
-    # tests/test_llm_pipeline.py::test_md5_uniform_sql_portable.)
+    # tests/test_oracle_portability.py::test_md5_uniform_sql_portable.)
     h = f"substr(md5(concat('{tag}:', CAST({expr} AS VARCHAR))), 1, 8)"
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
         f" * {16 ** (8 - i)}"
         for i in range(1, 9)
     )
-    return f"(CAST({terms} AS BIGINT) / {_TWO32})"
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _md5_uniform_sql(tag: str, expr: str) -> str:
+    return f"({_md5_u32_sql(tag, expr)} / {_TWO32})"
 
 
 _DECON_N = 3  # shingle width (words)
