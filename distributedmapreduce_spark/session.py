@@ -49,6 +49,9 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type — read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # lets Python DataSources (sources/kvjson.py) accept pushed
+        # key predicates; harmless when no such source is read
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,6 +37,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    In,
     InputPartition,
     WriterCommitMessage,
 )
@@ -63,19 +66,61 @@ class KVJsonReader(DataSourceReader):
         if not self.path:
             raise ValueError("kvjson requires a path (load(<path>))")
         self.n = int(options.get("numPartitions", "8"))
+        self._keys: set[str] | None = None  # pushed point-lookup keys
 
     def partitions(self) -> list[_Shard]:
+        if self._keys is not None:
+            shards = sorted({_key_shard(k, self.n) for k in self._keys})
+            if not shards:  # contradictory filters -> one no-op shard
+                return [_Shard(-1, self.n, self.path)]
+            return [_Shard(i, self.n, self.path) for i in shards]
         return [_Shard(i, self.n, self.path) for i in range(self.n)]
 
     def read(self, partition: _Shard) -> Iterator[tuple]:
         # Each task re-reads the (single-file) store and yields its
         # hash slice; the file read is the irreducible cost of the
         # format, the slicing is what lets downstream stages fan out.
+        if partition.idx < 0:
+            return
         with open(partition.path, "r", encoding="utf-8") as f:
             store = json.load(f)
+        if self._keys is not None:
+            for k in sorted(self._keys):
+                if _key_shard(k, partition.n) == partition.idx and k in store:
+                    yield (k, json.dumps(store[k], sort_keys=True))
+            return
         for k, v in store.items():
             if _key_shard(k, partition.n) == partition.idx:
                 yield (k, json.dumps(v, sort_keys=True))
+
+
+class KVJsonPushdownReader(KVJsonReader):
+    """Reader with key-predicate pushdown.  Opt-in via
+    ``.option("pushdown", "true")`` because merely DEFINING
+    pushFilters makes Spark reject every read unless
+    ``spark.sql.python.filterPushdown.enabled`` is also true (our
+    session helper sets it; a vanilla session must opt in to both)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Point-lookup pushdown: EqualTo/In on ``key`` are handled
+        fully at the source (scan planning prunes to the shards that
+        can hold those keys — the kvjson spelling of partition
+        pruning); every other filter is handed back for Spark to
+        apply post-scan."""
+        for f in filters:
+            vals = None
+            if isinstance(f, EqualTo) and f.attribute == ("key",):
+                if isinstance(f.value, str):
+                    vals = {f.value}
+            elif isinstance(f, In) and f.attribute == ("key",):
+                if all(isinstance(v, str) for v in f.value):
+                    vals = set(f.value)
+            if vals is None:
+                yield f  # unsupported — Spark re-applies it
+            else:
+                self._keys = (
+                    vals if self._keys is None else self._keys & vals
+                )
 
 
 @dataclass
@@ -133,6 +178,8 @@ class KVJsonDataSource(DataSource):
         return "key string, value string"
 
     def reader(self, schema: StructType) -> KVJsonReader:
+        if self.options.get("pushdown", "").lower() == "true":
+            return KVJsonPushdownReader(self.options)
         return KVJsonReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> KVJsonWriter:

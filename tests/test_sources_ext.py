@@ -87,3 +87,31 @@ def test_tws_batch_matches_aggregate(spark):
         .collect()
     )
     assert got == want
+
+
+def test_kvjson_pushdown_prunes_shards(spark):
+    kvjson.register(spark)
+    df = (
+        spark.read.format("kvjson")
+        .option("numPartitions", "8")
+        .option("pushdown", "true")
+        .load(GOLDEN)
+    )
+    point = df.filter(F.col("key") == "origin")
+    assert point.rdd.getNumPartitions() == 1  # single-shard plan
+    rows = point.collect()
+    assert len(rows) == 1 and rows[0]["key"] == "origin"
+    multi = df.filter(F.col("key").isin("origin", "enable", "no_such_key"))
+    assert multi.rdd.getNumPartitions() <= 3
+    assert sorted(r["key"] for r in multi.collect()) == ["enable", "origin"]
+    # contradictory equality predicates -> empty, no crash
+    assert df.filter((F.col("key") == "a") & (F.col("key") == "b")).count() == 0
+    # pushed result must equal post-scan filtering on the plain reader
+    plain = (
+        spark.read.format("kvjson")
+        .option("numPartitions", "8")
+        .load(GOLDEN)
+        .filter(F.col("key") == "origin")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
