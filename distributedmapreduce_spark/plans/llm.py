@@ -1012,3 +1012,145 @@ def dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
         joined.select("doc_a", "doc_b", jac_e6.alias("jac_e6"))
         .filter(F.col("jac_e6") >= _PMH_TAU_E6)
     )
+
+
+# --------------------------------------------------------------------------
+# Portable (oracle-checked) SimHash — integer-only twin of dedup_simhash
+# --------------------------------------------------------------------------
+
+_PSH_BITS = 16  # signature width (production: 64)
+_PSH_HAM = 3  # verified near-dup threshold
+_PSH_BUCKET_CAP = 100  # drop degenerate blocking buckets larger than this
+
+
+def _psh_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("S", "w")
+    cnt_cols = ",\n             ".join(
+        f"sum(({h} // {1 << k}) % 2) AS c{k}" for k in range(_PSH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * c{k} > n THEN {1 << k} ELSE 0 END)"
+        for k in range(_PSH_BITS)
+    )
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                 string_split(lower(text), ' '), x -> x <> ''))) AS w
+        FROM documents)),
+    agg AS (
+      SELECT doc_id, count(*) AS n,
+             {cnt_cols}
+      FROM words GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg),
+    blocks AS (
+      SELECT doc_id, 0 AS blk, sig % 256 AS val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS blk, sig // 256 AS val FROM sig),
+    capped AS (
+      SELECT doc_id, blk, val FROM blocks
+      QUALIFY count(*) OVER (PARTITION BY blk, val) <= {_PSH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sig x ON x.doc_id = doc_a
+    JOIN sig y ON y.doc_id = doc_b
+    WHERE bit_count(xor(x.sig, y.sig)) <= {_PSH_HAM}
+    """
+
+
+@query("dedup_simhash_portable", oracle=_psh_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup with a fully ORACLE-CHECKED integer pipeline:
+    16-bit signatures from md5-derived word hashes (bit k of the
+    signature = majority of bit k over the doc's distinct-word
+    hashes), 2-block pigeonhole blocking (hamming <= 1 guaranteed a
+    shared block; <= 3 verified when candidates surface), hamming via
+    bit_count(xor).  Every stage is exact integer arithmetic, so the
+    DuckDB twin is bit-identical — upgrading SimHash from rows-only
+    (dedup_simhash's 64-bit numpy/xxhash64 production path) to
+    hash-verified.  Degenerate buckets — the measured failure mode of
+    low-entropy corpora (SCALE.md §9b: 2,061/5,000 docs in one
+    block) — are dropped at 100 docs, mirrored in the oracle: the
+    same df-cap armor as decontamination, trading recall inside
+    stopword-like buckets for bounded fan-out at any corpus size.
+    Pure built-ins, no UDF: the 16 majority sums are plain
+    shiftright/AND aggregates with map-side combine."""
+    from .llm3 import _md5_u32
+
+    ws = F.array_distinct(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    )
+    docs = (
+        t(spark, sf, "documents")
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    hashed = docs.select(
+        "doc_id", F.explode("ws").alias("w")
+    ).select("doc_id", _md5_u32("S", F.col("w")).alias("h"))
+    agg = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1))
+            ).alias(f"c{k}")
+            for k in range(_PSH_BITS)
+        ],
+    )
+    sig_col = None
+    for k in range(_PSH_BITS):
+        term = F.when(2 * F.col(f"c{k}") > F.col("n"), 1 << k).otherwise(0)
+        sig_col = term if sig_col is None else sig_col + term
+    sig = agg.select("doc_id", sig_col.cast("long").alias("sig"))
+    blocks = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(F.col("sig") % 256, F.shiftright(F.col("sig"), 8))
+        ).alias("blk", "val"),
+    ).withColumn("val", F.col("val").cast("long"))
+    wcap = W.partitionBy("blk", "val")
+    capped = blocks.withColumn("bsz", F.count(F.lit(1)).over(wcap)).filter(
+        F.col("bsz") <= _PSH_BUCKET_CAP
+    )
+    cand = (
+        capped.groupBy("blk", "val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.doc_a", "pair.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _PSH_HAM)
+    )
