@@ -144,6 +144,51 @@ def event_transition_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Z_BITS = 16  # bits per dimension in the Morton interleave
+
+
+def _zorder_oracle() -> str:
+    x = f"(o_custkey % {1 << _Z_BITS})"
+    y = (
+        f"(date_diff('day', DATE '1970-01-01', o_orderdate)"
+        f" % {1 << _Z_BITS})"
+    )
+    terms = " + ".join(
+        f"(({x} // {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + (({y} // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(_Z_BITS)
+    )
+    return f"""
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zorder
+    FROM orders
+    """
+
+
+@query("zorder_cluster_orders", oracle=_zorder_oracle())
+def zorder_cluster_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order date) —
+    the space-filling-curve layout op behind multi-column data
+    skipping: sorting/range-partitioning files by this key keeps BOTH
+    a customer predicate AND a date predicate effective against
+    min/max file statistics, where a lexicographic sort serves only
+    its leading column.  16 bits per dimension interleaved with pure
+    integer shifts — bit-identical on both engines.  At 100 TB this
+    key feeds write-time `repartitionByRange(zorder)` + sortWithin-
+    Partitions; the query emits the key itself so the layout decision
+    is oracle-checkable."""
+    orders = t(spark, sf, "orders")
+    x = (F.col("o_custkey") % (1 << _Z_BITS)).cast("long")
+    y = (
+        F.datediff("o_orderdate", F.lit("1970-01-01")) % (1 << _Z_BITS)
+    ).cast("long")
+    z = None
+    for k in range(_Z_BITS):
+        xb = F.shiftright(x, k).bitwiseAND(F.lit(1)) * (1 << (2 * k))
+        yb = F.shiftright(y, k).bitwiseAND(F.lit(1)) * (1 << (2 * k + 1))
+        z = xb + yb if z is None else z + xb + yb
+    return orders.select("o_orderkey", z.cast("long").alias("zorder"))
+
+
 @query(
     "variant_props_extract",
     oracle="""

@@ -258,6 +258,75 @@ def stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KPG_K = 5  # sample size per stratum
+
+
+@query(
+    "sample_k_per_group",
+    oracle=f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER
+               (PARTITION BY lang
+                ORDER BY {_md5_uniform_sql('samp', 'doc_id')}, doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= {_KPG_K}
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample (k=5 per lang):
+    rank by the portable md5 uniform with a doc_id tiebreak, keep the
+    top k — the eval-set construction primitive (sampleBy gives
+    FRACTIONS and engine-seeded RNG; fixed-k + replayable hashing is
+    what a reproducible benchmark needs).  One window shuffle on the
+    stratum key; the rank never materializes more than k rows per
+    stratum downstream."""
+    docs = t(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy(
+        _md5_uniform("samp", F.col("doc_id")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KPG_K)
+        .select("lang", "doc_id")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7)
+                         AS BIGINT)) AS BIGINT) AS sum_e7,
+           count(*) AS n
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids in EXACT integer arithmetic:
+    each (label, dimension) accumulates floor(x * 1e7) as BIGINT, so
+    the sum is associative and partial-aggregate merge order — which
+    differs between engines and between runs — is unobservable
+    (centroid = sum_e7 / n / 1e7 downstream; a double mean here would
+    be merge-order-dependent).  This is the class-prototype builder
+    for nearest-centroid classification and the IVF coarse quantizer.
+    Scale: posexplode fans each vector to dim rows, but the aggregate
+    is map-side combinable down to (labels x dims) rows — the shuffle
+    carries centroids, not vectors."""
+    emb = t(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * 1e7).cast("long")
+        ).alias("sum_e7"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _BOILER_FRAC = 0.07  # a shingle is boilerplate if df > 7% of the corpus
 
 
