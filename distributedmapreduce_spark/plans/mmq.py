@@ -54,10 +54,24 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frame_sample_offsets(decode_metadata(assets), n_frames=4)
 
 
-@query("mapreduce_facade_wordcount", oracle=None)  # arbitrary-Python surface
+@query(
+    "mapreduce_facade_wordcount",
+    oracle="""
+    SELECT w AS word, count(*) AS n FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+      FROM documents)
+    GROUP BY w
+    """,
+)
 def mapreduce_facade_wordcount(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's programming model (user mapper/reducer Python)
-    run through the map_reduce facade over documents.text."""
+    run through the map_reduce facade over documents.text.  The
+    execution path is the deliberate row-at-a-time RDD fidelity
+    surface, but its OUTPUT is plain deterministic word counts — so
+    it gets a full SQL oracle (hash-checked since round 3; the
+    facade==DataFrame equivalence is separately pinned by
+    tests/test_mapreduce.py)."""
     from ..operators.mapreduce import map_reduce
 
     docs = t(spark, sf, "documents").select(
