@@ -258,6 +258,133 @@ def stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "temporal_scd2_lookup",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             coalesce(CAST(floor(value / 25.0) AS BIGINT), -1) AS tier
+      FROM {EVENTS_US} events),
+    chg AS (
+      SELECT user_id, ts, event_id, tier FROM (
+        SELECT *, lag(tier) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM e)
+      WHERE prev IS NULL OR prev <> tier),
+    hist AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM chg)
+    SELECT ev.event_id, h.tier AS tier_at_event
+    FROM {EVENTS_US} ev
+    JOIN hist h
+      ON ev.user_id = h.user_id
+     AND ev.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR ev.ts < h.valid_to)
+    WHERE ev.event_type = 'purchase'
+    """,
+)
+def temporal_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-SCD2-dimension temporal join: each purchase event looks
+    up the tier that was valid AT ITS TIMESTAMP in the half-open
+    [valid_from, valid_to) history built by scd2_user_tier_history —
+    the standard warehouse pattern for joining facts to
+    slowly-changing dimensions.  Plan: equi-join on user_id with the
+    interval predicate applied post-join — per-user history rows are
+    bounded by that user's tier changes, so the fan-out is
+    (events x history rows) WITHIN a user only, never cross-user;
+    both sides share one (user_id) hash partitioning.  Events with
+    ts exactly at a boundary land in the LATER window (>= from,
+    < to) on both engines."""
+    ev = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tiered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.floor(F.col("value") / 25.0).cast("long"), F.lit(-1)
+        ).alias("tier"),
+    )
+    chg = (
+        tiered.withColumn("prev", F.lag("tier").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("tier")))
+        .drop("prev")
+    )
+    hist = chg.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (purchases.user_id == hist.user_id)
+        & (purchases.ts >= hist.valid_from)
+        & (hist.valid_to.isNull() | (purchases.ts < hist.valid_to))
+    )
+    return purchases.join(hist, cond).select(
+        "event_id", F.col("tier").alias("tier_at_event")
+    )
+
+
+_FUZZY_MAXDIST = 2  # verified Levenshtein threshold
+
+
+@query(
+    "fuzzy_vocab_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents))
+    SELECT a.w AS word_a, b.w AS word_b,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM vocab a JOIN vocab b
+      ON a.w < b.w
+     AND abs(length(a.w) - length(b.w)) <= {_FUZZY_MAXDIST}
+    WHERE levenshtein(a.w, b.w) <= {_FUZZY_MAXDIST}
+    """,
+)
+def fuzzy_vocab_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """String-similarity self-join over the corpus vocabulary:
+    word pairs within Levenshtein distance 2 — the typo/variant
+    detection primitive behind query expansion and OCR cleanup.
+    Blocking: |length difference| <= 2 (an edit changes length by at
+    most 1 per operation), which at real vocabulary scale becomes a
+    length-bucket equi-join; the DISTINCT vocabulary is orders of
+    magnitude smaller than the corpus, so the pair space is
+    vocab-bounded, never corpus-bounded.  levenshtein() is exact
+    integer edit distance in both engines."""
+    docs = t(spark, sf, "documents")
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"), lowercase=True)).alias("w")
+    ).distinct()
+    # equi-join on length bucket: the left side sits in its own
+    # length, the right side is exploded to every length within the
+    # edit bound — a shuffle hash join on `lb`, NOT a theta/nested-
+    # loop join, so it scales to real vocabularies
+    a = vocab.select(F.col("w").alias("word_a"), F.length("w").alias("lb"))
+    b = vocab.select(
+        F.col("w").alias("word_b"),
+        F.explode(
+            F.sequence(
+                F.length("w") - _FUZZY_MAXDIST,
+                F.length("w") + _FUZZY_MAXDIST,
+            )
+        ).alias("lb"),
+    )
+    pairs = a.join(b, "lb").filter(F.col("word_a") < F.col("word_b"))
+    dist = F.levenshtein("word_a", "word_b")
+    return pairs.filter(dist <= _FUZZY_MAXDIST).select(
+        "word_a", "word_b", dist.cast("long").alias("dist")
+    )
+
+
 _KPG_K = 5  # sample size per stratum
 
 
