@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -166,6 +167,56 @@ class KVJsonWriter(DataSourceWriter):
                 os.remove(m.part_path)
 
 
+class KVJsonStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader: treats the store as an upsert log consumed
+    in sorted-key order behind a KEY HIGH-WATERMARK offset
+    (``{"last": <largest key emitted>}``).  A static file yields one
+    batch with every pair and then idles; a store that grows by
+    upsert yields the keys above the watermark on each poll.
+    readBetweenOffsets replays exactly the committed (start, end]
+    key range, which is what makes failure recovery deterministic.
+    Honest limits of watermarking a mutable JSON object: a new key
+    that sorts BELOW the watermark, or an updated value of an
+    already-emitted key, is not re-detected — the format has no
+    change log; for the reference's stores (S15 upserts that add
+    result keys) the high watermark is exactly right, and unlike a
+    count-based offset it never re-emits or misposition-slices when
+    a key lands mid-order."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvjson requires a path (load(<path>))")
+
+    def _load(self) -> dict:
+        with open(self.path, "r", encoding="utf-8") as f:
+            return json.load(f)
+
+    def initialOffset(self) -> dict:
+        return {"last": None}
+
+    def read(self, start: dict):
+        store = self._load()
+        last = start.get("last")
+        keys = sorted(k for k in store if last is None or k > last)
+        rows = [(k, json.dumps(store[k], sort_keys=True)) for k in keys]
+        end = {"last": keys[-1]} if keys else dict(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        store = self._load()
+        lo, hi = start.get("last"), end.get("last")
+        keys = sorted(
+            k
+            for k in store
+            if (lo is None or k > lo) and (hi is not None and k <= hi)
+        )
+        return iter((k, json.dumps(store[k], sort_keys=True)) for k in keys)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class KVJsonDataSource(DataSource):
     """``spark.read.format("kvjson")`` / ``df.write.format("kvjson")``
     for reference-format JSON KV stores."""
@@ -184,6 +235,9 @@ class KVJsonDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> KVJsonWriter:
         return KVJsonWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> KVJsonStreamReader:
+        return KVJsonStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -115,3 +115,54 @@ def test_kvjson_pushdown_prunes_shards(spark):
         .collect()
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
+
+
+def test_kvjson_stream_reads_full_store(spark):
+    kvjson.register(spark)
+    sdf = spark.readStream.format("kvjson").load(GOLDEN)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_kvstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: json.loads(r["value"])
+        for r in spark.sql("SELECT * FROM t_kvstream").collect()
+    }
+    with open(GOLDEN) as f:
+        assert got == json.load(f)
+
+
+def test_kvjson_stream_offsets_resume_on_upsert(tmp_path):
+    """Reader-level incremental contract: a second poll after an
+    upsert yields ONLY the new keys, and readBetweenOffsets replays a
+    committed range identically (failure recovery)."""
+    store = tmp_path / "s.json"
+    store.write_text(json.dumps({"a": 1, "c": [3]}))
+    r = kvjson.KVJsonStreamReader({"path": str(store)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert [k for k, _ in rows1] == ["a", "c"] and off1 == {"last": "c"}
+    # idle poll: nothing new, offset unchanged
+    rows_idle, off_idle = r.read(off1)
+    assert list(rows_idle) == [] and off_idle == off1
+    # upsert adds a key above the watermark -> only it is emitted
+    store.write_text(json.dumps({"a": 1, "c": [3], "d": "x"}))
+    rows2, off2 = r.read(off1)
+    assert [k for k, _ in rows2] == ["d"] and off2 == {"last": "d"}
+    # deterministic replay of the first committed range (file unchanged
+    # since that batch -> identical rows)
+    replay = list(r.readBetweenOffsets({"last": None}, {"last": "c"}))
+    assert [k for k, _ in replay] == ["a", "c"]
+    # a mid-order insert below the watermark is (documented as) not
+    # re-detected — but it must never duplicate already-emitted keys
+    store.write_text(json.dumps({"a": 1, "b": 2, "c": [3], "d": "x"}))
+    rows3, off3 = r.read(off2)
+    assert list(rows3) == [] and off3 == off2
+    # replay over a since-mutated store follows the CURRENT file (the
+    # format has no immutable log; the caveat is in the docstring)
+    replay2 = list(r.readBetweenOffsets({"last": None}, {"last": "c"}))
+    assert [k for k, _ in replay2] == ["a", "b", "c"]
