@@ -669,6 +669,37 @@ _BUDGET_TOKENS = 10_000  # corpus-selection token budget
 _TB_BUCKETS = 1024  # score-bucket fan-out for the scale-safe cumsum
 
 
+def _budget_prefix(s: DataFrame, budget: int) -> DataFrame:
+    """Scale-safe 'select the (score desc, doc_id) prefix whose
+    inclusive token cumsum fits the budget': score-bucketed two-phase
+    cumsum — bucket totals (tiny table) + a per-doc window over ONLY
+    the single boundary bucket.  Input needs (doc_id, score in (0,1],
+    n_tokens); all other columns pass through."""
+    s = s.withColumn(
+        "bkt",
+        (F.lit(_TB_BUCKETS - 1) - F.floor(F.col("score") * (_TB_BUCKETS - 1)))
+        .cast("long"),
+    )
+    btot = s.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
+        "btok",
+    )
+    joined = s.join(F.broadcast(bbase), "bkt")
+    full = joined.filter(F.col("base") + F.col("btok") <= budget)
+    boundary = joined.filter(
+        (F.col("base") <= budget)
+        & (F.col("base") + F.col("btok") > budget)
+    )
+    wd = W.partitionBy("bkt").orderBy(F.desc("score"), "doc_id")
+    part = boundary.withColumn(
+        "cum", F.col("base") + F.sum("n_tokens").over(wd)
+    ).filter(F.col("cum") <= budget).drop("cum")
+    return full.unionByName(part).drop("bkt", "base", "btok")
+
+
 @query(
     "token_budget_select",
     oracle=f"""
@@ -721,33 +752,96 @@ def token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("n_tokens") > 0)
     # score is in (0, 1]: bucket 0 = best.  floor() on the identical
     # double product keeps bucketing deterministic.
-    s = s.withColumn(
-        "bkt",
-        (F.lit(_TB_BUCKETS - 1) - F.floor(F.col("score") * (_TB_BUCKETS - 1)))
-        .cast("long"),
-    )
-    btot = s.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
-    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    bbase = btot.select(
-        "bkt",
-        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
-        "btok",
-    )
-    joined = s.join(F.broadcast(bbase), "bkt")
-    full = joined.filter(F.col("base") + F.col("btok") <= _BUDGET_TOKENS)
-    boundary = joined.filter(
-        (F.col("base") <= _BUDGET_TOKENS)
-        & (F.col("base") + F.col("btok") > _BUDGET_TOKENS)
-    )
-    wd = W.partitionBy("bkt").orderBy(F.desc("score"), "doc_id")
-    part = boundary.withColumn(
-        "cum", F.col("base") + F.sum("n_tokens").over(wd)
-    ).filter(F.col("cum") <= _BUDGET_TOKENS)
-    out = full.select("doc_id", "n_tokens", "score").unionByName(
-        part.select("doc_id", "n_tokens", "score")
-    )
-    return out.select(
+    return _budget_prefix(s, _BUDGET_TOKENS).select(
         "doc_id",
         "n_tokens",
         F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    )
+
+
+_P2_BUDGET = 15_000  # stage-2 pipeline token budget
+_P2_SHARDS = 8
+
+
+@query(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+               AS fp,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    kept AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, ws,
+               min(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM base WHERE len(ws) > 0)
+      WHERE doc_id = keeper),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(ws)) AS BIGINT)
+               / CAST(len(ws) AS DOUBLE) AS score,
+             CAST(len(ws) AS BIGINT) AS n_tokens
+      FROM kept),
+    selected AS (
+      SELECT doc_id, n_tokens, score FROM (
+        SELECT *, CAST(sum(n_tokens) OVER
+                       (ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM scored)
+      WHERE cum <= {_P2_BUDGET})
+    SELECT doc_id, n_tokens,
+           CAST((n_tokens - 1) // 24 + 1 AS BIGINT) AS n_chunks,
+           CAST(floor({_md5_uniform_sql('shard', 'doc_id')}
+                      * {_P2_SHARDS}) AS BIGINT) AS shard
+    FROM selected
+    """,
+)
+def curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage-2 end-to-end curation composition — the round-3 flagship
+    chaining four operators in ONE lazy plan: exact-dedup keeper
+    selection (window over the normalized fingerprint) -> type-token
+    quality scoring -> token-budget prefix selection (the bucketed
+    two-phase cumsum of token_budget_select, via _budget_prefix) ->
+    training-shard assignment (portable md5 uniform) with per-doc
+    chunk counts at the 32/24 chunking geometry.  The oracle replays
+    the identical chain as CTEs.  Scale: ONE corpus scan feeds
+    fingerprint + tokenization together; two keyed shuffles
+    (fingerprint window, score-bucket join) and nothing wider — each
+    stage's 100 TB story is inherited from the standalone operator it
+    composes."""
+    docs = t(spark, sf, "documents")
+    ws = tokens(F.col("text"), lowercase=True)
+    base = docs.select(
+        "doc_id",
+        norm_fingerprint(F.col("text")).alias("fp"),
+        ws.alias("ws"),
+    ).filter(F.size("ws") > 0)
+    wk = W.partitionBy("fp")
+    kept = (
+        base.withColumn("keeper", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "ws")
+    )
+    scored = kept.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("ws")).cast("long")
+            / F.size("ws").cast("double")
+        ).alias("score"),
+        F.size("ws").cast("long").alias("n_tokens"),
+    )
+    selected = _budget_prefix(scored, _P2_BUDGET)
+    shard = F.floor(
+        _md5_uniform("shard", F.col("doc_id")) * _P2_SHARDS
+    ).cast("long")
+    return selected.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor((F.col("n_tokens") - 1) / 24) + 1)
+        .cast("long")
+        .alias("n_chunks"),
+        shard.alias("shard"),
     )

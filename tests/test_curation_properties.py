@@ -165,8 +165,8 @@ def test_token_budget_matches_greedy_reference(spark, corpus, budget):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
-    # replicate the plan with the test budget (the registry constant
-    # is fixed; the PLAN is what we're property-testing)
+    # drive the PRODUCTION helper with the test budget (the registry
+    # constant is fixed; the plan shape is what we're property-testing)
     ws = tokens(F.col("text"), lowercase=True)
     s = docs.select(
         "doc_id",
@@ -176,31 +176,9 @@ def test_token_budget_matches_greedy_reference(spark, corpus, budget):
         ).alias("score"),
         F.size(ws).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    B = C._TB_BUCKETS
-    s = s.withColumn(
-        "bkt",
-        (F.lit(B - 1) - F.floor(F.col("score") * (B - 1))).cast("long"),
-    )
-    btot = s.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
-    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    bbase = btot.select(
-        "bkt",
-        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
-        "btok",
-    )
-    joined = s.join(F.broadcast(bbase), "bkt")
-    full = joined.filter(F.col("base") + F.col("btok") <= budget)
-    boundary = joined.filter(
-        (F.col("base") <= budget)
-        & (F.col("base") + F.col("btok") > budget)
-    )
-    wd = W.partitionBy("bkt").orderBy(F.desc("score"), "doc_id")
-    part = boundary.withColumn(
-        "cum", F.col("base") + F.sum("n_tokens").over(wd)
-    ).filter(F.col("cum") <= budget)
     got = sorted(
         r.doc_id
-        for r in full.select("doc_id").unionByName(part.select("doc_id")).collect()
+        for r in C._budget_prefix(s, budget).select("doc_id").collect()
     )
 
     # prefix reference on the driver: cumulative tokens in (score
