@@ -249,3 +249,132 @@ def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     return with_cohort.groupBy("cohort_month", "order_month").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS relation,
+           count(*) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key orphan audit across the fact chain — the
+    data-quality gate every warehouse load runs (a nonzero count
+    means an ingest dropped parents or reordered commits).  Each
+    check is a LEFT ANTI join that reduces to a count: the dimension
+    side's KEY COLUMN ONLY is what shuffles/broadcasts, never the
+    dimension row — at 100 TB the customer key set broadcasts where
+    the full table cannot."""
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    lineitem = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+
+    def orphans(fact, fk, dim, pk, name):
+        n = (
+            fact.join(
+                dim.select(F.col(pk).alias(fk)).distinct(),
+                fk,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+        return n
+
+    return (
+        orphans(orders, "o_custkey", customer, "c_custkey",
+                "orders_without_customer")
+        .unionByName(
+            orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+                    "lineitem_without_order")
+        )
+        .unionByName(
+            orphans(lineitem, "l_partkey", part, "p_partkey",
+                    "lineitem_without_part")
+        )
+    )
+
+
+@query(
+    "table_diff_cdc",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 100.0 FROM orders
+      WHERE o_orderkey % 13 = 0)
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                WHEN b.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op
+    FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def table_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-feed generation by diffing two table versions —
+    what a lake without a transaction log does to feed downstream
+    CDC consumers.  Version 2 is synthesized deterministically
+    (drop keys %11, reprice keys %7, insert new keys from %13) so the
+    oracle replays it; the diff itself is one FULL OUTER join on the
+    key classifying Insert / Update / Delete, with unchanged rows
+    (the overwhelming majority at 100 TB) filtered before anything
+    leaves the join — the emitted feed is O(changes), not O(table).
+    With both versions bucketed on the key the join needs no
+    exchange at all."""
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+    )
+    a = orders.select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("pa")
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("kb"), F.col("o_totalprice").alias("pb")
+    )
+    diff = a.join(b, a.ka == b.kb, "full_outer").filter(
+        F.col("ka").isNull()
+        | F.col("kb").isNull()
+        | (F.col("pa") != F.col("pb"))
+    )
+    op = (
+        F.when(F.col("ka").isNull(), "I")
+        .when(F.col("kb").isNull(), "D")
+        .otherwise("U")
+    )
+    return diff.select(
+        F.coalesce("ka", "kb").alias("o_orderkey"), op.alias("op")
+    )
