@@ -378,3 +378,83 @@ def table_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
     return diff.select(
         F.coalesce("ka", "kb").alias("o_orderkey"), op.alias("op")
     )
+
+
+_RATE_TRAIL = 24  # trailing buckets in the rate baseline
+
+
+@query(
+    "event_rate_deviation",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM {EVENTS_US} events),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS wstart
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n
+      FROM {EVENTS_US} events GROUP BY 1, 2),
+    filled AS (
+      SELECT g.wstart, ty.event_type, coalesce(c.n, 0) AS n
+      FROM grid g CROSS JOIN types ty
+      LEFT JOIN counts c
+        ON c.wstart = g.wstart AND c.event_type = ty.event_type)
+    SELECT wstart, event_type, n,
+           CAST(floor((n - CAST(sum(n) OVER w AS BIGINT)
+                           / CAST(count(*) OVER w AS DOUBLE)) * 1e6)
+                AS BIGINT) AS dev_e6
+    FROM filled
+    WINDOW w AS (PARTITION BY event_type ORDER BY wstart
+                 ROWS BETWEEN {_RATE_TRAIL} PRECEDING AND 1 PRECEDING)
+    QUALIFY count(*) OVER w = {_RATE_TRAIL}
+    """,
+)
+def event_rate_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-rate anomaly signal: each hourly bucket's deviation from
+    its own trailing-24h mean, computed over the GAP-FILLED series
+    (a silent hour must read as rate 0, not as a missing row — which
+    is why this composes time_bucket_gapfill rather than the raw
+    aggregate).  Buckets without a full 24-bucket trailing baseline
+    are excluded, so the result is deterministic from the first
+    complete window.  The mean is BIGINT-sum / DOUBLE-count in the
+    same operation order on both engines; the deviation ships in 1e-6
+    ticks.  Scale: one corpus aggregate, then windows over the tiny
+    (buckets × types) grid."""
+    ev = t(spark, sf, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "wstart"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    filled = (
+        grid.crossJoin(types)
+        .join(F.broadcast(counts), ["wstart", "event_type"], "left")
+        .select("wstart", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("wstart")
+        .rowsBetween(-_RATE_TRAIL, -1)
+    )
+    trail_n = F.count(F.lit(1)).over(w)
+    mean = F.sum("n").over(w).cast("long") / trail_n.cast("double")
+    return (
+        filled.withColumn("trail", trail_n)
+        .withColumn(
+            "dev_e6",
+            F.floor((F.col("n") - mean) * 1e6).cast("long"),
+        )
+        .filter(F.col("trail") == _RATE_TRAIL)
+        .select("wstart", "event_type", "n", "dev_e6")
+    )

@@ -845,3 +845,67 @@ def curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_chunks"),
         shard.alias("shard"),
     )
+
+
+_SG_WINDOW = 2  # skip-gram context radius
+
+
+@query(
+    "skipgram_training_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i, ws[i] AS w
+      FROM toks, unnest(range(1, len(ws) + 1)) AS u(i)),
+    pairs AS (
+      SELECT a.w AS center, b.w AS context
+      FROM pos a
+      JOIN pos b
+        ON a.doc_id = b.doc_id
+       AND b.i - a.i BETWEEN 1 AND {_SG_WINDOW}
+      UNION ALL
+      SELECT b.w, a.w
+      FROM pos a
+      JOIN pos b
+        ON a.doc_id = b.doc_id
+       AND b.i - a.i BETWEEN 1 AND {_SG_WINDOW}
+    )
+    SELECT center, context, count(*) AS n
+    FROM pairs GROUP BY center, context
+    """,
+)
+def skipgram_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts with a ±2 window — the
+    training-data generator for word2vec-family embedding models.
+    Formulated LINEARLY: each token is exploded once per forward
+    offset k∈{{1,2}} and equi-joined on (doc_id, position + k), then
+    both directions are emitted from the one forward join — never a
+    per-doc position theta-join, so cost is O(tokens × window) at any
+    corpus size and the join key (doc_id, pos) is as selective as the
+    data allows.  The aggregate reduces map-side to the vocab² pair
+    space."""
+    docs = t(spark, sf, "documents")
+    ws = tokens(F.col("text"), lowercase=True)
+    pos = docs.select(
+        "doc_id", F.posexplode(ws).alias("i", "w")
+    )
+    a = pos.select(
+        "doc_id",
+        F.col("w").alias("center"),
+        F.explode(
+            F.array(*[F.col("i") + k for k in range(1, _SG_WINDOW + 1)])
+        ).alias("j"),
+    )
+    b = pos.select("doc_id", F.col("i").alias("j"), F.col("w").alias("context"))
+    fwd = a.join(b, ["doc_id", "j"]).select("center", "context")
+    both = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n")
+    )
