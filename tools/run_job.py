@@ -155,17 +155,32 @@ def main() -> int:
     spark = get_spark(app_name="run_job", cpus=8, driver_memory="8g")
     solution = run_spec(spark, spec)
 
-    out_path = args.out or os.path.join(
-        os.path.dirname(os.path.abspath(args.spec)) or ".",
-        "solution_database.json",
+    # Default the output NEXT TO THE INVOKER (cwd), never next to the
+    # spec: a spec living in a read-only snapshot (e.g. the reference
+    # tree) must not have its golden solution overwritten.  Hard-guard
+    # the reference tree and the --check target regardless of --out.
+    out_path = os.path.abspath(
+        args.out or os.path.join(os.getcwd(), "solution_database.json")
     )
+    ref_root = os.path.realpath("/root/reference")
+    if os.path.realpath(out_path).startswith(ref_root + os.sep):
+        raise SystemExit(
+            f"refusing to write into the read-only reference tree: {out_path}"
+        )
+    if args.check and os.path.realpath(out_path) == os.path.realpath(
+        args.check
+    ):
+        raise SystemExit(
+            f"--out and --check point at the same file: {out_path}"
+        )
+    if args.check:  # read the golden BEFORE any write can touch it
+        with open(args.check) as f:
+            want = json.load(f)
     with open(out_path, "w") as f:
         json.dump(solution, f)
     print(f"wrote {len(solution)} keys -> {out_path}")
 
     if args.check:
-        with open(args.check) as f:
-            want = json.load(f)
         if _canon(solution) == _canon(want):
             print(f"CHECK PASS vs {args.check}")
             return 0
