@@ -458,3 +458,179 @@ def event_rate_deviation(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("trail") == _RATE_TRAIL)
         .select("wstart", "event_type", "n", "dev_e6")
     )
+
+
+@query(
+    "pagerank_event_types",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM {EVENTS_US} events),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS outn
+               FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nnodes FROM nodes),
+    w AS (SELECT src, dst,
+                 CAST(n AS DOUBLE) / CAST(outn AS DOUBLE) AS wt
+          FROM edges JOIN outdeg USING (src)),
+    it0 AS (SELECT node, 1.0 / nnodes AS pr FROM nodes CROSS JOIN nn),
+    it1 AS (
+      SELECT node, 0.15 / nnodes + 0.85 * coalesce(s, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT dst, sum(pr * wt) AS s
+                 FROM w JOIN it0 ON it0.node = w.src
+                 GROUP BY dst) c ON c.dst = node),
+    it2 AS (
+      SELECT node, 0.15 / nnodes + 0.85 * coalesce(s, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT dst, sum(pr * wt) AS s
+                 FROM w JOIN it1 ON it1.node = w.src
+                 GROUP BY dst) c ON c.dst = node),
+    it3 AS (
+      SELECT node, 0.15 / nnodes + 0.85 * coalesce(s, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT dst, sum(pr * wt) AS s
+                 FROM w JOIN it2 ON it2.node = w.src
+                 GROUP BY dst) c ON c.dst = node)
+    SELECT node AS event_type, round(pr, 6) AS pagerank FROM it3
+    """,
+)
+def pagerank_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations, uniform init) over
+    the event-type transition graph — the iterative-graph-algorithm
+    pattern on Spark: aggregate the raw stream down to a weighted edge
+    list ONCE, then iterate joins on the tiny aggregated graph, never
+    on the data.  Nodes are event types (bounded categorical set), so
+    each iteration is a k²-edge join; at 100 TB the only full-data
+    work is the single window+aggregate that builds `edges` — identical
+    shape to event_transition_counts.  Per-node inbound sums have ≤ k
+    terms of magnitude ≤ 1, so the 6dp round sits far above any
+    accumulation-order noise.  Oracle = the same three iterations as
+    chained CTEs (fixed iteration count keeps it SQL-expressible)."""
+    ev = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("n").cast("long").alias("outn"))
+    wts = edges.join(outdeg, "src").select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.col("outn").cast("double")).alias(
+            "wt"
+        ),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("nnodes"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("nnodes")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            wts.join(pr, wts.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("wt")).alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("nnodes")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+@query(
+    "event_robust_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5)  AS med,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type),
+    md AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - st.med), 0.5) AS mad
+      FROM events e JOIN st USING (event_type)
+      GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round(0.6745 * (e.value - st.med) / nullif(md.mad, 0), 4)
+             AS robust_z,
+           coalesce(abs(round(0.6745 * (e.value - st.med)
+                              / nullif(md.mad, 0), 4)) > 3.5, FALSE)
+             AS is_outlier,
+           round(least(greatest(e.value, st.p01), st.p99), 4)
+             AS value_winsor
+    FROM events e JOIN st USING (event_type) JOIN md USING (event_type)
+    """,
+)
+def event_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection + winsorization of
+    events.value per event type: robust_z = 0.6745 (value - median) /
+    MAD, flagged beyond |3.5| (Iglewicz-Hoskin rule), and the value
+    clamped to [p1, p99] — the standard metric-cleaning pass before
+    aggregation at lake scale, immune to the outliers it detects
+    (unlike mean/stddev z-scores).  The outlier flag compares the
+    ROUNDED z on both engines so the cutoff is evaluated on identical
+    doubles.  Scale: two grouped exact-percentile aggregates over a
+    bounded type set (GK-sketch approx percentiles are the drop-in at
+    100 TB — see approx_quantiles), then a broadcast join back; the
+    event stream itself is never shuffled."""
+    ev = t(spark, sf, "events")
+    st = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    md = (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+             .alias("mad"))
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0)),
+        4,
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .join(F.broadcast(md), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("robust_z"),
+            F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"),
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")),
+                4,
+            ).alias("value_winsor"),
+        )
+    )

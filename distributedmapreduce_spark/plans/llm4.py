@@ -1,0 +1,358 @@
+"""Model-informed curation operators: information-theoretic quality
+signals (character entropy, corpus-LM surprisal), collocation mining
+(PMI), and spectral embedding analysis (exact integer Gram matrix,
+PCA power-iteration projection).
+
+These extend the training-data pipeline families in ``llm*.py`` /
+``textq.py`` with the scoring passes a CCNet-style curation stack
+runs between dedup and sampling: perplexity-proxy filtering, phrase
+mining, and embedding-space diagnostics.  Same contract as the rest
+of the repo — built-in expressions or Arrow-batched partial
+aggregates, no per-row Python, every shuffle justified in the
+docstring, oracles pinned per ORACLE_PORTABILITY.md (exact integer
+sums wherever merge order could be observable; bounded-magnitude
+doubles rounded at 4dp otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import query, t
+
+# Tokens = split on single space, drop empties — the reference's
+# mapper tokenization (mapper_word_count.py:16-18) shared by every
+# text-family query in this repo.
+_TOKS = "filter(split(text, ' '), x -> x != '')"
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents),
+    cc AS (
+      SELECT doc_id, c, count(*) AS nc FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           round(log2(CAST(sum(nc) AS DOUBLE))
+                 - sum(nc * log2(CAST(nc AS DOUBLE)))
+                   / CAST(sum(nc) AS DOUBLE), 4) AS entropy_bits
+    FROM cc GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document —
+    the classic gibberish/boilerplate screen (near-zero entropy =
+    repeated filler, near-log2(alphabet) = random noise; natural text
+    sits in a narrow band).  Formulated as H = log2(n) - sum(c*log2
+    (c))/n so both engines take log2 of identical integers; the inner
+    sum is bounded (|text| * 8 bits) so the 4dp round is far above
+    double noise.  Scale: explode fans to one row per character, but
+    the (doc_id, char) aggregate is map-side combinable to ~40 rows
+    per doc before the shuffle, and the second aggregate reduces to
+    one row per doc — both shuffles carry counts, not text."""
+    docs = t(spark, sf, "documents")
+    cc = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    n = F.sum("nc")
+    return cc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(F.col("nc") * F.log2(F.col("nc").cast("double")))
+            / n.cast("double"),
+            4,
+        ).alias("entropy_bits"),
+    )
+
+
+_BIGRAMS_SQL = f"""
+    toks AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+             tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2)
+"""
+
+
+def _bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, w1, w2, bigram) — one row per consecutive token pair.
+
+    Built with slice+zip_with on the token array (no join, no UDF):
+    the bigram stream is produced map-side in whole-stage codegen.
+    """
+    docs = t(spark, sf, "documents")
+    pairs = F.expr(
+        f"zip_with(slice({_TOKS}, 1, size({_TOKS}) - 1),"
+        f"         slice({_TOKS}, 2, size({_TOKS}) - 1),"
+        "          (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    return (
+        docs.filter(F.size(F.expr(_TOKS)) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.concat_ws(" ", "p.w1", "p.w2").alias("bigram"),
+        )
+    )
+
+
+@query(
+    "lm_bigram_surprisal",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    c12 AS (SELECT bigram, count(*) AS n12 FROM bg GROUP BY bigram),
+    c1  AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(log2(CAST(n1 AS DOUBLE))
+                     - log2(CAST(n12 AS DOUBLE))) / count(*), 4)
+             AS avg_surprisal_bits
+    FROM bg
+    JOIN c12 USING (bigram)
+    JOIN c1  USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity-proxy scoring: train a bigram LM on the
+    corpus itself (P(w2|w1) = c(w1 w2)/c(w1 ·)) and score each doc by
+    its mean bigram surprisal -log2 P.  Low = formulaic/duplicated
+    text, high = unusual token sequences; curation pipelines filter
+    the tails.  Surprisal is log2(n1) - log2(n12) of identical
+    integers on both engines; per-doc means are bounded (≤ ~20 bits)
+    so 4dp rounding is stable.  Scale: the bigram stream is generated
+    map-side (slice+zip_with, no join); the two count tables are
+    vocab- and vocab²-bounded aggregates with map-side partials; the
+    scoring joins shuffle on bigram/w1 keys — at 100 TB the count
+    tables are the small sides and AQE broadcast-converts them."""
+    bg = _bigrams(spark, sf)
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        bg.join(c12, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log2(F.col("n1").cast("double"))
+                    - F.log2(F.col("n12").cast("double"))
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_surprisal_bits"),
+        )
+    )
+
+
+@query(
+    "pmi_bigram_scores",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    c12 AS (SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2,
+                   count(*) AS n12
+            FROM bg GROUP BY bigram),
+    m1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    m2 AS (SELECT w2, count(*) AS n2 FROM bg GROUP BY w2),
+    tot AS (SELECT count(*) AS t FROM bg)
+    SELECT bigram, CAST(n12 AS BIGINT) AS n12,
+           round(log2(CAST(n12 AS DOUBLE) * CAST(t AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 4)
+             AS pmi_bits
+    FROM c12 JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+    WHERE n12 >= 5
+    """,
+)
+def pmi_bigram_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise mutual information for every bigram seen >= 5 times:
+    PMI = log2(P(w1,w2) / (P(w1·) P(·w2))) over the corpus bigram
+    table — the standard collocation/phrase-mining score (high PMI =
+    tokens that co-occur far above chance, the candidates a tokenizer
+    or phrase vocabulary promotes to units).  The ratio is formed in
+    doubles from identical BIGINT counts on both engines, then one
+    log2 and a 4dp round (|PMI| ≤ ~20).  The count filter (not a
+    top-k limit) keeps the cutoff float-free.  Scale: three bounded
+    aggregates (vocab², vocab, vocab) + a scalar total; the joins are
+    on the aggregated tables, never on the raw bigram stream."""
+    bg = _bigrams(spark, sf)
+    c12 = bg.groupBy("bigram").agg(
+        F.any_value("w1").alias("w1"),
+        F.any_value("w2").alias("w2"),
+        F.count(F.lit(1)).alias("n12"),
+    )
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    m2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    tot = bg.agg(F.count(F.lit(1)).alias("t"))
+    d = F.col("n12").cast("double") * F.col("t").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    return (
+        c12.filter(F.col("n12") >= 5)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.col("n12").cast("long").alias("n12"),
+            F.round(F.log2(d), 4).alias("pmi_bits"),
+        )
+    )
+
+
+def _gram_partials(df: DataFrame) -> DataFrame:
+    """Per-Arrow-batch partial Gram matrix of 1e4-quantized embedding
+    vectors: yields (i, j, s_qq, n_vecs) for the upper triangle,
+    exact int64.  floor(x * 1e4 + 0.5) matches the DuckDB oracle
+    bit-for-bit (float→double cast is exact; floor, not round —
+    round() ties break differently across engines)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(m * 1e4 + 0.5).astype("int64")
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int64"),
+                    "j": iu[1].astype("int64"),
+                    "s_qq": g[iu],
+                    "n_vecs": np.int64(len(pdf)),
+                }
+            )
+
+    return df.select("embedding").mapInPandas(
+        fn, "i long, j long, s_qq long, n_vecs long"
+    )
+
+
+@query(
+    "embedding_gram_int",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+    SELECT a.i - 1 AS i, b.i - 1 AS j,
+           CAST(sum(a.qx * b.qx) AS BIGINT) AS s_qq,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_int(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer Gram matrix of the embedding corpus (upper
+    triangle): S[i,j] = sum_v q_v[i]*q_v[j] with q = floor(x*1e4+0.5)
+    — the one-pass sufficient statistic for covariance/PCA/whitening
+    over a 100 TB embedding table.  Integer sums are associative, so
+    partial-aggregate merge order is unobservable (ORACLE_PORTABILITY
+    'double sums merged incrementally').  Overflow-free: |q| ≤ 2^15ish
+    ⇒ |q_i*q_j| ≤ ~1e7, safe for ~1e11 vectors in int64.  Scale: one
+    scan; each Arrow batch reduces to a fixed d(d+1)/2 = 2080-row
+    partial via a numpy int matmul, and the shuffle carries only
+    (partitions × 2080) rows — the corpus itself is never shuffled.
+    The final aggregate is a groupBy over 2080 keys."""
+    emb = t(spark, sf, "embeddings")
+    return (
+        _gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("s_qq").alias("s_qq"),
+            F.sum("n_vecs").alias("n_vecs"),
+        )
+    )
+
+
+@query("embedding_pca_project")  # rows-only: iterative, not SQL-expressible
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """First-principal-component projection of every embedding: build
+    the exact integer Gram matrix (same partial-aggregate pass as
+    embedding_gram_int), collect the d×d = 64×64 statistic (O(d²),
+    bounded — NOT a data collect), form the covariance on the driver,
+    take the top eigenvector with a dense symmetric eigensolve (the
+    matrix is d×d regardless of corpus size, so the solve is O(d³)
+    driver work — power iteration would be cheaper but converges
+    poorly when the spectral gap is small; sign-fixed so the
+    largest-|.|-entry is positive), then project the corpus against
+    the broadcast component in one map-only pass.  Deterministic
+    end-to-end because the collected Gram is exact integers.  Output
+    pinned to BIGINT 1e4-ticks.  The oracle is omitted (eigensolve
+    isn't SQL-expressible); tests/test_llm4.py checks the projection
+    against a full-precision numpy replay."""
+    import numpy as np
+
+    emb = t(spark, sf, "embeddings")
+    rows = (
+        _gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("s_qq").alias("s_qq"), F.sum("n_vecs").alias("n_vecs"))
+        .collect()
+    )
+    d = max(r.i for r in rows) + 1
+    n = rows[0].n_vecs
+    s = np.zeros((d, d), dtype="int64")
+    for r in rows:
+        s[r.i, r.j] = r.s_qq
+        s[r.j, r.i] = r.s_qq
+    # column sums of q from the Gram against the all-ones direction
+    # are not recoverable; accumulate them in the same exact-integer
+    # style with a tiny second aggregate (d rows).
+    sums = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1e4 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sx")
+        )
+        .collect()
+    )
+    mu = np.zeros(d, dtype="float64")
+    for r in sums:
+        mu[r.i] = r.sx / n
+    cov = s / n - np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    bvec = v.copy()
+    bmu = mu.copy()
+
+    import pandas as pd
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(m * 1e4 + 0.5)
+            score = (q - bmu) @ bvec
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc1_e4": np.floor(score).astype("int64"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, pc1_e4 long"
+    )

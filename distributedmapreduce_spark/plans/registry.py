@@ -36,6 +36,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     llm,
     llm2,
     llm3,
+    llm4,
     mmq,
     relational,
     relational2,

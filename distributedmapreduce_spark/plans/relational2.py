@@ -430,3 +430,63 @@ def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+@query(
+    "join_full_outer_balance_orders",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal >= 5000),
+    o95 AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders WHERE o_orderdate BETWEEN DATE '1995-01-01'
+                                        AND DATE '1995-12-31'
+      GROUP BY o_custkey)
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           c_name,
+           c_custkey IS NOT NULL AS has_profile,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(spend_cents, 0) AS spend_cents
+    FROM rich FULL OUTER JOIN o95 ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer_balance_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join — the one join type the battery in
+    relational.py (inner/left/semi/anti/broadcast) didn't cover:
+    high-balance customer profiles against 1995 order activity, where
+    each side genuinely has keys the other lacks (rich customers with
+    no 1995 orders; active 1995 customers below the balance cut), so
+    both null-extension directions are exercised.  Money is summed in
+    exact cents (ORACLE_PORTABILITY 'double sums merged
+    incrementally').  Scale: the order side pre-aggregates to one row
+    per customer BEFORE the join, so the full-outer shuffle carries
+    customer-cardinality rows, not order-cardinality; both sides
+    hash-partition on custkey."""
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    rich = cust.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey", "c_name"
+    )
+    o95 = (
+        orders.filter(
+            F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    j = rich.join(o95, rich.c_custkey == o95.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.col("c_custkey").isNotNull().alias("has_profile"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
+    )

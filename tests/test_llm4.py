@@ -1,0 +1,143 @@
+"""Invariants for the model-informed curation ops (plans/llm4.py)
+and the round-3 analytics additions beyond their oracle hash-match:
+entropy bounds, surprisal/PMI consistency, exact-Gram parity with
+numpy, PCA eigenvector quality, PageRank mass conservation, and
+winsorization clamps."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distributedmapreduce_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_char_entropy_bounds(spark):
+    rows = QUERIES["doc_char_entropy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # H in [0, log2(n_chars)] and below log2(alphabet ~ 40)
+        assert 0.0 <= r.entropy_bits <= min(math.log2(r.n_chars), 6.0) + 1e-9
+
+
+def test_char_entropy_matches_python(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_bits)
+        for r in QUERIES["doc_char_entropy"](spark, SF).collect()
+    }
+    for doc_id, text in docs.items():
+        from collections import Counter
+
+        c = Counter(text)
+        n = sum(c.values())
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - h) < 1e-3
+
+
+def test_surprisal_nonnegative_and_bigram_count(spark):
+    out = QUERIES["lm_bigram_surprisal"](spark, SF).collect()
+    toks = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("n"),
+        )
+        .collect()
+    )
+    want = {r.doc_id: r.n - 1 for r in toks if r.n >= 2}
+    got = {r.doc_id: r.n_bigrams for r in out}
+    assert got == want
+    assert all(r.avg_surprisal_bits >= -1e-9 for r in out)
+
+
+def test_pmi_min_count_and_finiteness(spark):
+    rows = QUERIES["pmi_bigram_scores"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.n12 >= 5
+        assert math.isfinite(r.pmi_bits)
+        # PMI of a pair can't exceed -log2 p(w1 w2) = log2(T / n12)
+        # with T >= n12; a loose sanity band suffices here.
+        assert -30.0 < r.pmi_bits < 30.0
+
+
+def test_gram_matches_numpy_exactly(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    m = np.stack([np.array(r.embedding, dtype="float64") for r in emb])
+    q = np.floor(m * 1e4 + 0.5).astype("int64")
+    g = q.T @ q
+    rows = QUERIES["embedding_gram_int"](spark, SF).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r.s_qq == g[r.i, r.j], (r.i, r.j)
+        assert r.n_vecs == len(emb)
+
+
+def test_pca_component_matches_numpy_eig(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    m = np.stack([np.array(r.embedding, dtype="float64") for r in emb])
+    q = np.floor(m * 1e4 + 0.5)
+    mu = q.mean(axis=0)
+    cov = (q - mu).T @ (q - mu) / len(q)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    proj_ref = (q - mu) @ top
+    got = {
+        r.vec_id: r.pc1_e4
+        for r in QUERIES["embedding_pca_project"](spark, SF).collect()
+    }
+    proj_got = np.array([got[i] for i in range(len(q))], dtype="float64")
+    # sign-align, then the power-iterated projection must correlate
+    # ~perfectly with the exact eigenvector projection
+    if np.dot(proj_got, proj_ref) < 0:
+        proj_ref = -proj_ref
+    corr = np.corrcoef(proj_got, proj_ref)[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_pagerank_mass_conserved(spark):
+    rows = QUERIES["pagerank_event_types"](spark, SF01).collect()
+    total = sum(r.pagerank for r in rows)
+    # no dangling nodes in this graph -> mass stays 1
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_winsorized_values_clamped(spark):
+    out = QUERIES["event_robust_outliers"](spark, SF01)
+    st = (
+        spark.read.parquet(f"{SF01}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.01)).alias("p01"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    )
+    bounds = {r.event_type: (r.p01, r.p99) for r in st}
+    for r in out.collect():
+        lo, hi = bounds[r.event_type]
+        assert lo - 1e-4 <= r.value_winsor <= hi + 1e-4
+        if r.is_outlier:
+            assert abs(r.robust_z) > 3.5
+
+
+def test_full_outer_covers_both_sides(spark):
+    out = QUERIES["join_full_outer_balance_orders"](spark, SF01).collect()
+    # both null-extension directions must actually occur
+    assert any(not r.has_profile for r in out)
+    assert any(r.has_profile and r.n_orders == 0 for r in out)
+    keys = [r.custkey for r in out]
+    assert len(keys) == len(set(keys))
