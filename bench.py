@@ -75,28 +75,30 @@ def main() -> None:
     for name in HEADLINE:
         _materialize(QUERIES[name](spark, "/root/testdata/sf0.001"))
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-
-    def _timed(fn) -> float:
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = _timed(
-            lambda name=name: _materialize(QUERIES[name](spark, sf_dir))
-        )
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     # reference-workload yardstick: inverted index over input.txt
     def _ref() -> None:
         raw = spark.read.text("/root/reference/input.txt")
         _materialize(T.inverted_index(T.pipeline(raw)))
 
-    timings["ref_inverted_index_input_txt"] = _timed(_ref)
+    jobs: list[tuple[str, object]] = [
+        (name, lambda name=name: _materialize(QUERIES[name](spark, sf_dir)))
+        for name in HEADLINE
+    ]
+    jobs.append(("ref_inverted_index_input_txt", _ref))
+
+    # Min-of-N over INTERLEAVED rounds (q1..qN, q1..qN, ...) rather
+    # than back-to-back repeats of each query: a GC pause or page-cache
+    # miss then lands on ONE round of a query instead of poisoning all
+    # of its runs, so the per-query min converges with far fewer runs.
+    timings: dict[str, float] = {name: float("inf") for name, _ in jobs}
+    for _ in range(runs):
+        for name, fn in jobs:
+            t0 = time.time()
+            fn()
+            timings[name] = min(timings[name], time.time() - t0)
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -280,6 +280,180 @@ def embedding_gram_int(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-integer power iteration — the hash-checkable distributed kernel
+# of PCA.  Why embedding_pca_project itself stays rows-only: its
+# semantics are the TRUE top eigenvector (dense symmetric eigensolve),
+# and the synthetic corpus is near-isotropic (λ2/λ1 ≈ 0.987 at sf0.01),
+# so any fixed-iteration-count scheme a SQL oracle could express would
+# need ~500 iterations to converge to PC1 — redefining the op as
+# "K power steps" would silently stop being PCA.  Instead the kernel
+# the cluster actually executes (centered-Gram mat-vec with integer
+# rescaling) is oracle'd here as its own query, bit-exact in both
+# engines: every step is integer arithmetic (multiply, sum,
+# sign·(abs·scale // max)), so partial-aggregate merge order and FP
+# summation order are unobservable (ORACLE_PORTABILITY.md).
+
+_PI_K = 8  # fixed iteration count (deterministic spec, not converged PCA)
+_PI_GS = 1 << 30  # centered-Gram rescale target
+_PI_VS = 1 << 12  # iterate-vector scale
+
+
+def _pi_oracle() -> str:
+    """Chained-CTE DuckDB twin of the integer power iteration, built
+    programmatically so the SQL and the Spark driver loop share K and
+    the scale constants.  Two structural rules keep the plan linear
+    (DuckDB 1.0 inlines every CTE reference, so a scalar subquery per
+    normalization step would re-expand the whole upstream chain 3× per
+    iteration — exponential, observed as an fd-exhaustion blowup):
+    every max-normalization is a window function over its own CTE
+    (single upstream reference), and n rides along inside ``sx``
+    instead of a separate scalar CTE.  HUGEINT never reaches any
+    expression: the Gram rescale divides by greatest(1, max|g| //
+    2^30) instead of multiply-then-divide, bounding every product
+    below 2^62."""
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    sx AS (SELECT i, CAST(sum(qx) AS BIGINT) AS sx,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM q GROUP BY i),
+    s AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS BIGINT) AS s
+          FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+    g AS (SELECT s.i, s.j, sa.n * s.s - sa.sx * sb.sx AS g
+          FROM s JOIN sx sa ON sa.i = s.i JOIN sx sb ON sb.i = s.j),
+    gn AS (SELECT i, j,
+                  CASE WHEN g >= 0
+                       THEN g // greatest(1, max(abs(g)) OVER () // {_PI_GS})
+                       ELSE -((-g) // greatest(1, max(abs(g)) OVER ()
+                                               // {_PI_GS}))
+                  END AS g
+           FROM g),
+    v0 AS (SELECT i, CAST({_PI_VS} AS BIGINT) AS v FROM sx)"""
+    prev = "v0"
+    for k in range(1, _PI_K + 1):
+        sql += f""",
+    w{k} AS (SELECT gn.i, sum(gn.g * {prev}.v) AS w
+             FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY 1),
+    v{k} AS (SELECT i,
+                    CASE WHEN w >= 0
+                         THEN (w * {_PI_VS})
+                              // greatest(1, max(abs(w)) OVER ())
+                         ELSE -(((-w) * {_PI_VS})
+                                // greatest(1, max(abs(w)) OVER ()))
+                    END AS v
+             FROM w{k})"""
+        prev = f"v{k}"
+    sql += f""",
+    vs AS (SELECT i,
+                  CASE WHEN first_value(v) OVER (
+                         ORDER BY abs(v) DESC, i ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) < 0
+                       THEN -v ELSE v END AS v
+           FROM v{_PI_K})
+    SELECT q.vec_id,
+           CAST(sum((sx.n * q.qx - sx.sx) * vs.v) AS BIGINT) AS pc1pi_q
+    FROM q JOIN sx ON sx.i = q.i JOIN vs ON vs.i = q.i
+    GROUP BY q.vec_id
+    """
+    return sql
+
+
+def _pi_vector(s: dict, sx: list[int], n: int, d: int) -> list[int]:
+    """Driver-side replica of the oracle's integer iteration (pure
+    Python ints — no int64 overflow concern; every op mirrors the SQL
+    bit-for-bit: trunc-toward-zero division via sign·(abs // m))."""
+    g = [
+        [n * s[i, j] - sx[i] * sx[j] for j in range(d)] for i in range(d)
+    ]
+    gd = max(1, max(abs(x) for row in g for x in row) // _PI_GS)
+    gn = [
+        [(x // gd) if x >= 0 else -((-x) // gd) for x in row] for row in g
+    ]
+    v = [_PI_VS] * d
+    for _ in range(_PI_K):
+        w = [sum(gn[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(1, max(abs(x) for x in w))
+        v = [
+            (x * _PI_VS) // m if x >= 0 else -(((-x) * _PI_VS) // m)
+            for x in w
+        ]
+    imax = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[imax] < 0:
+        v = [-x for x in v]
+    return v
+
+
+@query("embedding_power_iteration", oracle=_pi_oracle())
+def embedding_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """Project every embedding onto the direction produced by a FIXED
+    8-step exact-integer power iteration of the centered integer Gram
+    matrix (G = n·S − sx·sxᵀ, the same sufficient statistic as
+    embedding_gram_int): the distributed kernel of PCA, specified so
+    deterministically that a SQL engine reproduces it bit-for-bit.
+    Scale: identical to embedding_pca_project — one Arrow-batched
+    partial-aggregate scan builds the d(d+1)/2-row Gram, the driver
+    iterates on the d×d integer matrix (O(K·d²) bounded work,
+    data-size-independent), and the projection is one map-only pass
+    against the broadcast integer vector.  Output is an exact integer
+    per vector, so the hash check is airtight."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf, "embeddings")
+    rows = (
+        _gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("s_qq").alias("s_qq"), F.sum("n_vecs").alias("n_vecs"))
+        .collect()
+    )
+    d = max(r.i for r in rows) + 1
+    n = int(rows[0].n_vecs)
+    s = {}
+    for r in rows:
+        s[r.i, r.j] = int(r.s_qq)
+        s[r.j, r.i] = int(r.s_qq)
+    sums = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1e4 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sx")
+        )
+        .collect()
+    )
+    sx = [0] * d
+    for r in sums:
+        sx[r.i] = int(r.sx)
+    v = _pi_vector(s, sx, n, d)
+    bvec = np.array(v, dtype="int64")
+    bsx = np.array(sx, dtype="int64")
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            qm = np.floor(m * 1e4 + 0.5).astype("int64")
+            # (n·q − sx)·v: |term| ≤ 2n·1e4·2^12·d — int64-safe for
+            # any corpus below ~1e13 vectors
+            score = (n * qm - bsx) @ bvec
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pc1pi_q": score.astype("int64")}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, pc1pi_q long"
+    )
+
+
 @query("embedding_pca_project")  # rows-only: iterative, not SQL-expressible
 def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """First-principal-component projection of every embedding: build

@@ -56,16 +56,28 @@ def _round_of(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
-def _merged_verdicts() -> dict[str, tuple[bool, int]]:
-    """name -> (passed, round), merged over every CORRECTNESS_r*.json
-    in ascending round order so the newest verdict per query wins.
-    A query counts as passed only if nothing about it failed: no
-    error and no explicit false in rows/schema/hash."""
+# Stale greens known-invalid under the current engine stack: these two
+# passed in r02 under pre-4.1 pyspark (nanos-as-long) but crashed on
+# 4.1.2's TIMESTAMP_NTZ parquet read (VERDICT r03).  The loader fix
+# landed in r04; their verdicts MUST be refreshed before they can
+# rejoin the round-robin green rotation, so pin them to the front of
+# the window until a post-r03 verdict exists.
+_FORCE_FRONT_UNTIL: dict[str, int] = {
+    "range_join_event_pairs": 3,
+    "window_lag_event_gaps": 3,
+}
+
+
+def _merged_verdicts() -> dict[str, tuple[bool, int, bool]]:
+    """name -> (passed, round, rows_only), merged over every
+    CORRECTNESS_r*.json in ascending round order so the newest verdict
+    per query wins.  A query counts as passed only if nothing about it
+    failed: no error and no explicit false in rows/schema/hash."""
     paths = sorted(
         glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
         key=_round_of,
     )
-    out: dict[str, tuple[bool, int]] = {}
+    out: dict[str, tuple[bool, int, bool]] = {}
     for path in paths:
         try:
             with open(path) as f:
@@ -79,27 +91,43 @@ def _merged_verdicts() -> dict[str, tuple[bool, int]]:
             err = v.get("err")
             # "no_oracle" with rows produced is the driver's rows-only
             # weak pass (sketch/seeded queries) — not a failure
-            err_ok = err in (None, "") or (
-                err == "no_oracle" and v.get("spark_rows") is not None
-            )
+            rows_only = err == "no_oracle" and v.get("spark_rows") is not None
+            err_ok = err in (None, "") or rows_only
             ok = err_ok and all(
                 v.get(k) is not False
                 for k in ("rows_match", "schema_match", "hash_match")
             )
-            out[name] = (ok, rnd)
+            out[name] = (ok, rnd, rows_only)
     return out
 
 
 def _ordered(reg: dict[str, Query]) -> dict[str, Query]:
     verdicts = _merged_verdicts()
     failed = [n for n in reg if n in verdicts and not verdicts[n][0]]
-    unchecked = [n for n in reg if n not in verdicts]
+    pinned = [
+        n
+        for n, until in _FORCE_FRONT_UNTIL.items()
+        if n in reg
+        and n not in failed
+        and (n not in verdicts or verdicts[n][1] <= until)
+    ]
+    seen = {*failed, *pinned}
+    # a rows-only verdict for a query that HAS an oracle means the
+    # oracle was added after the last driver check — the hash-grade
+    # verdict is still outstanding, so treat it as never-checked
+    unchecked = [
+        n
+        for n in reg
+        if n not in seen
+        and (n not in verdicts or (verdicts[n][2] and reg[n].oracle))
+    ]
+    seen.update(unchecked)
     # stalest green first: the driver window re-validates round-robin
     green = sorted(
-        (n for n in reg if n in verdicts and verdicts[n][0]),
+        (n for n in reg if n not in seen),
         key=lambda n: verdicts[n][1],
     )
-    return {n: reg[n] for n in (*failed, *unchecked, *green)}
+    return {n: reg[n] for n in (*failed, *pinned, *unchecked, *green)}
 
 
 def get_registry() -> dict[str, Query]:

@@ -34,6 +34,8 @@ def get_spark(
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
 
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -42,6 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 turned ANSI mode on by default; its runtime overflow
+        # / cast checks cost ~10-20% on aggregate-heavy plans and the
+        # engine's query surface was validated under ANSI-off Spark 3
+        # semantics (r01/r02 gates) as well as ANSI-on 4.1 (r03) — the
+        # queries are well-typed under both, so take the faster mode.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
@@ -53,6 +64,8 @@ def get_spark(
         # key predicates; harmless when no such source is read
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -28,30 +28,54 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a session-TZ-independent ``TIMESTAMP``
+    (UTC instant, microsecond precision) across every parquet
+    TIMESTAMP(NANOS) reading mode Spark has shipped:
+
+    - pyspark < 4.1 + ``spark.sql.legacy.parquet.nanosAsLong``:
+      nanos-since-epoch ``LongType`` → integer-divide to µs.
+    - pyspark >= 4.1: native NANOS read yields ``TIMESTAMP_NTZ``
+      (µs-truncated wall clock in UTC) — the legacy conf no longer
+      changes the read.  ``to_utc_timestamp(ts, 'UTC')`` re-interprets
+      that wall clock as a UTC instant regardless of the session
+      timezone, matching the old nanos path byte-for-byte.
+
+    Every downstream ``unix_micros`` / ``withWatermark`` / ``window``
+    call site relies on this single choke point — do NOT read
+    events.parquet directly in plans (tests/test_loader_ts.py lints
+    for this).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        # integer `div`, not `/`: double division loses µs precision
+        # on ~1e18-ns epoch values (53-bit mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(t, TimestampNTZType):
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which a
-        # vanilla SparkSession refuses to read (PARQUET_TYPE_ILLEGAL).
-        # nanosAsLong is runtime-settable, so enable it here instead of
-        # relying on the repo's own session factory — the engine must
-        # work under ANY caller-provided session (e.g. the driver's).
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
+        # pre-4.1 vanilla SparkSessions refuse to read
+        # (PARQUET_TYPE_ILLEGAL).  nanosAsLong is runtime-settable, so
+        # enable it here instead of relying on the repo's own session
+        # factory — the engine must work under ANY caller-provided
+        # session (e.g. the driver's).  Under >= 4.1 the conf is
+        # accepted but the read is natively NTZ; both modes are
+        # normalized below.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), surfaced as nanos-since-epoch
-        # long (spark.sql.legacy.parquet.nanosAsLong); truncate to
-        # microseconds — the same truncation DuckDB applies reading
-        # TIMESTAMP_NS into its microsecond TIMESTAMP.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer `div`, not `/`: double division loses µs precision
-            # on ~1e18-ns epoch values (53-bit mantissa)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -16,12 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..sources.testdata import load_table
+from ..sources.testdata import normalize_events_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema pinned from the
-    batch read; ts normalized from nanos exactly like the batch path)."""
+    batch read; ts normalized to a UTC-instant TIMESTAMP exactly like
+    the batch path — nanos-as-long AND TIMESTAMP_NTZ reading modes,
+    see sources/testdata.py:normalize_events_ts)."""
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # the file source wants a directory; glob-filter to the events file
     stream = (
@@ -29,13 +31,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from pyspark.sql.types import LongType
-
-    if isinstance(batch.schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    return normalize_events_ts(stream)
 
 
 def tumbling_counts(

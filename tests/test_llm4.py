@@ -141,3 +141,34 @@ def test_full_outer_covers_both_sides(spark):
     assert any(r.has_profile and r.n_orders == 0 for r in out)
     keys = [r.custkey for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_power_iteration_exact_integer_replay(spark):
+    """embedding_power_iteration is specified as exact integer ops —
+    an independent numpy int64 replay of the driver loop must match
+    the Spark output bit-for-bit, and the sign canonicalization must
+    leave the largest-|.| vector entry positive."""
+    import numpy as np
+
+    from distributedmapreduce_spark.plans.llm4 import _pi_vector
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").collect()
+    m = np.stack([r.embedding for r in emb]).astype("float64")
+    q = np.floor(m * 1e4 + 0.5).astype(object)  # python ints, no overflow
+    n, d = q.shape
+    s = {}
+    for i in range(d):
+        for j in range(d):
+            s[i, j] = int(sum(int(q[v, i]) * int(q[v, j]) for v in range(n)))
+    sx = [int(q[:, i].sum()) for i in range(d)]
+    v = _pi_vector(s, sx, n, d)
+    assert max(v, key=abs) > 0  # sign-canonical
+    want = {
+        r.vec_id: sum((n * int(q[k, i]) - sx[i]) * v[i] for i in range(d))
+        for k, r in enumerate(emb)
+    }
+    got = {
+        r.vec_id: r.pc1pi_q
+        for r in QUERIES["embedding_power_iteration"](spark, SF01).collect()
+    }
+    assert got == want
