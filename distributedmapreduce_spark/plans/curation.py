@@ -909,3 +909,220 @@ def skipgram_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return both.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v3 — end-to-end curation with per-stage audit counts
+# ---------------------------------------------------------------------------
+
+_P3_BUDGET = 15_000
+# integer TTR threshold: keep docs with distinct/total >= 2/5, compared
+# as 5*distinct >= 2*total so the boundary is exact on both engines
+_P3_Q_NUM, _P3_Q_DEN = 2, 5
+_P3_STAGES = (
+    "raw",
+    "tokenizable",
+    "exact_keeper",
+    "neardup_keeper",
+    "quality",
+    "token_budget",
+)
+
+
+def _p3_oracle() -> str:
+    from .llm import _PSH_BITS, _PSH_BUCKET_CAP, _PSH_HAM
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("S", "w")
+    cnt_cols = ",\n             ".join(
+        f"sum(({h} // {1 << k}) % 2) AS c{k}" for k in range(_PSH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * c{k} > n THEN {1 << k} ELSE 0 END)"
+        for k in range(_PSH_BITS)
+    )
+    audit_rows = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({k} AS BIGINT) AS stage_id,
+             '{name}' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+      FROM survival WHERE surv >= {k}"""
+        for k, name in enumerate(_P3_STAGES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    feat AS (
+      SELECT doc_id, fp, ws,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+      FROM base),
+    k2 AS (
+      SELECT doc_id, ws, n_tokens, n_distinct FROM (
+        SELECT doc_id, ws, n_tokens, n_distinct,
+               min(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM feat WHERE n_tokens > 0)
+      WHERE doc_id = keeper),
+    words AS (
+      SELECT doc_id, unnest(list_distinct(ws)) AS w FROM k2),
+    agg AS (
+      SELECT doc_id, count(*) AS n,
+             {cnt_cols}
+      FROM words GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg),
+    blocks AS (
+      SELECT doc_id, 0 AS blk, sig % 256 AS val FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS blk, sig // 256 AS val FROM sig),
+    capped AS (
+      SELECT doc_id, blk, val FROM blocks
+      QUALIFY count(*) OVER (PARTITION BY blk, val) <= {_PSH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id),
+    drops AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM cand
+      JOIN sig x ON x.doc_id = doc_a
+      JOIN sig y ON y.doc_id = doc_b
+      WHERE bit_count(xor(x.sig, y.sig)) <= {_PSH_HAM}),
+    k3 AS (
+      SELECT k2.* FROM k2
+      WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = k2.doc_id)),
+    k4 AS (
+      SELECT doc_id, n_tokens,
+             n_distinct / CAST(n_tokens AS DOUBLE) AS score
+      FROM k3
+      WHERE {_P3_Q_DEN} * n_distinct >= {_P3_Q_NUM} * n_tokens),
+    sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, CAST(sum(n_tokens) OVER
+                            (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM k4)
+      WHERE cum <= {_P3_BUDGET}),
+    survival AS (
+      SELECT f.doc_id, f.n_tokens,
+             CASE
+               WHEN f.n_tokens = 0 THEN 0
+               WHEN k2.doc_id IS NULL THEN 1
+               WHEN k3.doc_id IS NULL THEN 2
+               WHEN k4.doc_id IS NULL THEN 3
+               WHEN sel.doc_id IS NULL THEN 4
+               ELSE 5
+             END AS surv
+      FROM feat f
+      LEFT JOIN k2 ON k2.doc_id = f.doc_id
+      LEFT JOIN k3 ON k3.doc_id = f.doc_id
+      LEFT JOIN k4 ON k4.doc_id = f.doc_id
+      LEFT JOIN sel ON sel.doc_id = f.doc_id),
+    audit AS (
+{audit_rows}
+    )
+    SELECT stage_id, stage, n_docs, n_tokens FROM audit
+    """
+
+
+@query("curation_pipeline_v3", oracle=_p3_oracle())
+def curation_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-4 flagship: the full curation chain — tokenizability
+    screen -> exact-dedup keeper (normalized-fingerprint window) ->
+    SimHash near-dup keeper (drop any doc with a smaller near-dup
+    partner, the standard greedy LSH dedup rule) -> integer-exact
+    type-token quality gate (5·distinct >= 2·total, so the boundary
+    can't float) -> token-budget prefix selection — emitting the
+    PER-STAGE AUDIT COUNTS (docs + tokens surviving each stage) that
+    a 100 TB curation operator actually watches: every silent
+    stage-collapse (dedup eating the corpus, quality gate passing
+    everything) is visible as a row.
+
+    Scale: each doc is labeled with its LAST SURVIVING STAGE in one
+    labeled frame (monotone stage set => the label is a max), so the
+    audit is ONE tiny aggregate over stage ids — NOT one re-execution
+    of the chain per stage; with N stages that is the difference
+    between 1 and N corpus scans.  The stage machinery reuses the
+    standalone operators' scale paths: fingerprint window (one keyed
+    shuffle), psh_pairs' capped pigeonhole blocking, and the
+    token-budget selection joined back as a flag instead of a filter.
+    Cites: reference master.py:99-167 (the one-shot batch job this
+    operational chain replaces)."""
+    from .llm import psh_pairs
+
+    docs = t(spark, sf, "documents")
+    ws = tokens(F.col("text"), lowercase=True)
+    feat = docs.select(
+        "doc_id",
+        norm_fingerprint(F.col("text")).alias("fp"),
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    )
+    tok = feat.filter(F.col("n_tokens") > 0)
+    wk = W.partitionBy("fp")
+    k2 = (
+        tok.withColumn("keeper", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "ws", "n_tokens", "n_distinct")
+    )
+    drops = (
+        psh_pairs(k2.select("doc_id", "ws"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    k3 = k2.join(drops, "doc_id", "left_anti")
+    k4 = k3.filter(
+        _P3_Q_DEN * F.col("n_distinct") >= _P3_Q_NUM * F.col("n_tokens")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens").cast("double")).alias(
+            "score"
+        ),
+    )
+    sel = _budget_prefix(k4, _P3_BUDGET).select("doc_id")
+
+    flag = lambda df, name: df.select(  # noqa: E731
+        "doc_id", F.lit(True).alias(name)
+    )
+    surv = (
+        feat.select("doc_id", "n_tokens")
+        .join(flag(k2, "f2"), "doc_id", "left")
+        .join(flag(k3, "f3"), "doc_id", "left")
+        .join(flag(k4, "f4"), "doc_id", "left")
+        .join(flag(sel, "f5"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") == 0, 0)
+            .when(F.col("f2").isNull(), 1)
+            .when(F.col("f3").isNull(), 2)
+            .when(F.col("f4").isNull(), 3)
+            .when(F.col("f5").isNull(), 4)
+            .otherwise(5)
+            .alias("surv"),
+        )
+    )
+    per_stage = surv.groupBy("surv").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("tk")
+    )
+    stages = F.array(*[F.lit(s) for s in _P3_STAGES])
+    dim = spark.range(len(_P3_STAGES)).select(
+        F.col("id").cast("long").alias("stage_id"),
+        F.element_at(stages, (F.col("id") + 1).cast("int")).alias("stage"),
+    )
+    # suffix-cumulative: stage k counts every doc whose survival >= k.
+    # 6x7 rows — broadcast the dim side, aggregate over <= 42 rows.
+    return (
+        dim.join(per_stage, per_stage.surv >= dim.stage_id)
+        .groupBy("stage_id", "stage")
+        .agg(
+            F.sum("d").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tk"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )

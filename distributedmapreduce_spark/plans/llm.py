@@ -1067,35 +1067,17 @@ def _psh_oracle() -> str:
     """
 
 
-@query("dedup_simhash_portable", oracle=_psh_oracle())
-def dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup with a fully ORACLE-CHECKED integer pipeline:
-    16-bit signatures from md5-derived word hashes (bit k of the
-    signature = majority of bit k over the doc's distinct-word
-    hashes), 2-block pigeonhole blocking (hamming <= 1 guaranteed a
-    shared block; <= 3 verified when candidates surface), hamming via
-    bit_count(xor).  Every stage is exact integer arithmetic, so the
-    DuckDB twin is bit-identical — upgrading SimHash from rows-only
-    (dedup_simhash's 64-bit numpy/xxhash64 production path) to
-    hash-verified.  Degenerate buckets — the measured failure mode of
-    low-entropy corpora (SCALE.md §9b: 2,061/5,000 docs in one
-    block) — are dropped at 100 docs, mirrored in the oracle: the
-    same df-cap armor as decontamination, trading recall inside
-    stopword-like buckets for bounded fan-out at any corpus size.
-    Pure built-ins, no UDF: the 16 majority sums are plain
-    shiftright/AND aggregates with map-side combine."""
+def psh_pairs(docs: DataFrame) -> DataFrame:
+    """Portable-SimHash near-dup pairs (doc_a < doc_b, hamming <=
+    _PSH_HAM) over any (doc_id, ws: array<string>) frame — the shared
+    kernel of dedup_simhash_portable and curation_pipeline_v3's
+    near-dup keeper stage.  See dedup_simhash_portable for the scale
+    rationale (md5 bit-majority signatures, pigeonhole blocking,
+    bucket cap)."""
     from .llm3 import _md5_u32
 
-    ws = F.array_distinct(
-        F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
-    )
-    docs = (
-        t(spark, sf, "documents")
-        .select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") > 0)
-    )
     hashed = docs.select(
-        "doc_id", F.explode("ws").alias("w")
+        "doc_id", F.explode(F.array_distinct("ws")).alias("w")
     ).select("doc_id", _md5_u32("S", F.col("w")).alias("h"))
     agg = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1154,3 +1136,29 @@ def dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= _PSH_HAM)
     )
+
+
+@query("dedup_simhash_portable", oracle=_psh_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup with a fully ORACLE-CHECKED integer pipeline:
+    16-bit signatures from md5-derived word hashes (bit k of the
+    signature = majority of bit k over the doc's distinct-word
+    hashes), 2-block pigeonhole blocking (hamming <= 1 guaranteed a
+    shared block; <= 3 verified when candidates surface), hamming via
+    bit_count(xor).  Every stage is exact integer arithmetic, so the
+    DuckDB twin is bit-identical — upgrading SimHash from rows-only
+    (dedup_simhash's 64-bit numpy/xxhash64 production path) to
+    hash-verified.  Degenerate buckets — the measured failure mode of
+    low-entropy corpora (SCALE.md §9b: 2,061/5,000 docs in one
+    block) — are dropped at 100 docs, mirrored in the oracle: the
+    same df-cap armor as decontamination, trading recall inside
+    stopword-like buckets for bounded fan-out at any corpus size.
+    Pure built-ins, no UDF: the 16 majority sums are plain
+    shiftright/AND aggregates with map-side combine."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    docs = (
+        t(spark, sf, "documents")
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    return psh_pairs(docs)

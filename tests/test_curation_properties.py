@@ -198,3 +198,27 @@ def test_token_budget_matches_greedy_reference(spark, corpus, budget):
         if cum <= budget:
             want.append(i)
     assert got == sorted(want)
+
+
+def test_pipeline_v3_audit_invariants(spark):
+    """The audit table is a survival funnel: counts monotonically
+    non-increasing by stage, stage 0 covers the whole corpus, the
+    budget stage's token total fits the budget, and every stage id
+    appears exactly once."""
+    from distributedmapreduce_spark.plans import curation as C
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    from .conftest import SF_DIR_001
+
+    rows = sorted(
+        QUERIES["curation_pipeline_v3"](spark, SF_DIR_001).collect(),
+        key=lambda r: r.stage_id,
+    )
+    assert [r.stage for r in rows] == list(C._P3_STAGES)
+    n_docs = spark.read.parquet(f"{SF_DIR_001}/documents.parquet").count()
+    assert rows[0].n_docs == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
+    assert rows[-1].n_tokens <= C._P3_BUDGET
+    assert rows[-1].n_docs > 0  # the budget stage actually selects
