@@ -355,3 +355,137 @@ def global_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
         W.partitionBy("shard_id").orderBy("u", "doc_id")
     )
     return docs.select("doc_id", "shard_id", pos.alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplication (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): repeated fixed-width token spans are
+# the unit that inflates memorization, not whole-document copies.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 16  # tokens per span (non-overlapping)
+
+
+def _span_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, h): md5 of each non-overlapping 16-token span.
+    Linear fan-out (tokens/16 rows per doc); the span text is built
+    with slice+concat_ws inside codegen, hashed once."""
+    ws = _tokens(F.col("text"), lowercase=True)
+    # guard BEFORE sequence(): Spark's sequence(0, stop) DESCENDS when
+    # stop < 0, so a <16-token doc would fabricate spans instead of
+    # producing none
+    return (
+        docs.withColumn("ws", ws)
+        .filter(F.size("ws") >= _SPAN_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.floor(F.size("ws") / _SPAN_W) - 1).cast("int"),
+                    ),
+                    lambda c: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("ws"), c * _SPAN_W + 1, _SPAN_W)
+                        )
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+
+
+@query(
+    "dup_span_detect",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(ws, c * {_SPAN_W} + 1, c * {_SPAN_W} + {_SPAN_W}),
+               ' ')) AS h
+      FROM toks, unnest(range(0, len(ws) // {_SPAN_W})) AS u(c)),
+    cnt AS (SELECT h, count(*) AS n FROM ch GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans
+    FROM ch JOIN cnt USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dup_span_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-span census: hash every non-overlapping
+    16-token span, count corpus-wide occurrences, and report how many
+    of each doc's spans appear more than once anywhere (incl. within
+    the same doc).  This is the detection pass of exact-substring
+    dedup at span granularity — the Lee-et-al operator whole-document
+    fingerprinting misses (docs that share boilerplate paragraphs but
+    differ elsewhere).  Scale: fan-out is tokens/16 rows; the span
+    counts aggregate with map-side combine to the distinct-span space;
+    one hash-keyed shuffle joins counts back; nothing is quadratic and
+    no span text survives past the md5."""
+    ch = _span_chunks(t(spark, sf, "documents"))
+    cnt = ch.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ch.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("n") > 1).cast("long")).cast("long").alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+
+
+@query(
+    "span_cross_source_leakage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    ch AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_slice(ws, c * {_SPAN_W} + 1, c * {_SPAN_W} + {_SPAN_W}),
+               ' ')) AS h
+      FROM toks, unnest(range(0, len(ws) // {_SPAN_W})) AS u(c))
+    SELECT h,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM ch
+    GROUP BY h
+    HAVING count(DISTINCT source) >= 2
+    """,
+)
+def span_cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus contamination detector: token spans that appear in
+    two or more distinct `source` corpora — the signal behind
+    benchmark-leakage audits and license-laundering checks (a span
+    that shows up in both a crawl slice and a curated eval source is
+    exactly what decontamination must catch).  Whole-document
+    fingerprints find nothing here (zero exact dups across sources in
+    the synthetic corpus); span granularity does.  Scale: same
+    linear span fan-out as dup_span_detect; the aggregate is
+    hash-keyed with map-side distinct on (h, source) bounded by the
+    source count, and only multi-source hashes survive the HAVING."""
+    ch = _span_chunks(t(spark, sf, "documents"))
+    return (
+        ch.groupBy("h")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
