@@ -634,3 +634,163 @@ def event_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("value_winsor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling, round 4
+# ---------------------------------------------------------------------------
+
+# (name, integer-pinning SQL expr, Spark column builder) for the corr
+# matrix: Pearson r is scale-invariant, so each column is pinned to the
+# coarsest integer unit whose squared sum stays far inside int64 at
+# sf10+ (extendedprice in DOLLARS: cents² would overflow at sf0.1).
+_CORR_COLS = (
+    ("quantity", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price_usd", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("discount_c", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax_c", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+
+
+def _corr_oracle() -> str:
+    cols = ", ".join(f"{e} AS {n}" for n, e in _CORR_COLS)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for n, _ in _CORR_COLS:
+        sums.append(f"CAST(sum({n}) AS BIGINT) AS s_{n}")
+        sums.append(f"CAST(sum({n} * {n}) AS BIGINT) AS ss_{n}")
+    pairs = [
+        (a, b)
+        for i, (a, _) in enumerate(_CORR_COLS)
+        for b, _ in [p for p in _CORR_COLS[i + 1:]]
+    ]
+    for a, b in pairs:
+        sums.append(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    # mean form in doubles (n·Σx² overflows int64 for dollar-scaled
+    # sums); every term is the identical IEEE op chain on identical
+    # integers in both engines, so the result double is bit-equal
+    def cov(a: str, b: str) -> str:
+        return (
+            f"(CAST(sp_{a}_{b} AS DOUBLE) / n"
+            f" - (CAST(s_{a} AS DOUBLE) / n) * (CAST(s_{b} AS DOUBLE) / n))"
+        )
+
+    def var(a: str) -> str:
+        return (
+            f"(CAST(ss_{a} AS DOUBLE) / n"
+            f" - (CAST(s_{a} AS DOUBLE) / n) * (CAST(s_{a} AS DOUBLE) / n))"
+        )
+
+    rows = "\n      UNION ALL\n".join(
+        f"""      SELECT '{a}' AS col_x, '{b}' AS col_y, n,
+             CAST(floor(
+               {cov(a, b)} / (sqrt({var(a)}) * sqrt({var(b)}))
+               * 1e6) AS BIGINT) AS corr_e6
+      FROM stats"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH pinned AS (SELECT {cols} FROM lineitem),
+    stats AS (SELECT {", ".join(sums)} FROM pinned)
+{rows}
+    """
+
+
+@query("lineitem_corr_matrix", oracle=_corr_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures, computed from EXACT INTEGER sufficient statistics
+    (n, Σx, Σx², Σxy on unit-pinned values) so partial-aggregate merge
+    order is unobservable — the built-in corr() aggregate merges
+    doubles and is NOT reproducible across engines.  The final r is
+    one identical chain of IEEE ops on identical integers, so even the
+    1e-6-tick floor is safe.  Scale: ONE pass, one 1-row aggregate
+    (4 + 4 + 6 sums), map-side combinable; the 6 output rows are
+    driver-free selects off the broadcast stats row — the textbook
+    shape for computing a d² correlation matrix over 100 TB when d is
+    small."""
+    li = t(spark, sf, "lineitem")
+    pinned = li.select(
+        *[F.expr(e).alias(n) for n, e in _CORR_COLS]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    names = [n for n, _ in _CORR_COLS]
+    for n in names:
+        aggs.append(F.sum(F.col(n)).cast("long").alias(f"s_{n}"))
+        aggs.append(
+            F.sum(F.col(n) * F.col(n)).cast("long").alias(f"ss_{n}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}")
+        )
+    stats = pinned.agg(*aggs)
+
+    def _mean(c: str):
+        return F.col(c).cast("double") / F.col("n")
+
+    def _var(a: str):
+        return _mean(f"ss_{a}") - _mean(f"s_{a}") * _mean(f"s_{a}")
+
+    out = None
+    for a, b in pairs:
+        cov = _mean(f"sp_{a}_{b}") - _mean(f"s_{a}") * _mean(f"s_{b}")
+        den = F.sqrt(_var(a)) * F.sqrt(_var(b))
+        row = stats.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            "n",
+            F.floor(cov / den * 1e6).cast("long").alias("corr_e6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    return f"\n{rows}\n"
+
+
+@query("table_profile_orders", oracle=_profile_oracle())
+def table_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-TABLE-style column profile of orders: per column, row
+    count, null count, and exact distinct count — the stats pass every
+    lake maintenance loop runs to drive partition/bucket decisions and
+    catch schema drift (a column whose null rate jumps is the classic
+    silent upstream break).  Counts only (no min/max) so the output is
+    pure BIGINT — cross-engine double/date FORMATTING never enters the
+    hash.  Scale: one aggregate per column over a column-pruned scan;
+    at 100 TB you'd swap exact count(DISTINCT) for approx_count_
+    distinct (the approximate twin is already covered by
+    approx_count_distinct) — here it is exact so the oracle can be
+    too."""
+    orders = t(spark, sf, "orders")
+    out = None
+    for c in _PROFILE_COLS:
+        row = orders.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
