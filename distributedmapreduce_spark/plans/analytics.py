@@ -794,3 +794,62 @@ def table_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_QUANTILES = (50, 90, 99)  # percent
+
+
+@query(
+    "event_value_quantiles_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    wanted AS (
+      SELECT event_type, value, rn, n, q
+      FROM ranked, unnest([{", ".join(str(q) for q in _QUANTILES)}]) AS u(q)
+      WHERE rn = CAST(ceil(q * n / 100.0) AS BIGINT))
+    SELECT event_type, CAST(q AS BIGINT) AS pct, value AS val
+    FROM wanted
+    """,
+)
+def event_value_quantiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-group percentiles by rank selection: the p-th
+    percentile is the value at row ceil(p·n/100) in (value, event_id)
+    order — the nearest-rank definition, which selects an ACTUAL data
+    value instead of interpolating, so the result is engine-portable
+    (Spark's percentile() and DuckDB's quantile_cont interpolate
+    differently and merge doubles).  Complements the approximate
+    family (approx_quantiles) with a hash-grade ground truth.  Scale:
+    one window per group — fine while every group fits a partition
+    (event_type has ~5 values here); for high-cardinality groups the
+    two-phase bucketed cumsum of token_budget_select is the upgrade
+    path, and for 100 TB single-group data you use approx_percentile
+    and check it against this on a sample."""
+    ev = t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in _QUANTILES])
+    ).alias("q")
+    return (
+        ranked.select("event_type", "value", "rn", "n", qs)
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("q") * F.col("n") / 100.0).cast("long")
+        )
+        .select(
+            "event_type",
+            F.col("q").cast("long").alias("pct"),
+            F.col("value").alias("val"),
+        )
+    )

@@ -1162,3 +1162,47 @@ def dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.size("ws") > 0)
     )
     return psh_pairs(docs)
+
+
+_STRAT_FRACS = {"en": 0.35, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+
+
+def _strat_oracle() -> str:
+    from .llm3 import _md5_uniform_sql
+
+    u = _md5_uniform_sql("strat", "doc_id")
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {frac}" for lang, frac in _STRAT_FRACS.items()
+    )
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {u} < (CASE lang {cases} ELSE 1.0 END)
+    """
+
+
+@query("stratified_sample_portable", oracle=_strat_oracle())
+def stratified_sample_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language stratified sample: keep a doc iff
+    its md5-derived uniform (top-32-bits / 2^32 — exact in a double on
+    any engine, plans/llm3.py::_md5_uniform) falls under the
+    language's target fraction.  Upgrades the sampling family from
+    rows-only (stratified_sample's seeded Bernoulli is Spark-
+    internal) to hash-verified, and is what a real pipeline wants
+    anyway: re-running the sample on a grown corpus keeps every
+    previously-selected doc (the hash is per-doc, not per-run), so
+    downstream caches stay valid.  Scale: map-only — one hash and one
+    compare per row, no shuffle at all."""
+    from .llm3 import _md5_uniform
+
+    docs = t(spark, sf, "documents")
+    frac = None
+    for lang, f_ in _STRAT_FRACS.items():
+        cond = F.when(F.col("lang") == lang, F.lit(f_))
+        frac = cond if frac is None else frac.when(
+            F.col("lang") == lang, F.lit(f_)
+        )
+    frac = frac.otherwise(F.lit(1.0))
+    return docs.filter(
+        _md5_uniform("strat", F.col("doc_id")) < frac
+    ).select("doc_id", "lang")
