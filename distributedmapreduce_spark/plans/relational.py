@@ -857,3 +857,77 @@ def time_rollup_multires(spark: SparkSession, sf: str) -> DataFrame:
                                 (w, event_type))
         """
     )
+
+
+_ASOF_FWD_TOL_US = 7 * 86_400 * 1_000_000  # 7-day forward tolerance
+
+
+@query(
+    "asof_join_forward_tolerance",
+    oracle=f"""
+    SELECT click_id, purchase_id, gap_us FROM (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM {EVENTS_US} c JOIN {EVENTS_US} p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND epoch_us(p.ts) > epoch_us(c.ts)
+       AND epoch_us(p.ts) <= epoch_us(c.ts) + {_ASOF_FWD_TOL_US}
+      WHERE c.event_type = 'click')
+    WHERE rn = 1
+    """,
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each click, the first
+    purchase by the same user strictly after it and within 7 days —
+    the attribution-window join (backward twin:
+    asof_join_purchase_click).  Same union-trick plan, mirrored: one
+    (user_id) shuffle, a forward-looking window taking the min
+    (ts, purchase_id) struct, and the tolerance applied as exact
+    integer-µs arithmetic afterwards — no theta join at any scale.
+    At equal timestamps purchases sort BEFORE clicks, so the
+    forward-inclusive frame naturally excludes simultaneous purchases
+    (strictly-after semantics) without a second pass."""
+    ev = t(spark, sf, "events")
+    us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("us"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    # purchases first at identical us (kind flag 0 < 1): the click's
+    # forward frame then starts past them -> strict "after"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", F.col("purchase_id").isNull().cast("int"), "purchase_id")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(
+            F.col("purchase_id").isNotNull(),
+            F.struct(F.col("us").alias("us_p"), "purchase_id"),
+        )
+    ).over(w)
+    annotated = merged.select(
+        "click_id", "us", nxt.alias("nxt")
+    ).filter(F.col("click_id").isNotNull() & F.col("nxt").isNotNull())
+    return (
+        annotated.select(
+            "click_id",
+            F.col("nxt.purchase_id").alias("purchase_id"),
+            (F.col("nxt.us_p") - F.col("us")).alias("gap_us"),
+        )
+        .filter(
+            (F.col("gap_us") > 0) & (F.col("gap_us") <= _ASOF_FWD_TOL_US)
+        )
+    )
