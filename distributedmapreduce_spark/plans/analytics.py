@@ -728,24 +728,60 @@ def lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
     stats = pinned.agg(*aggs)
 
-    def _mean(c: str):
-        return F.col(c).cast("double") / F.col("n")
+    # ONE aggregation, then explode a 6-row pair dimension over the
+    # single stats row — a union of 6 per-pair selects would make
+    # Catalyst prune each branch's aggregate independently and scan
+    # lineitem SIX times (observed in the physical plan)
+    exploded = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_x"), F.lit(b).alias("col_y")
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p"),
+        "*",
+    )
 
-    def _var(a: str):
-        return _mean(f"ss_{a}") - _mean(f"s_{a}") * _mean(f"s_{a}")
+    def _pick(fmt: str, key) -> F.Column:
+        expr = None
+        for n in names:
+            c = F.when(key == n, F.col(fmt.format(n)))
+            expr = c if expr is None else expr.when(
+                key == n, F.col(fmt.format(n))
+            )
+        return expr
 
-    out = None
-    for a, b in pairs:
-        cov = _mean(f"sp_{a}_{b}") - _mean(f"s_{a}") * _mean(f"s_{b}")
-        den = F.sqrt(_var(a)) * F.sqrt(_var(b))
-        row = stats.select(
-            F.lit(a).alias("col_x"),
-            F.lit(b).alias("col_y"),
-            "n",
-            F.floor(cov / den * 1e6).cast("long").alias("corr_e6"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    def _pick_sp() -> F.Column:
+        expr = None
+        for a, b in pairs:
+            cond = (F.col("p.col_x") == a) & (F.col("p.col_y") == b)
+            c = F.when(cond, F.col(f"sp_{a}_{b}"))
+            expr = c if expr is None else expr.when(
+                cond, F.col(f"sp_{a}_{b}")
+            )
+        return expr
+
+    def _mean(col: F.Column):
+        return col.cast("double") / F.col("n")
+
+    def _var(key) -> F.Column:
+        m = _mean(_pick("s_{}", key))
+        return _mean(_pick("ss_{}", key)) - m * m
+
+    cov = _mean(_pick_sp()) - _mean(
+        _pick("s_{}", F.col("p.col_x"))
+    ) * _mean(_pick("s_{}", F.col("p.col_y")))
+    den = F.sqrt(_var(F.col("p.col_x"))) * F.sqrt(_var(F.col("p.col_y")))
+    return exploded.select(
+        F.col("p.col_x").alias("col_x"),
+        F.col("p.col_y").alias("col_y"),
+        "n",
+        F.floor(cov / den * 1e6).cast("long").alias("corr_e6"),
+    )
 
 
 _PROFILE_COLS = (
@@ -784,16 +820,37 @@ def table_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     approx_count_distinct) — here it is exact so the oracle can be
     too."""
     orders = t(spark, sf, "orders")
-    out = None
+    # ONE aggregation row carrying all per-column stats (a union of
+    # per-column aggregates would scan orders once per column); the
+    # 6-row output explodes off that single row.  Multiple distinct
+    # aggregates cost one Expand (x6 rows pre-combine), still one scan.
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in _PROFILE_COLS:
-        row = orders.agg(
-            F.lit(c).alias("col"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
-            F.countDistinct(c).cast("long").alias("n_distinct"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        aggs.append(F.count(c).cast("long").alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+    stats = orders.agg(*aggs)
+    exploded = stats.select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _PROFILE_COLS])
+        ).alias("col"),
+        "*",
+    )
+
+    def _pick(fmt: str) -> F.Column:
+        expr = None
+        for c in _PROFILE_COLS:
+            w = F.when(F.col("col") == c, F.col(fmt.format(c)))
+            expr = w if expr is None else expr.when(
+                F.col("col") == c, F.col(fmt.format(c))
+            )
+        return expr
+
+    return exploded.select(
+        "col",
+        "n_rows",
+        (F.col("n_rows") - _pick("cnt_{}")).alias("n_nulls"),
+        _pick("nd_{}").alias("n_distinct"),
+    )
 
 
 _QUANTILES = (50, 90, 99)  # percent

@@ -208,3 +208,31 @@ def test_scd2_single_shuffle(spark):
     plan = _formatted_plan(spark, "scd2_user_tier_history")
     assert "hashpartitioning(user_id" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_corr_matrix_single_scan(spark):
+    """The correlation matrix is ONE sufficient-statistics aggregate —
+    a per-pair union would prune each branch's aggregate and scan
+    lineitem once per pair (6x)."""
+    plan = _formatted_plan(spark, "lineitem_corr_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_profile_single_scan(spark):
+    """Column profiling carries all per-column stats in one aggregate
+    row — one scan regardless of column count."""
+    plan = _formatted_plan(spark, "table_profile_orders")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_stratified_portable_map_only(spark):
+    """Hash-threshold sampling is map-only: no exchange at all."""
+    plan = _formatted_plan(spark, "stratified_sample_portable")
+    assert "Exchange" not in plan
+
+
+def test_span_dedup_no_cartesian(spark):
+    """Span census joins counts back by hash key — never a pair join."""
+    plan = _formatted_plan(spark, "dup_span_detect")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
