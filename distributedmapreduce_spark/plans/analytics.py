@@ -910,3 +910,89 @@ def event_value_quantiles_exact(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value").alias("val"),
         )
     )
+
+
+_DECILES = 10
+
+
+@query(
+    "price_decile_assign",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice, o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders),
+    bounds AS (
+      SELECT o_totalprice AS ub, o_orderkey AS ub_key
+      FROM ranked, unnest(range(1, {_DECILES})) AS u(d)
+      WHERE rn = CAST(ceil(d * n / {_DECILES}.0) AS BIGINT))
+    SELECT o.o_orderkey,
+           CAST(1 + sum(CASE WHEN b.ub < o.o_totalprice
+                              OR (b.ub = o.o_totalprice
+                                  AND b.ub_key < o.o_orderkey)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS decile
+    FROM orders o CROSS JOIN bounds b
+    GROUP BY o.o_orderkey
+    """,
+)
+def price_decile_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (decile) bucket assignment WITHOUT ntile's global
+    sort: the 9 interior boundary TUPLES (price, orderkey at rank
+    ceil(d·n/10)) are selected by exact nearest rank, collapsed into
+    one broadcast array, and each order's decile is 1 + the number of
+    boundaries lexicographically below its own tuple — a map-only
+    array scan per row, totally ordered (the orderkey tiebreak makes
+    assignment deterministic even inside value ties).  This is the
+    scale shape for quantile discretization of a 100 TB column:
+    ntile() funnels the table through ONE partition; here only the
+    9-row boundary selection uses a window (over orders — swap in the
+    bucketed two-phase cumsum at extreme n) and the assignment pass
+    has no shuffle at all."""
+    orders = t(spark, sf, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    ds = F.explode(
+        F.array(*[F.lit(d) for d in range(1, _DECILES)])
+    ).alias("d")
+    barr = (
+        ranked.select("o_totalprice", "o_orderkey", "rn", "n", ds)
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("d") * F.col("n") / float(_DECILES)).cast(
+                "long"
+            )
+        )
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_totalprice").alias("ub"),
+                    F.col("o_orderkey").alias("ub_key"),
+                )
+            ).alias("bs")
+        )
+    )
+    below = F.size(
+        F.filter(
+            F.col("bs"),
+            lambda b: (b["ub"] < F.col("o_totalprice"))
+            | (
+                (b["ub"] == F.col("o_totalprice"))
+                & (b["ub_key"] < F.col("o_orderkey"))
+            ),
+        )
+    )
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(barr))
+        .select(
+            "o_orderkey", (below + 1).cast("long").alias("decile")
+        )
+    )
