@@ -490,3 +490,65 @@ def join_full_outer_balance_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
         F.coalesce("spend_cents", F.lit(0)).cast("long").alias("spend_cents"),
     )
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT), event_id))
+    SELECT event_type, event_id, rnk AS rnk, drnk AS drnk,
+           CAST(floor((rnk - 1) * 1e6 / (n - 1)) AS BIGINT)
+             AS percent_rank_e6,
+           CAST(floor(rn * 1e6 / n) AS BIGINT) AS cume_ub_e6
+    FROM ranked
+    WHERE rn <= 20
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function battery — row_number / rank / dense_rank /
+    percent_rank / cumulative fraction over one shared window,
+    value-tied rows made deterministic two ways: the ORDER BY key is
+    exact cents (never raw doubles) with an event_id tiebreak, and
+    the fractional ranks are recomputed from INTEGER rank and n
+    ((rnk-1)·1e6/(n-1) floored) rather than taken from the engines'
+    percent_rank()/cume_dist(), whose tie semantics and double
+    division are not bit-portable.  One (event_type) shuffle serves
+    all five functions (WindowExec evaluates them in a single pass
+    over the shared frame); output capped to each group's first 20
+    rows so the check stays row-bounded at any SF."""
+    ev = t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type").orderBy(cents, "event_id")
+    wc = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 20)
+        .select(
+            "event_type",
+            "event_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("drnk").cast("long").alias("drnk"),
+            F.floor(
+                (F.col("rnk") - 1) * 1e6 / (F.col("n") - 1)
+            ).cast("long").alias("percent_rank_e6"),
+            F.floor(F.col("rn") * 1e6 / F.col("n"))
+            .cast("long")
+            .alias("cume_ub_e6"),
+        )
+    )
