@@ -222,3 +222,46 @@ def test_pipeline_v3_audit_invariants(spark):
         assert b.n_tokens <= a.n_tokens
     assert rows[-1].n_tokens <= C._P3_BUDGET
     assert rows[-1].n_docs > 0  # the budget stage actually selects
+
+
+def test_decile_assignment_equi_depth(spark):
+    """Each decile holds between floor(n/10) and ceil(n/10) orders and
+    every order is assigned exactly once."""
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    from .conftest import SF_DIR_001
+
+    rows = QUERIES["price_decile_assign"](spark, SF_DIR_001).collect()
+    n = len(rows)
+    assert len({r.o_orderkey for r in rows}) == n
+    from collections import Counter
+
+    sizes = Counter(r.decile for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    lo, hi = n // 10, -(-n // 10)
+    assert all(lo <= c <= hi for c in sizes.values()), sizes
+
+
+def test_span_dedup_counts_consistent(spark):
+    """n_dup_spans <= n_spans; and the sum of spans equals the span
+    fan-out implied by token counts (tokens // 16 per doc)."""
+    from pyspark.sql import functions as F
+
+    from distributedmapreduce_spark.functions.text import tokens
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    from .conftest import SF_DIR_001
+
+    out = QUERIES["dup_span_detect"](spark, SF_DIR_001).collect()
+    assert all(0 <= r.n_dup_spans <= r.n_spans for r in out)
+    want = (
+        spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+        .select(
+            F.floor(
+                F.size(tokens(F.col("text"), lowercase=True)) / 16
+            ).alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_spans for r in out) == want
