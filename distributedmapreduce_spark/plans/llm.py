@@ -1206,3 +1206,129 @@ def stratified_sample_portable(spark: SparkSession, sf: str) -> DataFrame:
     return docs.filter(
         _md5_uniform("strat", F.col("doc_id")) < frac
     ).select("doc_id", "lang")
+
+
+_PANN_BITS = 8  # portable ANN signature width
+_PANN_K = 3  # neighbors per query
+_PANN_NQ = 10  # query set: vec_id < 10 (same as ann_lsh_topk)
+
+
+def _pann_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN CAST(embedding[{2 * j + 1}] AS DOUBLE)"
+        f" - CAST(embedding[{2 * j + 2}] AS DOUBLE) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(_PANN_BITS)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, CAST({bucket_terms} AS BIGINT) AS bucket
+      FROM embeddings),
+    pos AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    nrm AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nn
+            FROM pos GROUP BY vec_id),
+    cand AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+      FROM sig q JOIN sig v
+        ON q.bucket = v.bucket AND v.vec_id <> q.vec_id
+      WHERE q.vec_id < {_PANN_NQ}),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, CAST(sum(a.qx * b.qx) AS BIGINT)
+               AS dot
+      FROM cand c
+      JOIN pos a ON a.vec_id = c.query_id
+      JOIN pos b ON b.vec_id = c.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na.nn AS DOUBLE))
+                           * sqrt(CAST(nb.nn AS DOUBLE))) * 1e6)
+                  AS BIGINT) AS cos_e6
+      FROM dots
+      JOIN nrm na ON na.vec_id = query_id
+      JOIN nrm nb ON nb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos_e6 FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {_PANN_K}
+    """
+
+
+@query("ann_lsh_topk_portable", oracle=_pann_oracle())
+def ann_lsh_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN with a fully ORACLE-CHECKED pipeline — the hash-verified
+    twin of ann_lsh_topk (whose seeded-numpy hyperplanes are
+    engine-internal): the 8-bit signature uses deterministic
+    coordinate-DIFFERENCE hyperplanes sign(x[2j] − x[2j+1]) — a valid
+    cosine-LSH family needing no stored planes (same trick as
+    embedding_band_buckets' scale mode) — and the within-bucket
+    rerank is an exact INTEGER-quantized cosine (dot and norms as
+    int64 sums of 1e4-tick products; the only doubles are one
+    division and two sqrts over identical integers on both engines).
+    Scale shape identical to the production query: shuffle both
+    sides on the bucket key, exact rerank only inside the query's
+    bucket, top-k by (cos, id) window per query — no cross join, no
+    stored model state."""
+    emb = t(spark, sf, "embeddings")
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1e4 + F.lit(0.5)).cast("long"),
+    )
+    bucket = None
+    for j in range(_PANN_BITS):
+        b = (
+            F.col("embedding")[2 * j].cast("double")
+            - F.col("embedding")[2 * j + 1].cast("double")
+            > 0
+        ).cast("long") * (1 << j)
+        bucket = b if bucket is None else bucket + b
+    nn = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tagged = emb.select(
+        "vec_id", qarr.alias("q"), bucket.alias("bucket")
+    ).withColumn("nn", nn)
+    qs = tagged.filter(F.col("vec_id") < _PANN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nn").alias("na"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_e6 = F.floor(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nn").cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        tagged.join(qs, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_e6.alias("cos_e6"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_e6"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PANN_K)
+        .drop("rn")
+    )

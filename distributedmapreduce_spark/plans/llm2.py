@@ -259,3 +259,169 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= top_k
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable (oracle-checked) IVF — deterministic twin of ann_ivf_topk
+# ---------------------------------------------------------------------------
+
+_PIVF_K = 8  # coarse centroids
+_PIVF_NPROBE = 2  # probed inverted lists per query
+_PIVF_TOPK = 3
+_PIVF_NQ = 10  # queries: vec_id < 10
+
+
+def _pivf_oracle() -> str:
+    from .llm3 import _md5_uniform_sql
+
+    u = _md5_uniform_sql("ivfc", "vec_id")
+    return f"""
+    WITH pos AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    nrm AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nn
+            FROM pos GROUP BY vec_id),
+    cent AS (
+      SELECT vec_id AS cid FROM embeddings
+      ORDER BY {u}, vec_id LIMIT {_PIVF_K}),
+    cos AS (
+      SELECT a.vec_id, c.cid,
+             CAST(floor(CAST(sum(a.qx * b.qx) AS BIGINT)
+                        / (sqrt(CAST(any_value(na.nn) AS DOUBLE))
+                           * sqrt(CAST(any_value(nb.nn) AS DOUBLE)))
+                        * 1e6) AS BIGINT) AS cos_e6
+      FROM pos a
+      JOIN cent c ON true
+      JOIN pos b ON b.vec_id = c.cid AND b.i = a.i
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = c.cid
+      GROUP BY a.vec_id, c.cid),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_e6 DESC, cid) AS rn
+        FROM cos)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_e6 DESC, cid) AS rn
+        FROM cos WHERE vec_id < {_PIVF_NQ})
+      WHERE rn <= {_PIVF_NPROBE}),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN assign m ON m.cid = p.cid
+      WHERE m.vec_id <> p.query_id),
+    rerank AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(floor(CAST(sum(a.qx * b.qx) AS BIGINT)
+                        / (sqrt(CAST(any_value(na.nn) AS DOUBLE))
+                           * sqrt(CAST(any_value(nb.nn) AS DOUBLE)))
+                        * 1e6) AS BIGINT) AS cos_e6
+      FROM cand c
+      JOIN pos a ON a.vec_id = c.query_id
+      JOIN pos b ON b.vec_id = c.neighbor_id AND b.i = a.i
+      JOIN nrm na ON na.vec_id = c.query_id
+      JOIN nrm nb ON nb.vec_id = c.neighbor_id
+      GROUP BY c.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id, cos_e6 FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_e6 DESC, neighbor_id) AS rn
+      FROM rerank)
+    WHERE rn <= {_PIVF_TOPK}
+    """
+
+
+@query("ann_ivf_topk_portable", oracle=_pivf_oracle())
+def ann_ivf_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with a fully ORACLE-CHECKED pipeline — hash-verified
+    twin of ann_ivf_topk (whose k-means centroids are seeded-numpy
+    engine state): the K=8 coarse centroids are the K corpus vectors
+    with the smallest md5 uniforms (deterministic random init — IVF
+    without the Lloyd iterations, which is exactly the 'IVF-FLAT,
+    random init' baseline), assignment/probing/rerank all use the
+    exact integer-quantized cosine of ann_lsh_topk_portable.  Scale
+    shape identical to the production IVF: assignment is a broadcast
+    join against K centroid vectors (linear, map-side); the search
+    probes nprobe inverted lists, never the whole corpus; the rerank
+    shuffles only probed-list members keyed by centroid id."""
+    from .llm3 import _md5_uniform
+
+    emb = t(spark, sf, "embeddings")
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1e4 + F.lit(0.5)).cast("long"),
+    )
+    nn = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tagged = emb.select("vec_id", qarr.alias("q")).withColumn("nn", nn)
+    cent = (
+        tagged.orderBy(_md5_uniform("ivfc", F.col("vec_id")), "vec_id")
+        .limit(_PIVF_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.col("nn").alias("cnn"),
+        )
+    )
+
+    def _cos(qa: str, na: str, qb: str, nb: str) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(F.col(qa), F.col(qb), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(
+            dot.cast("double")
+            / (
+                F.sqrt(F.col(na).cast("double"))
+                * F.sqrt(F.col(nb).cast("double"))
+            )
+            * 1e6
+        ).cast("long")
+
+    cos = (
+        tagged.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "q",
+            "nn",
+            "cid",
+            _cos("q", "nn", "cq", "cnn").alias("cos_e6"),
+        )
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("cos_e6"), "cid")
+    ranked = cos.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "q", "nn", "cid"
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < _PIVF_NQ) & (F.col("rn") <= _PIVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qa"),
+            F.col("nn").alias("na"),
+            "cid",
+        )
+    )
+    cand = probes.join(assign, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos("qa", "na", "q", "nn").alias("cos_e6"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos_e6"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _PIVF_TOPK)
+        .drop("rn")
+    )
