@@ -996,3 +996,150 @@ def price_decile_assign(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey", (below + 1).cast("long").alias("decile")
         )
     )
+
+
+@query(
+    "time_bucket_interpolate",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM {EVENTS_US} events),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS wstart
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    buckets AS (
+      SELECT date_trunc('hour', ts) AS wstart, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS_US} events GROUP BY 1, 2),
+    g AS (
+      SELECT gr.wstart, ty.event_type,
+             epoch(gr.wstart) // 3600 AS hpos,
+             b.cents, b.n
+      FROM grid gr CROSS JOIN types ty
+      LEFT JOIN buckets b
+        ON b.wstart = gr.wstart AND b.event_type = ty.event_type),
+    nb AS (
+      SELECT *,
+             last_value(CASE WHEN n IS NOT NULL THEN cents END
+                        IGNORE NULLS) OVER wp AS pc,
+             last_value(CASE WHEN n IS NOT NULL THEN n END
+                        IGNORE NULLS) OVER wp AS pn,
+             last_value(CASE WHEN n IS NOT NULL THEN hpos END
+                        IGNORE NULLS) OVER wp AS pp,
+             first_value(CASE WHEN n IS NOT NULL THEN cents END
+                         IGNORE NULLS) OVER wf AS nc,
+             first_value(CASE WHEN n IS NOT NULL THEN n END
+                         IGNORE NULLS) OVER wf AS nn,
+             first_value(CASE WHEN n IS NOT NULL THEN hpos END
+                         IGNORE NULLS) OVER wf AS np
+      FROM g
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY hpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type ORDER BY hpos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT wstart, event_type,
+           CAST(coalesce(n, 0) AS BIGINT) AS n,
+           CAST(floor(CASE
+             WHEN n IS NOT NULL THEN (CAST(cents AS DOUBLE) / n) * 100
+             WHEN pp IS NOT NULL AND np IS NOT NULL THEN
+               ((CAST(pc AS DOUBLE) / pn)
+                + ((CAST(nc AS DOUBLE) / nn) - (CAST(pc AS DOUBLE) / pn))
+                  * (hpos - pp) / (np - pp)) * 100
+             WHEN pp IS NOT NULL THEN (CAST(pc AS DOUBLE) / pn) * 100
+             WHEN np IS NOT NULL THEN (CAST(nc AS DOUBLE) / nn) * 100
+             ELSE 0 END) AS BIGINT) AS avg_interp_e4
+    FROM nb
+    """,
+)
+def time_bucket_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Timeseries gap INTERPOLATION (the hypertable `interpolate()` /
+    `locf()` op): hourly per-type average event value, with empty
+    buckets filled by linear interpolation between the nearest
+    observed buckets (carry-forward / carry-back at the series
+    edges).  All inputs to the interpolation are exact integers
+    (cents sums, counts, hour positions), and both engines run the
+    identical IEEE chain on them, so even the 1e-4-tick cast is
+    bit-stable.  Scale: same shape as time_bucket_gapfill — one
+    corpus-sized aggregate, then windows over the (time-range x
+    types) GRID, which is metadata-sized (a year of hours x 1000
+    types < 9M rows) regardless of event volume; the forward/backward
+    IGNORE NULLS frames are each one pass over that grid."""
+    ev = t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    buckets = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+    ).agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("wstart")
+    )
+    types = ev.select("event_type").distinct()
+    g = (
+        grid.crossJoin(types)
+        .join(F.broadcast(buckets), ["wstart", "event_type"], "left")
+        .withColumn(
+            "hpos", (F.unix_timestamp("wstart") / 3600).cast("long")
+        )
+    )
+    present = F.col("n").isNotNull()
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("hpos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("hpos")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    nb = (
+        g.withColumn(
+            "pc", F.last(F.when(present, F.col("cents")), True).over(wp)
+        )
+        .withColumn(
+            "pn", F.last(F.when(present, F.col("n")), True).over(wp)
+        )
+        .withColumn(
+            "pp", F.last(F.when(present, F.col("hpos")), True).over(wp)
+        )
+        .withColumn(
+            "nc", F.first(F.when(present, F.col("cents")), True).over(wf)
+        )
+        .withColumn(
+            "nn", F.first(F.when(present, F.col("n")), True).over(wf)
+        )
+        .withColumn(
+            "np", F.first(F.when(present, F.col("hpos")), True).over(wf)
+        )
+    )
+    pavg = F.col("pc").cast("double") / F.col("pn")
+    navg = F.col("nc").cast("double") / F.col("nn")
+    interp = (
+        F.when(present, F.col("cents").cast("double") / F.col("n"))
+        .when(
+            F.col("pp").isNotNull() & F.col("np").isNotNull(),
+            pavg
+            + (navg - pavg)
+            * (F.col("hpos") - F.col("pp"))
+            / (F.col("np") - F.col("pp")),
+        )
+        .when(F.col("pp").isNotNull(), pavg)
+        .when(F.col("np").isNotNull(), navg)
+        .otherwise(F.lit(0.0))
+    )
+    return nb.select(
+        "wstart",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.floor(interp * 100).cast("long").alias("avg_interp_e4"),
+    )
