@@ -552,3 +552,55 @@ def window_rank_battery(spark: SparkSession, sf: str) -> DataFrame:
             .alias("cume_ub_e6"),
         )
     )
+
+
+_LC_K = 4096  # linear-counting bucket space
+
+
+def _lc_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    # arithmetic hex decode (_md5_u32_sql), NOT CAST('0x..' AS BIGINT):
+    # the cast form needs DuckDB >= 0.10 (ORACLE_PORTABILITY.md)
+    return f"""
+    WITH b AS (
+      SELECT DISTINCT {_md5_u32_sql("lc", "o_custkey")} % {_LC_K} AS bkt
+      FROM orders),
+    e AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd
+          FROM orders)
+    SELECT CAST({_LC_K} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS v_occupied,
+           exact_nd
+    FROM e
+    """
+
+
+@query("approx_distinct_linear_portable", oracle=_lc_oracle())
+def approx_distinct_linear_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-counting distinct sketch with a PORTABLE hash — the
+    oracle-checkable twin of approx_count_distinct (whose HLL++
+    registers are engine-internal): hash each o_custkey into one of
+    4096 md5-derived buckets; the sketch state is the OCCUPIED-BUCKET
+    count V, a pure integer both engines reproduce bit-for-bit.  The
+    estimator  n̂ = −K·ln(1 − V/K)  is evaluated in the TEST (within
+    tolerance of exact), not in the hash — ln() is libm-dependent and
+    the one thing here that is not bit-portable.  exact_nd rides
+    along so the artifact shows sketch-vs-truth at a glance.  Scale:
+    the sketch is a 4096-cell bitmap — DISTINCT on the bucket id
+    reduces map-side to ≤K rows per partition, then one tiny
+    aggregate; mergeable across any partitioning, which is the whole
+    point of sketches at 100 TB (HLL's union = max is the production
+    path; this is the checkable baseline)."""
+    from .llm3 import _md5_u32
+
+    orders = t(spark, sf, "orders")
+    bkt = (_md5_u32("lc", F.col("o_custkey")) % _LC_K).alias("bkt")
+    v = orders.select(bkt).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v_occupied")
+    )
+    e = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_nd")
+    )
+    return v.crossJoin(e).select(
+        F.lit(_LC_K).cast("long").alias("k"), "v_occupied", "exact_nd"
+    )

@@ -65,3 +65,19 @@ def test_global_shuffle_shards_are_balanced_partition(spark):
         by_shard.setdefault(r.shard_id, []).append(r.pos)
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_linear_counting_estimator_accuracy(spark):
+    """The linear-counting estimate -K*ln(1-V/K) derived from the
+    sketch state must land within 5% of the exact distinct count
+    (ln() is evaluated here, not in the oracle hash — libm is the
+    one non-bit-portable piece)."""
+    import math
+
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    r = QUERIES["approx_distinct_linear_portable"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    est = -r.k * math.log(1 - r.v_occupied / r.k)
+    assert abs(est - r.exact_nd) / r.exact_nd < 0.05, (est, r.exact_nd)
