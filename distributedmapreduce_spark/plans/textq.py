@@ -589,3 +589,123 @@ def doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "w.n_fps", "w.fp_digest")
         .filter(F.col("n_fps").isNotNull())
     )
+
+
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to the
+# synthetic corpus), every threshold an INTEGER cross-multiplication so
+# no ratio ever floats through the oracle hash:
+#   len:     5 <= n_tokens <= 100000
+#   wordlen: 2 <= mean word length <= 12   (2n <= chars <= 12n)
+#   rep:     top bigram <= 1/8 of bigrams  (8*max_c <= total_c)
+#   stop:    stopwords >= 2% of tokens     (50*stops >= n_tokens)
+_GQ_MIN_TOK, _GQ_MAX_TOK = 5, 100_000
+_GQ_WL_LO, _GQ_WL_HI = 2, 12
+_GQ_REP_DEN = 8
+_GQ_STOP_DEN = 50
+
+
+def _gq_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n,
+             CAST(len(array_to_string(ws, '')) AS BIGINT) AS chars,
+             CAST(len(list_filter(ws, x -> list_contains([{stops}], x)))
+                  AS BIGINT) AS stops
+      FROM toks),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+      FROM toks, unnest(range(1, len(ws))) AS u(i)),
+    bgc AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c,
+             CAST(sum(c) AS BIGINT) AS tot_c
+      FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+      GROUP BY doc_id)
+    SELECT base.doc_id,
+           (n >= {_GQ_MIN_TOK} AND n <= {_GQ_MAX_TOK}) AS f_len,
+           (chars >= {_GQ_WL_LO} * n AND chars <= {_GQ_WL_HI} * n)
+             AS f_wordlen,
+           (coalesce({_GQ_REP_DEN} * bgc.max_c <= bgc.tot_c, TRUE))
+             AS f_rep,
+           ({_GQ_STOP_DEN} * stops >= n) AS f_stop,
+           ((n >= {_GQ_MIN_TOK} AND n <= {_GQ_MAX_TOK})
+            AND (chars >= {_GQ_WL_LO} * n AND chars <= {_GQ_WL_HI} * n)
+            AND coalesce({_GQ_REP_DEN} * bgc.max_c <= bgc.tot_c, TRUE)
+            AND ({_GQ_STOP_DEN} * stops >= n)) AS pass_all
+    FROM base LEFT JOIN bgc ON bgc.doc_id = base.doc_id
+    WHERE n > 0
+    """
+
+
+@query("gopher_quality_flags", oracle=_gq_oracle())
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality screen (Rae et al. 2021): per-document
+    boolean flags for token-count bounds, mean-word-length bounds,
+    top-bigram repetition, and stopword presence, plus the composite
+    pass — the classic rule battery a pretraining corpus is filtered
+    through before model-based scoring.  Every threshold is an integer
+    CROSS-MULTIPLICATION (8·max_bigram <= total_bigrams, not
+    max/total <= 0.125), so the oracle compares integers and booleans
+    only — no ratio boundary can float.  Docs with zero bigrams pass
+    the repetition rule vacuously (coalesce TRUE) on both engines.
+    Scale: one corpus scan computes the per-doc integer stats with
+    array HOFs; the bigram aggregate reduces map-side to (doc,
+    distinct-bigram) then one row per doc; the final join is
+    doc-keyed."""
+    docs = t(spark, sf, "documents")
+    ws = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("n"),
+        F.length(F.concat_ws("", ws)).cast("long").alias("chars"),
+        F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("stops"),
+    ).filter(F.col("n") > 0)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.col("ws"),
+                F.slice(
+                    F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                ),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("b"),
+    ).filter(~F.col("b").rlike(" $") & F.col("b").contains(" "))
+    bgc = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("max_c"),
+            F.sum("c").cast("long").alias("tot_c"),
+        )
+    )
+    j = base.join(bgc, "doc_id", "left")
+    f_len = (F.col("n") >= _GQ_MIN_TOK) & (F.col("n") <= _GQ_MAX_TOK)
+    f_wordlen = (F.col("chars") >= _GQ_WL_LO * F.col("n")) & (
+        F.col("chars") <= _GQ_WL_HI * F.col("n")
+    )
+    f_rep = F.coalesce(
+        _GQ_REP_DEN * F.col("max_c") <= F.col("tot_c"), F.lit(True)
+    )
+    f_stop = _GQ_STOP_DEN * F.col("stops") >= F.col("n")
+    return j.select(
+        "doc_id",
+        f_len.alias("f_len"),
+        f_wordlen.alias("f_wordlen"),
+        f_rep.alias("f_rep"),
+        f_stop.alias("f_stop"),
+        (f_len & f_wordlen & f_rep & f_stop).alias("pass_all"),
+    )
