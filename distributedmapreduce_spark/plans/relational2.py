@@ -604,3 +604,62 @@ def approx_distinct_linear_portable(spark: SparkSession, sf: str) -> DataFrame:
     return v.crossJoin(e).select(
         F.lit(_LC_K).cast("long").alias("k"), "v_occupied", "exact_nd"
     )
+
+
+_SKEW_TOPK = 10
+
+
+@query(
+    "join_key_skew_profile",
+    oracle=f"""
+    WITH freq AS (
+      SELECT o_custkey AS key, count(*) AS c
+      FROM orders GROUP BY o_custkey),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM freq)
+    SELECT f.key, CAST(f.c AS BIGINT) AS c, s.n_keys, s.n_rows,
+           CAST(floor(CAST(f.c AS DOUBLE) * s.n_keys / s.n_rows * 1e4)
+                AS BIGINT) AS skew_x_e4
+    FROM freq f CROSS JOIN stats s
+    ORDER BY f.c DESC, f.key
+    LIMIT {_SKEW_TOPK}
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew profiler: the top heavy-hitter keys of
+    orders.o_custkey with each key's frequency and its skew factor
+    (frequency / mean frequency, 1e-4 ticks) — the diagnostic run
+    BEFORE choosing a mitigation (broadcast the other side, salt this
+    key — operators/skew.py — or lean on AQE skew-join).  At 100 TB
+    the per-key aggregate reduces map-side and the global stats row
+    broadcasts; only the top-k survive the limit, so the output is
+    bounded at any scale.  The skew factor's only double op is one
+    multiply-divide chain on identical integers."""
+    orders = t(spark, sf, "orders")
+    freq = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("c").cast("long").alias("c"),
+            "n_keys",
+            "n_rows",
+            F.floor(
+                F.col("c").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+                * 1e4
+            ).cast("long").alias("skew_x_e4"),
+        )
+        .orderBy(F.desc("c"), "key")
+        .limit(_SKEW_TOPK)
+    )
