@@ -567,69 +567,142 @@ def pagerank_event_types(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "event_robust_outliers",
     oracle="""
-    WITH st AS (
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    st AS (
       SELECT event_type,
-             quantile_cont(value, 0.5)  AS med,
-             quantile_cont(value, 0.01) AS p01,
-             quantile_cont(value, 0.99) AS p99
-      FROM events GROUP BY event_type),
+             max(CASE WHEN rn = CAST(ceil(50 * n / 100.0) AS BIGINT)
+                      THEN cents END) AS med_c,
+             max(CASE WHEN rn = CAST(ceil(1 * n / 100.0) AS BIGINT)
+                      THEN cents END) AS p01_c,
+             max(CASE WHEN rn = CAST(ceil(99 * n / 100.0) AS BIGINT)
+                      THEN cents END) AS p99_c
+      FROM r GROUP BY event_type),
+    d AS (
+      SELECT c.event_type, abs(c.cents - st.med_c) AS dev,
+             c.event_id
+      FROM c JOIN st USING (event_type)),
+    dr AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
     md AS (
-      SELECT e.event_type,
-             quantile_cont(abs(e.value - st.med), 0.5) AS mad
-      FROM events e JOIN st USING (event_type)
-      GROUP BY e.event_type)
-    SELECT e.event_id, e.event_type, e.value,
-           round(0.6745 * (e.value - st.med) / nullif(md.mad, 0), 4)
-             AS robust_z,
-           coalesce(abs(round(0.6745 * (e.value - st.med)
-                              / nullif(md.mad, 0), 4)) > 3.5, FALSE)
+      SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(50 * n / 100.0) AS BIGINT)
+                      THEN dev END) AS mad_c
+      FROM dr GROUP BY event_type)
+    SELECT c.event_id, c.event_type, c.value,
+           CAST(floor(CAST(0.6745 AS DOUBLE) * (c.cents - st.med_c)
+                      / nullif(md.mad_c, 0) * 1e4 + 0.5) AS BIGINT)
+             AS robust_z_e4,
+           coalesce(abs(floor(CAST(0.6745 AS DOUBLE)
+                              * (c.cents - st.med_c)
+                              / nullif(md.mad_c, 0) * 1e4 + 0.5)) > 35000,
+                    FALSE)
              AS is_outlier,
-           round(least(greatest(e.value, st.p01), st.p99), 4)
+           round(least(greatest(c.cents, st.p01_c), st.p99_c) / 100.0, 4)
              AS value_winsor
-    FROM events e JOIN st USING (event_type) JOIN md USING (event_type)
+    FROM c JOIN st USING (event_type) JOIN md USING (event_type)
     """,
 )
 def event_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust (median/MAD) outlier detection + winsorization of
     events.value per event type: robust_z = 0.6745 (value - median) /
     MAD, flagged beyond |3.5| (Iglewicz-Hoskin rule), and the value
-    clamped to [p1, p99] — the standard metric-cleaning pass before
-    aggregation at lake scale, immune to the outliers it detects
-    (unlike mean/stddev z-scores).  The outlier flag compares the
-    ROUNDED z on both engines so the cutoff is evaluated on identical
-    doubles.  Scale: two grouped exact-percentile aggregates over a
-    bounded type set (GK-sketch approx percentiles are the drop-in at
-    100 TB — see approx_quantiles), then a broadcast join back; the
-    event stream itself is never shuffled."""
+    clamped to [p1, p99].  All percentiles are NEAREST-RANK selections
+    over exact CENTS — round 4's full-registry 10x sweep caught the
+    interpolating formulation (Spark percentile vs DuckDB
+    quantile_cont) drifting one ulp apart at 1M rows and flipping the
+    4dp round; with integer inputs the z chain is one identical IEEE
+    sequence on both engines at any scale.  Scale: two grouped
+    rank-selection passes over a bounded type set (GK-sketch approx
+    percentiles are the drop-in at 100 TB — see approx_quantiles),
+    then a broadcast join back; the event stream itself is never
+    shuffled."""
     ev = t(spark, sf, "events")
-    st = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med"),
-        F.percentile("value", F.lit(0.01)).alias("p01"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+    c = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    md = (
-        ev.join(F.broadcast(st), "event_type")
-        .groupBy("event_type")
-        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
-             .alias("mad"))
+
+    def _rank_pick(df: DataFrame, col: str, qs: dict) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        wc = W.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        return r.groupBy("event_type").agg(
+            *[
+                F.max(
+                    F.when(
+                        # integer-percent form: pct*n is an exact int
+                        # and /100.0 is exact whenever the quotient is
+                        # an integer — ceil(0.01*n) would evaluate the
+                        # INEXACT double 0.01 here while DuckDB's bare
+                        # decimal literal is exact DECIMAL arithmetic
+                        F.col("rn")
+                        == F.ceil(F.lit(q) * F.col("n") / 100.0).cast(
+                            "long"
+                        ),
+                        F.col(col),
+                    )
+                ).alias(alias)
+                for alias, q in qs.items()
+            ]
+        )
+
+    st = _rank_pick(
+        c, "cents", {"med_c": 50, "p01_c": 1, "p99_c": 99}
     )
-    z = F.round(
+    d = c.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("med_c")).alias("dev"),
+    )
+    md = _rank_pick(d, "dev", {"mad_c": 50})
+    # floor(x*1e4 + 0.5) NOT round(x, 4): Spark's round() goes through
+    # the double's shortest DECIMAL string (BigDecimal HALF_UP) while
+    # DuckDB scales and rounds the binary double — on decimal-looking
+    # ties (rational cents ratios produce them) the two legitimately
+    # differ in the last tick.  floor on the identical double is
+    # bit-deterministic.  Caught by the 10x full-registry sweep.
+    z_e4 = F.floor(
         F.lit(0.6745)
-        * (F.col("value") - F.col("med"))
-        / F.nullif(F.col("mad"), F.lit(0)),
-        4,
-    )
+        * (F.col("cents") - F.col("med_c"))
+        / F.nullif(F.col("mad_c"), F.lit(0))
+        * 1e4
+        + 0.5
+    ).cast("long")
     return (
-        ev.join(F.broadcast(st), "event_type")
+        c.join(F.broadcast(st), "event_type")
         .join(F.broadcast(md), "event_type")
         .select(
             "event_id",
             "event_type",
             "value",
-            z.alias("robust_z"),
-            F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"),
+            z_e4.alias("robust_z_e4"),
+            F.coalesce(F.abs(z_e4) > 35000, F.lit(False)).alias(
+                "is_outlier"
+            ),
             F.round(
-                F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")),
+                F.least(
+                    F.greatest(F.col("cents"), F.col("p01_c")),
+                    F.col("p99_c"),
+                )
+                / 100.0,
                 4,
             ).alias("value_winsor"),
         )

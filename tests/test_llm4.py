@@ -116,22 +116,31 @@ def test_pagerank_mass_conserved(spark):
 
 
 def test_winsorized_values_clamped(spark):
+    """Nearest-rank cents bounds (the query's round-4 semantics: no
+    cross-engine percentile interpolation) computed by an independent
+    driver-side replay."""
+    import math
+
     out = QUERIES["event_robust_outliers"](spark, SF01)
-    st = (
+    rows = (
         spark.read.parquet(f"{SF01}/events.parquet")
-        .groupBy("event_type")
-        .agg(
-            F.percentile("value", F.lit(0.01)).alias("p01"),
-            F.percentile("value", F.lit(0.99)).alias("p99"),
-        )
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
         .collect()
     )
-    bounds = {r.event_type: (r.p01, r.p99) for r in st}
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    bounds = {}
+    for ty, cs in by_type.items():
+        cs.sort()
+        n = len(cs)
+        pick = lambda pct: cs[math.ceil(pct * n / 100.0) - 1]  # noqa: E731
+        bounds[ty] = (pick(1) / 100.0, pick(99) / 100.0)
     for r in out.collect():
         lo, hi = bounds[r.event_type]
-        assert lo - 1e-4 <= r.value_winsor <= hi + 1e-4
+        assert lo - 1e-9 <= r.value_winsor <= hi + 1e-9
         if r.is_outlier:
-            assert abs(r.robust_z) > 3.5
+            assert abs(r.robust_z_e4) > 35000
 
 
 def test_full_outer_covers_both_sides(spark):
