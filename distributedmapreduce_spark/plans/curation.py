@@ -454,7 +454,7 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BOILER_FRAC = 0.07  # a shingle is boilerplate if df > 7% of the corpus
+_BOILER_NUM, _BOILER_DEN = 7, 100  # boilerplate when df > 7% of corpus
 
 
 @query(
@@ -472,7 +472,8 @@ _BOILER_FRAC = 0.07  # a shingle is boilerplate if df > 7% of the corpus
         FROM toks WHERE len(ws) >= 2)),
     ndocs AS (SELECT count(*) AS n FROM documents),
     df AS (
-      SELECT s, count(*) > (SELECT {_BOILER_FRAC} * n FROM ndocs)
+      SELECT s, {_BOILER_DEN} * count(*) > (SELECT {_BOILER_NUM} * n
+                                            FROM ndocs)
                AS is_boiler
       FROM sh GROUP BY s)
     SELECT sh.doc_id,
@@ -504,8 +505,14 @@ def boilerplate_shingle_score(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(shingles(F.col("text"), n=2)).alias("s")
     )
     n_docs = docs.count()  # O(metadata) scalar, not a hot-path collect
+    # integer cross-multiplication, not 0.07*n: DuckDB evaluates the
+    # bare decimal literal in EXACT DECIMAL arithmetic while the Spark
+    # side is a double — an exact-boundary df would flip between
+    # engines (ORACLE_PORTABILITY.md, round-4 rules)
     df_flags = sh.groupBy("s").agg(
-        (F.count(F.lit(1)) > _BOILER_FRAC * n_docs).alias("is_boiler")
+        (_BOILER_DEN * F.count(F.lit(1)) > _BOILER_NUM * n_docs).alias(
+            "is_boiler"
+        )
     )
     joined = sh.join(df_flags, "s")
     return joined.groupBy("doc_id").agg(
