@@ -53,51 +53,78 @@ def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(round(l_quantity) AS BIGINT))                  AS sq,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))       AS sbp_c,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4, 0)
+                      AS BIGINT))                                    AS sdp_t,
+             sum(CAST(round(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 1e6, 0) AS BIGINT))      AS sc_t,
+             sum(CAST(round(l_discount * 100) AS BIGINT))            AS sd_c,
+             count(*)                                                AS n
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4, 0)
-                    AS BIGINT)) / 1e4                                       AS sum_disc_price,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 1e6, 0) AS BIGINT)) / 1e6                       AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sq AS DOUBLE)                                AS sum_qty,
+           sbp_c / 100.0                                     AS sum_base_price,
+           sdp_t / 1e4                                       AS sum_disc_price,
+           sc_t / 1e6                                        AS sum_charge,
+           floor(CAST(sq AS DOUBLE) / n * 1e4 + 0.5) / 1e4   AS avg_qty,
+           floor(sbp_c / 100.0 / n * 1e4 + 0.5) / 1e4        AS avg_price,
+           floor(sd_c / 100.0 / n * 1e4 + 0.5) / 1e4         AS avg_disc,
+           n                                                 AS count_order
+    FROM g
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape — the canonical wide-agg scan."""
     li = t(spark, sf, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # EVERY sum runs as an exact scaled-long aggregate (values are
+    # 0/2dp-exact): a plain double sum accumulates ~n·ulp(total) error
+    # — ~1.5e2 absolute at the 100x replica's 2.8e11 totals — so its
+    # 2dp round flips between engines whenever a group total lands on
+    # a boundary (caught by the round-4 100x spot-check).  The avgs
+    # are rebuilt from the exact sums with the floor(x*1e4+0.5) tick
+    # rule (same for positives as round-half-up, and immune to
+    # Spark's decimal-string rounding path).  Long overflow only past
+    # ~9e12 in the charge column — repartition the group or widen the
+    # scale there.
+    g = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # the big product sums reach ~1e9 at sf0.1, where a 4/6dp
-            # round sits BELOW double ulp and engines disagree in the
-            # last digit; summing the 4/6dp-exact products as scaled
-            # longs is exact, engine-identical, AND stays inside
-            # vectorized long-sum codegen (a decimal aggregate costs
-            # ~2x here); overflows long only past ~9e12 in the charge
-            # column — repartition the group or widen the scale there
-            F.sum(F.round(disc * 1e4, 0).cast("long")).alias("__sdp"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sq"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("sbp_c"),
+            F.sum(F.round(disc * 1e4, 0).cast("long")).alias("sdp_t"),
             F.sum(
                 F.round(disc * (1 + F.col("l_tax")) * 1e6, 0).cast("long")
-            ).alias("__sc"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            ).alias("sc_t"),
+            F.sum(
+                F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("sd_c"),
+            F.count(F.lit(1)).alias("n"),
         )
-        .withColumn("sum_disc_price", F.col("__sdp") / 1e4)
-        .withColumn("sum_charge", F.col("__sc") / 1e6)
-        .drop("__sdp", "__sc")
+    )
+
+    def _tick4(x):
+        return F.floor(x * 1e4 + 0.5) / 1e4
+
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        (F.col("sbp_c") / 100.0).alias("sum_base_price"),
+        (F.col("sdp_t") / 1e4).alias("sum_disc_price"),
+        (F.col("sc_t") / 1e6).alias("sum_charge"),
+        _tick4(F.col("sq").cast("double") / F.col("n")).alias("avg_qty"),
+        _tick4(F.col("sbp_c") / 100.0 / F.col("n")).alias("avg_price"),
+        _tick4(F.col("sd_c") / 100.0 / F.col("n")).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
@@ -141,7 +168,8 @@ def approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "rollup_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -152,7 +180,12 @@ def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # exact cents: the grand-total double sum drifts past the
+            # 2dp round at ~1e12 magnitudes (100x replica find)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("total"),
         )
     )
 
@@ -210,7 +243,8 @@ def pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     "join_inner_cust_orders",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+             AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -222,7 +256,12 @@ def join_inner_cust_orders(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact cents (100x replica find: ~7e11 double sums drift
+            # past the 2dp round boundary)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("revenue"),
         )
     )
 
