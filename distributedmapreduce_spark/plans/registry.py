@@ -37,6 +37,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     llm2,
     llm3,
     llm4,
+    llm5,
     mmq,
     relational,
     relational2,

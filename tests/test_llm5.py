@@ -1,0 +1,143 @@
+"""Invariants for the round-4 extension ops (plans/llm5.py) beyond
+their oracle hash-match: prefix-filter losslessness against a
+brute-force all-pairs Jaccard, Bloom-filter zero-false-negative
+guarantee, phrase-adjacency parity with a Python scan, rolling-window
+parity with a per-user Python replay, and OLS parity with numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distributedmapreduce_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _shingle_set(text: str) -> set[str]:
+    ws = [w for w in text.lower().split(" ") if w]
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+def test_prefix_join_matches_bruteforce(spark):
+    """The prefix filter is LOSSLESS: result == brute-force all-pairs
+    Jaccard >= 1/2 within (lang, source) blocks."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_block: dict[tuple, list] = {}
+    for r in docs:
+        sh = _shingle_set(r.text)
+        if sh:
+            by_block.setdefault((r.lang, r.source), []).append((r.doc_id, sh))
+    expected = set()
+    for block in by_block.values():
+        for i in range(len(block)):
+            for j in range(i + 1, len(block)):
+                (da, sa), (db, sb) = block[i], block[j]
+                if da > db:
+                    (da, sa), (db, sb) = (db, sb), (da, sa)
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                if inter * 2 >= union:
+                    expected.add((da, db, inter, union))
+    got = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union)
+        for r in QUERIES["set_similarity_prefix_join"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """A Bloom filter admits every true match (no false negatives), and
+    per-status n_true equals the exact semi-join count."""
+    out = {
+        r.o_orderstatus: r
+        for r in QUERIES["bloom_semi_join_audit"](spark, SF).collect()
+    }
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    build = {r.c_custkey for r in cust.filter(F.col("c_acctbal") > 9000).collect()}
+    truth: dict[str, int] = {}
+    for r in orders.select("o_orderstatus", "o_custkey").collect():
+        if r.o_custkey in build:
+            truth[r.o_orderstatus] = truth.get(r.o_orderstatus, 0) + 1
+    for status, n in truth.items():
+        assert out[status].n_true == n
+        assert out[status].n_candidates >= n
+        assert out[status].n_false_pos == out[status].n_candidates - n
+
+
+def test_phrase_search_matches_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    expected = {}
+    for phrase in ("join filter", "sort key", "query key scan"):
+        pw = phrase.split()
+        k = len(pw)
+        for r in docs:
+            ws = [w for w in r.text.lower().split(" ") if w]
+            hits = [
+                i + 1
+                for i in range(len(ws) - k + 1)
+                if ws[i : i + k] == pw
+            ]
+            if hits:
+                expected[(r.doc_id, phrase)] = (len(hits), hits[0])
+    got = {
+        (r.doc_id, r.phrase): (r.n_occurrences, r.first_pos)
+        for r in QUERIES["phrase_search_positions"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_rolling_window_matches_python_replay(spark):
+    rows = QUERIES["window_time_range_rolling"](spark, SF).collect()
+    from distributedmapreduce_spark.sources.testdata import load_table
+
+    events = sorted(
+        (
+            (r.user_id, r.sec, r.event_id, r.cents)
+            for r in load_table(spark, "events", SF)
+            .select(
+                "event_id",
+                "user_id",
+                (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .collect()
+        )
+    )
+    by_user: dict[int, list] = {}
+    for u, sec, eid, cents in events:
+        by_user.setdefault(u, []).append((sec, eid, cents))
+    expected = {}
+    for u, evs in by_user.items():
+        for sec, eid, _ in evs:
+            in_frame = [e for e in evs if sec - 3600 <= e[0] <= sec]
+            expected[eid] = (len(in_frame), sum(e[2] for e in in_frame))
+    got = {r.event_id: (r.n_1h, r.sum_cents_1h) for r in rows}
+    assert got == expected
+
+
+def test_ols_matches_numpy(spark):
+    rows = QUERIES["groupwise_ols_price_qty"](spark, SF01).collect()
+    li = (
+        spark.read.parquet(f"{SF01}/lineitem.parquet")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    groups: dict[tuple, list] = {}
+    for r in li:
+        groups.setdefault((r.l_returnflag, r.l_linestatus), []).append((r.x, r.y))
+    assert rows
+    for r in rows:
+        xs, ys = zip(*groups[(r.l_returnflag, r.l_linestatus)])
+        slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+        corr = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r.slope_cents - slope) < max(1e-3, abs(slope) * 1e-5)
+        assert abs(r.intercept_cents - intercept) < max(0.5, abs(intercept) * 1e-4)
+        assert abs(r.r2 - corr**2) < 1e-5
