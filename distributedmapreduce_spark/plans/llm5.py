@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles as _shingles, tokens as _tokens
 from .core import EVENTS_US, query, t
+from .llm3 import _md5_u32, _md5_u32_sql, _md5_uniform, _md5_uniform_sql
 
 # --------------------------------------------------------------------------
 # Prefix-filtered set-similarity self-join (PPJoin-lite, lossless)
@@ -481,4 +482,102 @@ def groupwise_ols_price_qty(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(cov_n * cov_n / (varx_n * vary_n) * 1e6 + 0.5) / 1e6).alias(
             "r2"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir sample per group (A-ES, portable)
+# --------------------------------------------------------------------------
+
+_AES_K = 4  # sample size per event type
+
+
+@query(
+    "weighted_sample_aes",
+    oracle=f"""
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY -ln(({_md5_u32_sql('aes', 'event_id')} + 1)
+                           / 4294967296.0)
+                        / CAST(round(value * 100) AS BIGINT),
+                        event_id) AS rn
+      FROM {EVENTS_US}
+      WHERE round(value * 100) >= 1)
+    WHERE rn <= {_AES_K}
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=4 per event type, via
+    the A-ES exponential-race key (Efraimidis-Spirakis): rank by
+    ``-ln(u)/w`` ascending with the portable md5 uniform, keep the top
+    k.  This is THE distributed weighted-sampling primitive — a
+    per-group top-k over a map-side-computable key, one shuffle on the
+    group, mergeable partial top-ks, no sequential reservoir state.
+    Complements sample_k_per_group (unweighted) and
+    quality_weighted_sample (Bernoulli, variable size).  The rank key
+    uses one transcendental (ln); a cross-engine rank flip would need
+    two md5-derived keys within ~1 ulp of each other — the same
+    measure-zero class as transcendental-valued rounds
+    (ORACLE_PORTABILITY.md).  u is (u32+1)/2^32 in (0,1], so ln is
+    finite everywhere; weights are exact positive cents."""
+    ev = t(spark, sf, "events").filter(F.round(F.col("value") * 100) >= 1)
+    u = (_md5_u32("aes", F.col("event_id")) + 1) / F.lit(4294967296.0)
+    key = -F.log(u) / F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type").orderBy(key, "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AES_K)
+        .select("event_type", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-independent additive table checksum (reconciliation primitive)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "table_checksum_additive",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           sum({_md5_u32_sql(
+               'cks',
+               "concat_ws('|', CAST(o_orderkey AS VARCHAR),"
+               " CAST(o_custkey AS VARCHAR), o_orderstatus,"
+               " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),"
+               " CAST(CAST(o_orderdate AS DATE) AS VARCHAR),"
+               " o_orderpriority)",
+           )}) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def table_checksum_additive(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent per-bucket table checksum: md5-u32 of a
+    canonical row serialization, SUMMED per o_orderstatus.  Addition
+    is commutative/associative, so the checksum is identical for any
+    row order, partitioning, or merge schedule — which is exactly how
+    you verify a 100 TB copy/migration without sorting either side
+    (compare (n_rows, checksum) per bucket; a single changed row moves
+    the sum).  Canonical form pins every engine-variant surface:
+    doubles ship as exact cents, timestamps as ISO DATE strings.
+    Map-side combinable single scan; sum of u32s overflows long only
+    past ~2e9 rows per bucket — bucket finer or widen to DECIMAL
+    there."""
+    o = t(spark, sf, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_md5_u32("cks", canon)).alias("checksum"),
     )

@@ -141,3 +141,83 @@ def test_ols_matches_numpy(spark):
         assert abs(r.slope_cents - slope) < max(1e-3, abs(slope) * 1e-5)
         assert abs(r.intercept_cents - intercept) < max(0.5, abs(intercept) * 1e-4)
         assert abs(r.r2 - corr**2) < 1e-5
+
+
+def test_weighted_sample_is_k_per_group_and_biased(spark):
+    """A-ES: exactly k rows per event_type, and the weighted sample's
+    mean weight exceeds the population mean (heavier rows are
+    preferred) across groups on average."""
+    import math
+
+    from distributedmapreduce_spark.sources.testdata import load_table
+
+    out = QUERIES["weighted_sample_aes"](spark, SF01).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r.event_id)
+    ev = {
+        r.event_id: (r.event_type, round(r.value * 100))
+        for r in load_table(spark, "events", SF01)
+        .select("event_id", "event_type", "value")
+        .collect()
+    }
+    for ids in by_type.values():
+        assert len(ids) == 4
+    # replay A-ES in python: the selected ids must equal the top-k by
+    # -ln(u)/w with the same md5 uniform
+    import hashlib
+
+    def key(eid, w):
+        u32 = int(hashlib.md5(f"aes:{eid}".encode()).hexdigest()[:8], 16)
+        u = (u32 + 1) / 4294967296.0
+        return (-math.log(u) / w, eid)
+
+    expect: dict[str, list] = {}
+    for eid, (etype, cents) in ev.items():
+        if cents >= 1:
+            expect.setdefault(etype, []).append((key(eid, cents), eid))
+    for etype, rows in expect.items():
+        top = [eid for _, eid in sorted(rows)[:4]]
+        assert sorted(by_type[etype]) == sorted(top)
+
+
+def test_table_checksum_detects_any_single_row_change(spark):
+    """(n_rows, checksum) matches a python replay, and flipping one
+    row's price changes exactly that bucket's checksum."""
+    import hashlib
+
+    out = {
+        r.o_orderstatus: (r.n_rows, r.checksum)
+        for r in QUERIES["table_checksum_additive"](spark, SF).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "CAST(round(o_totalprice * 100) AS LONG) AS cents",
+            "CAST(CAST(o_orderdate AS DATE) AS STRING) AS d",
+            "o_orderpriority",
+        )
+        .collect()
+    )
+
+    def u32(canon: str) -> int:
+        return int(hashlib.md5(f"cks:{canon}".encode()).hexdigest()[:8], 16)
+
+    expect: dict[str, list] = {}
+    for r in rows:
+        canon = "|".join(
+            [str(r.o_orderkey), str(r.o_custkey), r.o_orderstatus,
+             str(r.cents), r.d, r.o_orderpriority]
+        )
+        expect.setdefault(r.o_orderstatus, []).append(u32(canon))
+    for status, hs in expect.items():
+        assert out[status] == (len(hs), sum(hs))
+    # single-row sensitivity: perturbing one row's cents moves the sum
+    r0 = rows[0]
+    canon0 = "|".join(
+        [str(r0.o_orderkey), str(r0.o_custkey), r0.o_orderstatus,
+         str(r0.cents), r0.d, r0.o_orderpriority]
+    )
+    canon1 = canon0.replace(f"|{r0.cents}|", f"|{r0.cents + 1}|", 1)
+    assert u32(canon1) != u32(canon0)
