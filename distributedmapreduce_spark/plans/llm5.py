@@ -227,8 +227,8 @@ def _bloom_h(tag: str, col) -> F.Column:
       FROM cand c)
     SELECT o_orderstatus,
            count(*) AS n_candidates,
-           sum(is_true) AS n_true,
-           count(*) - sum(is_true) AS n_false_pos
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(count(*) - sum(is_true) AS BIGINT) AS n_false_pos
     FROM flagged GROUP BY o_orderstatus
     """,
 )
@@ -369,7 +369,8 @@ def phrase_search_positions(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_id, user_id,
            epoch_us(ts) // 1000000 AS sec,
            count(*) OVER w AS n_1h,
-           sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sum_cents_1h
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_cents_1h
     FROM {EVENTS_US}
     WINDOW w AS (PARTITION BY user_id
                  ORDER BY epoch_us(ts) // 1000000
@@ -543,14 +544,14 @@ def weighted_sample_aes(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            count(*) AS n_rows,
-           sum({_md5_u32_sql(
+           CAST(sum({_md5_u32_sql(
                'cks',
                "concat_ws('|', CAST(o_orderkey AS VARCHAR),"
                " CAST(o_custkey AS VARCHAR), o_orderstatus,"
                " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),"
                " CAST(CAST(o_orderdate AS DATE) AS VARCHAR),"
                " o_orderpriority)",
-           )}) AS checksum
+           )}) AS BIGINT) AS checksum
     FROM orders
     GROUP BY o_orderstatus
     """,
