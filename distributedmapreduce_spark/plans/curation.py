@@ -1125,11 +1125,15 @@ def curation_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
     )
     # suffix-cumulative: stage k counts every doc whose survival >= k.
     # 6x7 rows — broadcast the dim side, aggregate over <= 42 rows.
+    # LEFT join (ADVICE r04): a stage that drops everything (budget
+    # selects nothing, a gate collapses the corpus) must still emit
+    # its (stage, 0, 0) audit row — that collapse is exactly what the
+    # audit exists to surface.
     return (
-        dim.join(per_stage, per_stage.surv >= dim.stage_id)
+        dim.join(per_stage, per_stage.surv >= dim.stage_id, "left")
         .groupBy("stage_id", "stage")
         .agg(
-            F.sum("d").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_docs"),
             F.coalesce(F.sum("tk"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )

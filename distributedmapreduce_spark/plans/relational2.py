@@ -506,7 +506,9 @@ def join_full_outer_balance_orders(spark: SparkSession, sf: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type
                    ORDER BY CAST(round(value * 100) AS BIGINT), event_id))
     SELECT event_type, event_id, rnk AS rnk, drnk AS drnk,
-           CAST(floor((rnk - 1) * 1e6 / (n - 1)) AS BIGINT)
+           CASE WHEN n > 1
+                THEN CAST(floor((rnk - 1) * 1e6 / (n - 1)) AS BIGINT)
+                ELSE 0 END
              AS percent_rank_e6,
            CAST(floor(rn * 1e6 / n) AS BIGINT) AS cume_ub_e6
     FROM ranked
@@ -544,9 +546,15 @@ def window_rank_battery(spark: SparkSession, sf: str) -> DataFrame:
             "event_id",
             F.col("rnk").cast("long").alias("rnk"),
             F.col("drnk").cast("long").alias("drnk"),
-            F.floor(
-                (F.col("rnk") - 1) * 1e6 / (F.col("n") - 1)
-            ).cast("long").alias("percent_rank_e6"),
+            # n=1 guard (ADVICE r04): 0.0/0.0 is NaN in Spark (floor →
+            # 0 under non-ANSI) but NULL in DuckDB — pin both to 0.
+            F.when(
+                F.col("n") > 1,
+                F.floor((F.col("rnk") - 1) * 1e6 / (F.col("n") - 1)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("percent_rank_e6"),
             F.floor(F.col("rn") * 1e6 / F.col("n"))
             .cast("long")
             .alias("cume_ub_e6"),

@@ -19,6 +19,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    ansi: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -48,10 +49,15 @@ def get_spark(
         # / cast checks cost ~10-20% on aggregate-heavy plans and the
         # engine's query surface was validated under ANSI-off Spark 3
         # semantics (r01/r02 gates) as well as ANSI-on 4.1 (r03) — the
-        # queries are well-typed under both, so take the faster mode.
+        # queries are well-typed under both.  Posture (ADVICE r04):
+        # correctness surfaces (tests, oracle checker) pass ansi=True
+        # so int64 overflow past a plan's documented headroom FAILS
+        # LOUDLY; benchmarks keep the faster non-ANSI mode.
         .config(
             "spark.sql.ansi.enabled",
-            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+            str(ansi).lower()
+            if ansi is not None
+            else os.environ.get("SPARK_GRAFT_ANSI", "false"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)

@@ -37,9 +37,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       nanos-since-epoch ``LongType`` → integer-divide to µs.
     - pyspark >= 4.1: native NANOS read yields ``TIMESTAMP_NTZ``
       (µs-truncated wall clock in UTC) — the legacy conf no longer
-      changes the read.  ``to_utc_timestamp(ts, 'UTC')`` re-interprets
-      that wall clock as a UTC instant regardless of the session
-      timezone, matching the old nanos path byte-for-byte.
+      changes the read.  ``convert_timezone('UTC', current_timezone(),
+      ts)`` rewrites the NTZ wall clock from UTC to the session zone,
+      so the subsequent (session-tz) NTZ→TIMESTAMP cast lands on the
+      correct UTC instant under ANY session timezone.  (The naive
+      ``to_utc_timestamp(cast(ts as timestamp), 'UTC')`` is an
+      identity on the session-tz interpretation and shifts every
+      instant by the tz offset under non-UTC sessions.)
 
     Every downstream ``unix_micros`` / ``withWatermark`` / ``window``
     call site relies on this single choke point — do NOT read
@@ -55,7 +59,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         # on ~1e18-ns epoch values (53-bit mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(t, TimestampNTZType):
-        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+            ),
+        )
     return df
 
 

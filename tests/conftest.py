@@ -7,7 +7,9 @@ from distributedmapreduce_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", cpus=8, driver_memory="8g")
+    # ansi=True: correctness runs should fail loudly on int64
+    # wraparound instead of silently corrupting (ADVICE r04)
+    s = get_spark(app_name="tests", cpus=8, driver_memory="8g", ansi=True)
     yield s
 
 

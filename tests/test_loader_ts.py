@@ -85,6 +85,37 @@ def test_no_plan_reads_events_parquet_directly():
     assert not offenders, f"direct events.parquet reads outside choke points: {offenders}"
 
 
+def test_unix_micros_independent_of_session_timezone(spark):
+    """ADVICE r04: the NTZ branch must interpret the wall clock as UTC
+    under ANY caller session timezone — the engine promises to work
+    under sessions it didn't build (e.g. the driver's).  A naive
+    NTZ→TIMESTAMP cast shifts every instant by the session-tz offset."""
+    tz_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc = {
+            r.event_id: r.us
+            for r in load_table(spark, "events", SF_DIR)
+            .select("event_id", F.unix_micros("ts").alias("us"))
+            .orderBy("event_id")
+            .limit(50)
+            .collect()
+        }
+        spark.conf.set(tz_key, "America/Los_Angeles")
+        la = {
+            r.event_id: r.us
+            for r in load_table(spark, "events", SF_DIR)
+            .select("event_id", F.unix_micros("ts").alias("us"))
+            .orderBy("event_id")
+            .limit(50)
+            .collect()
+        }
+    finally:
+        spark.conf.set(tz_key, orig)
+    assert utc == la
+
+
 @pytest.mark.parametrize(
     "qname",
     ["sessionization", "range_join_event_pairs", "window_lag_event_gaps"],

@@ -107,7 +107,11 @@ def main() -> int:
             .getOrCreate()
         )
     else:
-        spark = get_spark(app_name="check_oracle", cpus=16, driver_memory="16g")
+        # ansi=True: oracle runs are correctness surfaces — overflow
+        # past a plan's documented int64 headroom must raise, not wrap
+        spark = get_spark(
+            app_name="check_oracle", cpus=16, driver_memory="16g", ansi=True
+        )
     con = duckdb.connect()
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
