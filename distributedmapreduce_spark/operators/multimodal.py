@@ -159,3 +159,44 @@ def feature_extract_stub(assets: DataFrame, dim: int = 16,
             )
 
     return assets.mapInPandas(_batches, schema="asset_id long, feature array<double>")
+
+
+DECODED_REAL_SCHEMA = (
+    "asset_id long, format string, width long, height long, "
+    "n_channels long, sample_rate long, n_frames long, "
+    "n_raster_bytes long, checksum long"
+)
+
+
+def decode_real(assets: DataFrame) -> DataFrame:
+    """REAL multimodal decode (VERDICT r04 #2 — the de-stubbed path):
+    parse each binary payload as an actual PNG / BMP / WAV byte stream
+    with the pure-stdlib codecs in ``operators/codecs.py`` (zlib
+    inflate + filter reversal + CRC verification for PNG; header
+    arithmetic for BMP/WAV) inside the same Arrow-batched mapInPandas
+    shape as the stub path.  Output geometry + additive raster
+    checksum is SQL-derivable for fixture payloads, which is what
+    makes this hash-checkable end to end.  Scale: per-asset work only,
+    no shuffle — decode parallelism is exactly scan parallelism."""
+    from .codecs import decode_asset
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode_asset(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "format",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "n_raster_bytes",
+                    "checksum",
+                ],
+            )
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(_batches, schema=DECODED_REAL_SCHEMA)
