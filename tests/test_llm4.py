@@ -85,26 +85,49 @@ def test_gram_matches_numpy_exactly(spark):
         assert r.n_vecs == len(emb)
 
 
-def test_pca_component_matches_numpy_eig(spark):
+def test_pca_project_matches_pure_python_replay(spark):
+    """Independent from-scratch replay of the rank-1 decomposition
+    spec (r05: deterministic integer power-iteration direction +
+    mu-centered projection + exact Cauchy-Schwarz residual) in pure
+    Python ints — exact equality on every vector, plus resid2 >= 0."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
-    m = np.stack([np.array(r.embedding, dtype="float64") for r in emb])
-    q = np.floor(m * 1e4 + 0.5)
-    mu = q.mean(axis=0)
-    cov = (q - mu).T @ (q - mu) / len(q)
-    vals, vecs = np.linalg.eigh(cov)
-    top = vecs[:, -1]
-    proj_ref = (q - mu) @ top
+    q = [
+        [int(np.floor(x * 1e4 + 0.5)) for x in r.embedding] for r in emb
+    ]
+    n, d = len(q), len(q[0])
+    trunc = lambda a, b: (a // b) if a >= 0 else -((-a) // b)  # noqa: E731
+    sx = [sum(row[i] for row in q) for i in range(d)]
+    g = [
+        [
+            n * sum(row[i] * row[j] for row in q) - sx[i] * sx[j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    gd = max(1, max(abs(x) for row in g for x in row) // (1 << 30))
+    gn = [[trunc(x, gd) for x in row] for row in g]
+    v = [1 << 12] * d
+    for _ in range(8):
+        w = [sum(gn[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(1, max(abs(x) for x in w))
+        v = [trunc(x * (1 << 12), m) for x in w]
+    imax = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[imax] < 0:
+        v = [-x for x in v]
+    u = [trunc(x, 16) for x in v]
+    mu = [trunc(sx[i], n) for i in range(d)]
+    uu = sum(x * x for x in u)
+    want = {}
+    for vid, row in enumerate(q):
+        c = [row[i] - mu[i] for i in range(d)]
+        pc1 = sum(c[i] * u[i] for i in range(d))
+        want[emb[vid].vec_id] = (pc1, uu * sum(x * x for x in c) - pc1 * pc1)
     got = {
-        r.vec_id: r.pc1_e4
+        r.vec_id: (r.pc1_q, r.resid2_q)
         for r in QUERIES["embedding_pca_project"](spark, SF).collect()
     }
-    proj_got = np.array([got[i] for i in range(len(q))], dtype="float64")
-    # sign-align, then the power-iterated projection must correlate
-    # ~perfectly with the exact eigenvector projection
-    if np.dot(proj_got, proj_ref) < 0:
-        proj_ref = -proj_ref
-    corr = np.corrcoef(proj_got, proj_ref)[0, 1]
-    assert corr > 0.999, corr
+    assert got == want
+    assert all(r2 >= 0 for _, r2 in got.values())  # Cauchy-Schwarz
 
 
 def test_pagerank_mass_conserved(spark):
