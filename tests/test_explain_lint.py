@@ -1,0 +1,159 @@
+"""Explain-lint gate (VERDICT r04 next-round #4): every registry query
+is EXECUTED at sf0.001 and its AQE-final physical plan is linted —
+
+1. no ``CartesianProduct`` anywhere (a cartesian that sneaks into any
+   query is a 100 TB outage, full stop);
+2. ``BroadcastNestedLoopJoin`` only in the queries that use it BY
+   DESIGN (tiny broadcast side: top-k query panels, scalar-aggregate
+   cross joins, histogram bound tuples) — listed in BNLJ_BY_DESIGN;
+3. no SortMergeJoin keyed on nation/region — sub-megabyte dimensions
+   must broadcast;
+4. at most SCAN_BUDGET[query][table] FileScans of each table in the
+   EXECUTED plan (default 1): a query whose final plan re-scans a
+   table it could share (exchange reuse / persisted intermediate)
+   pays N corpus scans at 100 TB.  The executed plan — not the static
+   one — is what's linted, because AQE's exchange reuse only
+   materializes at runtime: the r04 ``tfidf_top_terms`` double corpus
+   scan (2 FileScans, no ReusedExchange — VERDICT r04 'What's wrong'
+   #1) was invisible in the static plan and is exactly the class this
+   gate now catches before it ships.  That query's budget is pinned
+   to {documents: 1} by the default.
+
+Budgets above 1 are the audited exceptions: self-joins (range/as-of/
+dedup-pairs/set-similarity), set operations, TPC-H correlated
+subqueries (q11/q15/q17/q18/q21/q22), and scalar-aggregate side
+branches (histogram bounds, centroid panels).  Lowering an entry is
+an improvement; raising one needs the same justification in a review.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from distributedmapreduce_spark.plans.core import registry
+
+SF = "/root/testdata/sf0.001"
+
+# queries where a BroadcastNestedLoopJoin is the intended plan: the
+# broadcast side is O(1)-bounded (query panels, scalar aggregates,
+# histogram/decile boundary tuples, centroid tables), never data-sized
+BNLJ_BY_DESIGN = {
+    "ann_ivf_topk",
+    "ann_ivf_topk_portable",
+    "ann_lsh_topk",
+    "ann_lsh_topk_portable",
+    "approx_distinct_linear_portable",
+    "bloom_semi_join_audit",
+    "bm25_search",
+    "cosine_topk_bruteforce",
+    "curation_pipeline_v3",
+    "event_rate_deviation",
+    "join_key_skew_profile",
+    "knn_classify",
+    "pagerank_event_types",
+    "pmi_bigram_scores",
+    "price_decile_assign",
+    "price_histogram",
+    "source_mixture_balance",
+    "time_bucket_gapfill",
+    "time_bucket_interpolate",
+    "tpch_q11_important_part_value",
+    "tpch_q22_global_sales_opportunity",
+}
+
+# audited FileScan budgets per (query, table) — default is 1 scan per
+# table; entries here are the justified exceptions (see module doc)
+SCAN_BUDGET: dict[str, dict[str, int]] = {
+    "ann_ivf_topk_portable": {"embeddings": 3},
+    "ann_lsh_topk": {"embeddings": 2},
+    "ann_lsh_topk_portable": {"embeddings": 2},
+    "approx_distinct_linear_portable": {"orders": 2},
+    "asof_join_forward_tolerance": {"events": 2},
+    "asof_join_purchase_click": {"events": 2},
+    "bloom_semi_join_audit": {"customer": 4},
+    "bm25_search": {"documents": 4},
+    "boilerplate_shingle_score": {"documents": 2},
+    "cosine_topk_bruteforce": {"embeddings": 2},
+    "curation_pipeline_v3": {"documents": 4},
+    "dedup_embedding_cosine": {"embeddings": 3},
+    "dedup_minhash_portable": {"documents": 2},
+    "dedup_simhash": {"documents": 2},
+    "dup_span_detect": {"documents": 2},
+    "event_rate_deviation": {"events": 3},
+    "event_robust_outliers": {"events": 3},
+    "gopher_quality_flags": {"documents": 2},
+    "incremental_novelty_exact": {"documents": 2},
+    "knn_classify": {"embeddings": 2},
+    "lm_bigram_surprisal": {"documents": 3},
+    "merge_upsert_orders": {"orders": 3},
+    "mv_incremental_refresh": {"events": 2},
+    "phrase_search_positions": {"documents": 4},
+    "pmi_bigram_scores": {"documents": 4},
+    "price_decile_assign": {"orders": 2},
+    "price_histogram": {"orders": 2},
+    "range_join_event_pairs": {"events": 2},
+    "referential_integrity_audit": {"orders": 2, "lineitem": 2},
+    "sequence_packing": {"documents": 2},
+    "set_similarity_prefix_join": {"documents": 2},
+    "setop_except": {"orders": 2},
+    "setop_except_all": {"orders": 2},
+    "setop_intersect": {"orders": 2},
+    "setop_intersect_all": {"orders": 2},
+    "setop_union_distinct": {"orders": 2},
+    "skew_salted_join_counts": {"events": 2},
+    "skipgram_training_pairs": {"documents": 3},
+    "source_mixture_balance": {"documents": 2},
+    "stream_dedup_counts": {"events": 2},
+    "stream_join_click_purchase": {"events": 2},
+    "table_diff_cdc": {"orders": 3},
+    "temporal_scd2_lookup": {"events": 2},
+    "time_bucket_gapfill": {"events": 3},
+    "time_bucket_interpolate": {"events": 3},
+    "token_budget_select": {"documents": 3},
+    "tpch_q11_important_part_value": {"lineitem": 2},
+    "tpch_q15_top_supplier": {"lineitem": 2},
+    "tpch_q17_small_quantity_revenue": {"lineitem": 2},
+    "tpch_q18_large_volume_customer": {"lineitem": 2},
+    "tpch_q21_suppliers_who_kept_waiting": {"lineitem": 3},
+    "tpch_q22_global_sales_opportunity": {"customer": 2},
+    "tpch_q8_market_share": {"nation": 2},
+}
+
+_SCAN_RE = re.compile(r"FileScan \w+ .*?file:[^\]]*?/(\w+)\.parquet")
+_SMJ_DIM_RE = re.compile(r"SortMergeJoin \[[^\]]*(?:n_nationkey|r_regionkey)")
+
+
+def _executed_final_plan(spark, name: str) -> str:
+    df = registry()[name].fn(spark, SF)
+    df.collect()  # materialize THIS QueryExecution so AQE finalizes
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # keep only the AQE-final section; the echoed pre-adaptive plan
+    # would double-count scans that runtime exchange reuse eliminated
+    return s.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_executed_plan_lint(spark, name):
+    plan = _executed_final_plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_BY_DESIGN:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unplanned BroadcastNestedLoopJoin"
+        )
+    assert not _SMJ_DIM_RE.search(plan), (
+        f"{name}: nation/region joined via SortMergeJoin (must broadcast)"
+    )
+    scans: dict[str, int] = {}
+    for m in _SCAN_RE.finditer(plan):
+        scans[m.group(1)] = scans.get(m.group(1), 0) + 1
+    budget = SCAN_BUDGET.get(name, {})
+    over = {
+        t: c for t, c in scans.items() if c > budget.get(t, 1)
+    }
+    assert not over, (
+        f"{name}: FileScan count exceeds audited budget: {over} "
+        f"(budget {budget or 'default 1/table'}) — a new re-scan of a "
+        f"shareable table; fix the plan or justify a budget bump"
+    )
