@@ -88,6 +88,15 @@ def main() -> None:
     ]
     jobs.append(("ref_inverted_index_input_txt", _ref))
 
+    # One UNTIMED round at the measured SF first: pyspark 4.x's C2
+    # compilation of the generated code needs several executions at
+    # real data volume to reach steady state (q1 measured 2.1 → 0.80 s
+    # across 10 runs), and the sf0.001 warm-up alone leaves the first
+    # timed rounds mid-JIT.  Steady-state is the honest metric here —
+    # on a long-lived cluster compilation amortizes to zero.
+    for _, fn in jobs:
+        fn()
+
     # Min-of-N over INTERLEAVED rounds (q1..qN, q1..qN, ...) rather
     # than back-to-back repeats of each query: a GC pause or page-cache
     # miss then lands on ONE round of a query instead of poisoning all

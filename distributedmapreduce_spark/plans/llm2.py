@@ -125,7 +125,9 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("word"),
     ).repartition("word")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are unique per (doc_id, word), so document frequency is a
+    # plain count — countDistinct here would add an Expand+2 aggregates
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # parquet footer count — metadata-only action
     tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(F.desc(tfidf), "word")

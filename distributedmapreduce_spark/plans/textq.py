@@ -64,14 +64,18 @@ def doc_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's inverted-index job (S14) generalized: word ->
     sorted posting list of doc_ids (serialized for oracle hashing)."""
     docs = t(spark, sf, "documents")
+    # doc_freq = size of the ALREADY-DEDUPED posting set: pairing a
+    # countDistinct with collect_set planned an extra distinct phase
+    # (Expand + two aggregates) over the full token stream — measured
+    # 2.7x slower at sf0.1 for byte-identical output (r05)
     return (
         docs.select("doc_id", F.explode(_tokens_col()).alias("word"))
         .groupBy("word")
-        .agg(
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
-                "postings"
-            ),
-            F.countDistinct("doc_id").alias("doc_freq"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("s"))
+        .select(
+            "word",
+            F.array_join("s", ",").alias("postings"),
+            F.size("s").cast("long").alias("doc_freq"),
         )
     )
 
@@ -116,11 +120,12 @@ def doc_inverted_index_segmented(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(_tokens_col()).alias("word"),
         )
         .groupBy("word", "segment")
-        .agg(
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
-                "postings"
-            ),
-            F.countDistinct("doc_id").alias("doc_freq"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("s"))
+        .select(
+            "word",
+            "segment",
+            F.array_join("s", ",").alias("postings"),
+            F.size("s").cast("long").alias("doc_freq"),
         )
     )
 
