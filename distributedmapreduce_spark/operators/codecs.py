@@ -108,11 +108,9 @@ def encode_png(width: int, height: int, raster: bytes, channels: int) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> dict:
-    """Parse a real PNG byte stream: verify signature + chunk CRCs,
-    decompress IDAT, reverse the scanline filters, return geometry +
-    raster checksum.  8-bit gray (color type 0) and rgb (2) only —
-    the formats the engine's fixtures emit; anything else raises."""
+def _png_parse(data: bytes) -> tuple[int, int, int, bytes]:
+    """Shared PNG parse: returns (width, height, channels, raster) —
+    the raw top-down row-major reconstructed bytes."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, idat = 8, None, bytearray()
@@ -171,6 +169,20 @@ def decode_png(data: bytes) -> dict:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         recon += row
         prior = bytes(row)
+    return width, height, channels, bytes(recon)
+
+
+def decode_png_raster(data: bytes) -> bytes:
+    """Raw top-down reconstructed raster bytes of a real PNG."""
+    return _png_parse(data)[3]
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse a real PNG byte stream: verify signature + chunk CRCs,
+    decompress IDAT, reverse the scanline filters, return geometry +
+    raster checksum.  8-bit gray (color type 0) and rgb (2) only —
+    the formats the engine's fixtures emit; anything else raises."""
+    width, height, channels, recon = _png_parse(data)
     return {
         "format": "png",
         "width": width,
@@ -207,10 +219,9 @@ def encode_bmp(width: int, height: int, raster: bytes) -> bytes:
     return header + info + bytes(rows)
 
 
-def decode_bmp(data: bytes) -> dict:
-    """Parse a real 24bpp uncompressed BMP: header arithmetic, strip
-    row padding, undo bottom-up BGR storage, checksum the top-down
-    RGB raster."""
+def _bmp_parse(data: bytes) -> tuple[int, int, bytes]:
+    """Shared BMP parse: returns (width, height, raster) with the
+    raster re-ordered to top-down row-major RGB."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
     (offset,) = struct.unpack("<I", data[10:14])
@@ -229,6 +240,19 @@ def decode_bmp(data: bytes) -> dict:
         for x in range(width):
             b, g, rr = data[base + x * 3 : base + x * 3 + 3]
             raster += bytes((rr, g, b))
+    return width, height, bytes(raster)
+
+
+def decode_bmp_raster(data: bytes) -> bytes:
+    """Raw top-down RGB raster bytes of a real 24bpp BMP."""
+    return _bmp_parse(data)[2]
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Parse a real 24bpp uncompressed BMP: header arithmetic, strip
+    row padding, undo bottom-up BGR storage, checksum the top-down
+    RGB raster."""
+    width, height, raster = _bmp_parse(data)
     return {
         "format": "bmp",
         "width": width,

@@ -231,6 +231,90 @@ def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
     return decode_real(encode_fixture_assets(docs))
 
 
+@query(
+    "multimodal_feature_extract_real",
+    # per-channel byte sums of the DECODED raster: channel ch of a
+    # c-channel image owns raster positions ch, ch+c, ch+2c, ... — the
+    # oracle brute-forces sum_j (start + ch + c*j) % 256 over the
+    # m = w*h pixels per channel with a range() unnest (bounded: m <=
+    # 736 here), entirely independent of the Python decoders.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS asset_id, doc_id % 3 AS fi,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             CASE WHEN doc_id % 3 = 1 THEN 3
+                  WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+             doc_id % 256 AS d
+      FROM documents
+      WHERE doc_id % 3 < 2),
+    ch AS (
+      SELECT asset_id, w, h, c, d, u.ch
+      FROM p, unnest(range(0, c)) AS u(ch))
+    SELECT asset_id, CAST(ch AS BIGINT) AS channel,
+           CAST(sum((d + ch + c * jx.j) % 256) AS BIGINT) AS ch_sum,
+           CAST(w * h AS BIGINT) AS n_px
+    FROM ch, unnest(range(0, w * h)) AS jx(j)
+    GROUP BY asset_id, ch, w, h
+    """,
+)
+def multimodal_feature_extract_real(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL feature extraction over decoded pixels, hash-checked: every
+    image asset (PNG via zlib-inflate + filter reversal, BMP via
+    padded-BGR re-ordering) is decoded to its raw raster and
+    mean-pool-style per-channel byte sums are computed from the ACTUAL
+    reconstructed bytes — the first feature column whose values are
+    verified against pixel-level ground truth rather than against the
+    extractor itself (upgrades the rows-only feature-extract class,
+    VERDICT r04).  Scale: decode + channel reduction is per-asset
+    mapInPandas work, no shuffle; output is c rows per asset."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.codecs import decode_bmp, decode_png
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"asset_id": [], "channel": [], "ch_sum": [], "n_px": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = (
+                    decode_png(data)
+                    if data[:8] == b"\x89PNG\r\n\x1a\n"
+                    else decode_bmp(data)
+                )
+                c = meta["n_channels"]
+                raster = np.frombuffer(
+                    _raster_bytes(data, meta), dtype=np.uint8
+                ).astype("int64")
+                for ch in range(c):
+                    out["asset_id"].append(int(aid))
+                    out["channel"].append(ch)
+                    out["ch_sum"].append(int(raster[ch::c].sum()))
+                    out["n_px"].append(meta["width"] * meta["height"])
+            yield pd.DataFrame(out)
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 < 2)
+    assets = encode_fixture_assets(docs)
+    return assets.mapInPandas(
+        _batches,
+        schema="asset_id long, channel long, ch_sum long, n_px long",
+    )
+
+
+def _raster_bytes(data: bytes, meta: dict) -> bytes:
+    """Re-decode to the raw top-down raster bytes (the decoders return
+    geometry + checksum; feature extraction needs the bytes
+    themselves)."""
+    from ..operators.codecs import PNG_SIG, decode_bmp_raster, decode_png_raster
+
+    if data[:8] == PNG_SIG:
+        return decode_png_raster(data)
+    return decode_bmp_raster(data)
+
+
 @query("multimodal_feature_extract", oracle=None)  # sha256-fold, not SQL-portable
 def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Encoder plumbing: binary payload -> 16-d feature vector via
