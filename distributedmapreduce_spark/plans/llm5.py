@@ -582,3 +582,97 @@ def table_checksum_additive(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(_md5_u32("cks", canon)).alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters — two-pass EXACT frequent-item detection
+# --------------------------------------------------------------------------
+
+_MG_K = 49  # sketch capacity; guarantees coverage of all > n/(K+1) items
+
+
+@query(
+    "heavy_hitters_mg",
+    # the oracle is the EXACT frequency filter: the MG candidate pass
+    # is lossless for every item above n/(K+1) (pigeonhole over the
+    # per-partition sketches), so a hash match here PROVES the sketch
+    # guarantee held — a dropped heavy hitter would show as a missing
+    # row, a bogus candidate would be filtered by its exact count.
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS word
+      FROM documents),
+    n AS (SELECT count(*) AS n FROM tok),
+    c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+    SELECT word, CAST(cnt AS BIGINT) AS cnt
+    FROM c, n WHERE cnt * {_MG_K + 1} > n
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus-wide heavy hitters (count > n/(K+1), K=49) via the
+    classic two-pass Misra-Gries pattern — the 100 TB way to find
+    frequent tokens/URLs/keys WITHOUT aggregating the vocabulary:
+
+    Pass 1 (one scan, NO shuffle): each partition maintains a K-entry
+    Misra-Gries counter sketch over its token stream inside one
+    mapInPandas pass, emitting its <= K surviving candidate words plus
+    its token count.  Any item with global count > n/(K+1) must exceed
+    n_p/(K+1) in some partition (pigeonhole over sums), so the UNION
+    of partition sketches covers every qualifying item — the
+    deficiency bound of merged MG sketches (Misra & Gries 1982).
+    Driver state: partitions x K strings, corpus-size-independent.
+
+    Pass 2 (one scan, candidate-pruned shuffle): exact counts for the
+    broadcast candidate set only — rows for non-candidate tokens are
+    dropped at the scan, so the shuffle carries only heavy-hitter
+    occurrences, never the vocabulary.  The integer cross-multiplied
+    threshold cnt*(K+1) > n keeps the boundary exact on both engines.
+    Scan budget: 2 corpus scans BY DESIGN (the two passes; pinned in
+    tests/test_explain_lint.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("word")
+    )
+    k = _MG_K
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "word": list(counters) + [None],
+                "n_part": [0] * len(counters) + [n_part],
+            }
+        )
+
+    sketch = toks.mapInPandas(_mg, "word string, n_part long")
+    n_total = sketch.agg(F.sum("n_part")).collect()[0][0]
+    candidates = sketch.filter(F.col("word").isNotNull()).select("word").distinct()
+    return (
+        toks.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * (k + 1) > F.lit(int(n_total)))
+    )

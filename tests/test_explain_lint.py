@@ -84,6 +84,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "event_rate_deviation": {"events": 3},
     "event_robust_outliers": {"events": 3},
     "gopher_quality_flags": {"documents": 2},
+    "heavy_hitters_mg": {"documents": 2},  # two-pass MG by design
     "incremental_novelty_exact": {"documents": 2},
     "knn_classify": {"embeddings": 2},
     "lm_bigram_surprisal": {"documents": 3},

@@ -221,3 +221,33 @@ def test_table_checksum_detects_any_single_row_change(spark):
     )
     canon1 = canon0.replace(f"|{r0.cents}|", f"|{r0.cents + 1}|", 1)
     assert u32(canon1) != u32(canon0)
+
+
+def test_heavy_hitters_mg_threshold_boundary(spark, tmp_path):
+    """Adversarial boundary corpus for the Misra-Gries pass: with
+    K=49 the output rule is cnt*(K+1) > n strictly.  Build a corpus
+    where one word sits EXACTLY at n/(K+1) (must be excluded), one
+    just above (must be included), and the rest is a sea of distinct
+    filler — the regime where a lossy candidate pass would drop the
+    hitter."""
+    from distributedmapreduce_spark.plans.llm5 import _MG_K
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    k1 = _MG_K + 1  # 50
+    # n = 5000 tokens total: 'hot' 101 > 100 = n/50; 'edge' exactly 100;
+    # filler: 4799 distinct singletons
+    words = ["hot"] * 101 + ["edge"] * 100 + [f"f{i}" for i in range(4799)]
+    assert len(words) == 5000
+    # spread across 10 docs so several partitions/batches see the stream
+    docs = [
+        (i, " ".join(words[i * 500 : (i + 1) * 500])) for i in range(10)
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        2
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.word: r.cnt
+        for r in QUERIES["heavy_hitters_mg"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"hot": 101}, out
+    assert 101 * k1 > 5000 and 100 * k1 == 5000  # the boundary it pins
