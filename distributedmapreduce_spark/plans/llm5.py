@@ -667,9 +667,15 @@ def heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
             }
         )
 
-    sketch = toks.mapInPandas(_mg, "word string, n_part long")
-    n_total = sketch.agg(F.sum("n_part")).collect()[0][0]
-    candidates = sketch.filter(F.col("word").isNotNull()).select("word").distinct()
+    # ONE collect of the bounded sketch (<= partitions x (K+1) rows)
+    # feeds both the candidate set and n — collecting is the point:
+    # re-deriving them lazily would re-run the sketch scan per branch
+    sketch_rows = toks.mapInPandas(_mg, "word string, n_part long").collect()
+    n_total = sum(r.n_part for r in sketch_rows)
+    cand_words = sorted({r.word for r in sketch_rows if r.word is not None})
+    candidates = spark.createDataFrame(
+        [(w,) for w in cand_words], "word string"
+    )
     return (
         toks.join(F.broadcast(candidates), "word")
         .groupBy("word")
