@@ -1,0 +1,196 @@
+"""Round-5 extension operators: distributed BPE tokenizer training.
+
+Byte-pair-encoding merge learning is the canonical tokenizer-training
+job of an LLM data pipeline, and its structure is exactly the shape
+this engine optimizes for at 100 TB: the corpus is scanned ONCE to
+build the (word, freq) vocabulary (the classical Sennrich et al. 2016
+reduction — merges depend only on word frequencies, never on the
+corpus again), and every one of the K merge iterations then runs
+against the vocabulary table, which is orders of magnitude smaller
+than the corpus and is persisted after the single corpus scan.
+
+Exactness: the whole procedure is integer counts + string rewrites —
+no floats anywhere — so the learned merge table is bit-identical
+across engines.  The DuckDB oracle implements merge APPLICATION with
+a deliberately different algorithm (window-function chain-parity over
+exploded token positions) than the Spark side (an ``F.aggregate``
+fold), so agreement checks the greedy-leftmost semantics itself, and
+``tests/test_llm6.py`` replays the spec a third time in pure Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import query, t
+
+_BPE_K = 6  # learned merges; oracle CTE chain doubles per step (2^K)
+
+
+def _bpe_oracle(k_steps: int) -> str:
+    """Chained-CTE DuckDB twin of the K-step BPE trainer.
+
+    Expansion discipline (ORACLE_PORTABILITY.md): DuckDB 1.0 inlines
+    every CTE reference, and each step references the exploded view of
+    the previous vocabulary twice (pair counts + rewrite) — 2^K
+    expansions of the vocabulary subtree, which is why K stays small
+    and the corpus is reduced to the (word, freq) vocab FIRST (the
+    doubled subtree is vocab-sized, never corpus-sized).  Merge
+    metadata rides along v_k as carried max() columns so the final
+    SELECT touches only v_K (a scalar-subquery readback per step
+    would re-expand the whole chain per step)."""
+    sql = """
+    WITH w0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word),
+    v0 AS (
+      SELECT word, freq,
+             list_transform(range(1, strlen(word) + 1),
+                            i -> substr(word, i, 1)) AS toks
+      FROM w0)"""
+    carry_prev: list[str] = []
+    for k in range(1, k_steps + 1):
+        carry_sel = "".join(f", {c}" for c in carry_prev)
+        carry_agg = "".join(f", max({c}) AS {c}" for c in carry_prev)
+        sql += f""",
+    e{k} AS (
+      SELECT word, freq, u.i AS i, toks[u.i] AS t,
+             CASE WHEN u.i < len(toks) THEN toks[u.i + 1] END AS tn
+             {carry_sel}
+      FROM v{k - 1}, unnest(range(1, len(toks) + 1)) AS u(i)),
+    pc{k} AS (
+      SELECT t AS a, tn AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM e{k} WHERE tn IS NOT NULL GROUP BY 1, 2),
+    m{k} AS (SELECT a, b, cnt FROM pc{k}
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    x{k} AS (
+      SELECT e.*, m.a AS ma, m.b AS mb, m.cnt AS mc,
+             (e.tn IS NOT NULL AND e.t = m.a AND e.tn = m.b) AS mm
+      FROM e{k} e, m{k} m),
+    y{k} AS (
+      SELECT *,
+             i - coalesce(max(CASE WHEN NOT mm THEN i END)
+                            OVER (PARTITION BY word ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS off
+      FROM x{k}),
+    z{k} AS (
+      SELECT *, (mm AND off % 2 = 1) AS taken,
+             lag(mm AND off % 2 = 1, 1, false)
+               OVER (PARTITION BY word ORDER BY i) AS prev_taken
+      FROM y{k}),
+    v{k} AS (
+      SELECT word, freq,
+             list(CASE WHEN taken THEN ma || mb ELSE t END ORDER BY i)
+               AS toks,
+             max(ma) AS a{k}, max(mb) AS b{k}, max(mc) AS c{k}
+             {carry_agg}
+      FROM z{k} WHERE NOT prev_taken
+      GROUP BY word, freq)"""
+        carry_prev += [f"a{k}", f"b{k}", f"c{k}"]
+    sql += f""",
+    mm_final AS (SELECT {", ".join(f"max({c}) AS {c}" for c in carry_prev)}
+                 FROM v{k_steps})
+    """
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS step, a{k} AS left, b{k} AS right,
+               a{k} || b{k} AS merged, c{k} AS cnt FROM mm_final"""
+        for k in range(1, k_steps + 1)
+    ]
+    return sql + "\n    UNION ALL\n    ".join(selects)
+
+
+def _merge_fold(toks, a: str, b: str):
+    """Greedy-leftmost single-pass application of merge (a, b) as a
+    whole-stage-codegen fold: walk the token list once, fusing t with
+    the accumulator tail when (tail, t) == (a, b).  'a a a' under
+    (a, a) becomes [aa, a] — first-match-wins, the standard BPE
+    application rule."""
+    return F.aggregate(
+        toks,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(_BPE_K))
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Learn the first K=6 BPE merges over the documents corpus,
+    bit-exact: (step, left, right, merged, cnt) where cnt is the
+    frequency-weighted count of the winning adjacent pair at that
+    step (ties broken by lexicographic pair order — ascii-only words,
+    so binary collation agrees everywhere).
+
+    Scale: ONE corpus scan builds the persisted (word, freq)
+    vocabulary; each merge step is a pair-count aggregate over the
+    exploded vocabulary (vocab-sized, partial-aggregated, shuffled on
+    the pair key) plus a driver-side argmax of ONE row and a map-only
+    fold rewrite — the corpus is never touched again, exactly how
+    tokenizer training stays tractable when the corpus is 100 TB but
+    the vocabulary is millions of rows.  K scans of the vocab by
+    construction (documented; lint budget exempts the cached vocab).
+    """
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "toks",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ),
+        )
+        .persist()
+    )
+    merges = []
+    cur = vocab
+    for step in range(1, _BPE_K + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark, so a 1-token
+                    # word must shortcut to an empty pair list
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2 THEN "
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(toks[i - 1] AS a, toks[i] AS b)) "
+                        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top_rows = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top_rows:
+            raise ValueError(
+                f"BPE: corpus exhausted after {step - 1} merges — "
+                f"lower _BPE_K for corpora this small"
+            )
+        top = top_rows[0]
+        merges.append((step, top.a, top.b, top.a + top.b, int(top.cnt)))
+        cur = cur.withColumn("toks", _merge_fold(F.col("toks"), top.a, top.b))
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, cnt long"
+    )

@@ -38,6 +38,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     llm3,
     llm4,
     llm5,
+    llm6,
     mmq,
     relational,
     relational2,
