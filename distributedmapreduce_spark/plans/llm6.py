@@ -194,3 +194,102 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, cnt long"
     )
+
+
+def _bpe_encode_oracle(k_steps: int) -> str:
+    """Tokenization-side twin: reuse the training chain up to v_K
+    (referenced ONCE — the doubling is already paid), then charge each
+    document its per-word post-merge token counts."""
+    base = _bpe_oracle(k_steps)
+    # strip the training chain's final UNION-ALL readback; keep CTEs
+    head = base[: base.index(",\n    mm_final AS")]
+    return (
+        head
+        + f""",
+    wlen AS (SELECT word, len(toks) AS n_toks FROM v{k_steps}),
+    dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$'))
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wlen.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(strlen(dw.word)) AS BIGINT) AS n_chars
+    FROM dw JOIN wlen USING (word)
+    GROUP BY dw.doc_id
+    """
+    )
+
+
+@query("bpe_encode_token_counts", oracle=_bpe_encode_oracle(_BPE_K))
+def bpe_encode_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the learned K=6 merges to tokenize the corpus: per
+    document, the word count, the BPE token count after all merges,
+    and the character count (the un-merged baseline) — the
+    compression statistics a tokenizer-training pipeline reports.
+
+    Scale: training cost as in bpe_train_merges; ENCODING is a
+    broadcast join of the corpus word stream against the (word ->
+    token-count) vocabulary map — the per-word merge folds run once
+    per DISTINCT word, never once per occurrence, and the corpus pass
+    is map-side only."""
+    docs = t(spark, sf, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "toks",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ),
+        )
+        .persist()
+    )
+    cur = vocab
+    for step in range(1, _BPE_K + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2 THEN "
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(toks[i - 1] AS a, toks[i] AS b)) "
+                        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top_rows = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top_rows:
+            raise ValueError("BPE: corpus exhausted — lower _BPE_K")
+        top = top_rows[0]
+        cur = cur.withColumn("toks", _merge_fold(F.col("toks"), top.a, top.b))
+    wlen = cur.select("word", F.size("toks").cast("long").alias("n_toks"))
+    # vocab stays persisted: the RETURNED plan's wlen branch reads it,
+    # and an unpersist here would silently re-derive the fold chain
+    # from a second corpus scan when the caller executes (caught by
+    # tests/test_explain_lint.py's 1-scan budget).  The cache is
+    # vocabulary-sized and LRU-evictable.
+    return (
+        dw.join(F.broadcast(wlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(F.length("word").cast("long")).alias("n_chars"),
+        )
+    )

@@ -126,13 +126,35 @@ _SCAN_RE = re.compile(r"FileScan \w+ .*?file:[^\]]*?/(\w+)\.parquet")
 _SMJ_DIM_RE = re.compile(r"SortMergeJoin \[[^\]]*(?:n_nationkey|r_regionkey)")
 
 
+def _name_col(line: str) -> int:
+    """Column where the node name starts in Spark's tree rendering
+    (strip the ':  +- ' glyph prefix)."""
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
 def _executed_final_plan(spark, name: str) -> str:
     df = registry()[name].fn(spark, SF)
     df.collect()  # materialize THIS QueryExecution so AQE finalizes
     s = df._jdf.queryExecution().executedPlan().toString()
     # keep only the AQE-final section; the echoed pre-adaptive plan
     # would double-count scans that runtime exchange reuse eliminated
-    return s.split("== Initial Plan ==")[0]
+    s = s.split("== Initial Plan ==")[0]
+    # drop cached-plan ORIGIN subtrees: an InMemoryRelation prints the
+    # full lineage that built the cache, including FileScans that do
+    # NOT execute — counting them would flag persisted intermediates
+    # (e.g. the BPE vocabulary) as phantom re-scans
+    out, skip_deeper_than = [], None
+    for line in s.splitlines():
+        col = _name_col(line)
+        if skip_deeper_than is not None:
+            if line.strip() and col > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = col
+            continue
+        out.append(line)
+    return "\n".join(out)
 
 
 @pytest.mark.parametrize("name", sorted(registry()))
