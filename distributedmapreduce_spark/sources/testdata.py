@@ -59,7 +59,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         # on ~1e18-ns epoch values (53-bit mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(t, TimestampNTZType):
-        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        # no default arg: RuntimeConfig.get VALIDATES a provided
+        # default against the conf's checker, and '' is not a legal
+        # timezone — get(key, '') itself throws on a vanilla session
+        try:
+            tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
         if tz == "UTC":
             # fast path: under a UTC session the NTZ→TIMESTAMP cast IS
             # the UTC interpretation, and it costs one zone conversion
