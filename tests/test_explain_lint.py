@@ -40,6 +40,8 @@ SF = "/root/testdata/sf0.001"
 # broadcast side is O(1)-bounded (query panels, scalar aggregates,
 # histogram/decile boundary tuples, centroid tables), never data-sized
 BNLJ_BY_DESIGN = {
+    "ab_test_cuped",  # midpoint instant + theta row: scalar broadcasts
+    "frequent_itempairs",  # n_orders universe count: scalar broadcast
     "ann_ivf_topk",
     "ann_ivf_topk_portable",
     "ann_lsh_topk",
@@ -66,7 +68,9 @@ BNLJ_BY_DESIGN = {
 # audited FileScan budgets per (query, table) — default is 1 scan per
 # table; entries here are the justified exceptions (see module doc)
 SCAN_BUDGET: dict[str, dict[str, int]] = {
+    "ab_test_cuped": {"events": 2},  # midpoint scalar + per-user build
     "ann_ivf_topk_portable": {"embeddings": 3},
+    "attribution_linear_touch": {"events": 2},  # purchase/click self-join
     "ann_lsh_topk": {"embeddings": 2},
     "ann_lsh_topk_portable": {"embeddings": 2},
     "approx_distinct_linear_portable": {"orders": 2},
