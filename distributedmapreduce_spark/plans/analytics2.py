@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .core import EVENTS_US, query, t
+from .llm3 import _md5_u32, _md5_u32_sql
 
 _PAIR_MIN_SUPPORT = 2
 _RARE_PART_MAX_CUSTS = 15
@@ -448,4 +449,243 @@ def attribution_linear_touch(spark: SparkSession, sf: str) -> DataFrame:
     return attr.groupBy("hour_us").agg(
         F.sum("share").cast("long").alias("attributed_cents"),
         F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+
+
+_CMS_W = 16  # buckets per row — small ON PURPOSE so the 31-word synthetic
+_CMS_D = 4  # vocab actually collides and the overestimate bound is exercised
+_CMS_TOPK = 20
+
+_TOK_SQL = (
+    "SELECT unnest(str_split(text, ' ')) AS word FROM documents"
+)
+
+
+def _cms_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT word, n, {d} AS d, "
+        f"{_md5_u32_sql(f'cms{d}', 'word')} % {_CMS_W} AS bucket FROM wc"
+        for d in range(_CMS_D)
+    )
+    return f"""
+    WITH tok AS ({_TOK_SQL}),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM tok WHERE word <> '' GROUP BY word),
+    bk AS ({branches}),
+    sk AS (SELECT d, bucket, CAST(sum(n) AS BIGINT) AS cnt
+           FROM bk GROUP BY 1, 2),
+    top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT {_CMS_TOPK})
+    SELECT t.word, t.n AS exact_n, CAST(min(sk.cnt) AS BIGINT) AS cms_n
+    FROM top t
+    JOIN bk ON bk.word = t.word
+    JOIN sk ON sk.d = bk.d AND sk.bucket = bk.bucket
+    GROUP BY 1, 2
+    """
+
+
+@query("count_min_heavy_estimates", oracle=_cms_oracle())
+def count_min_heavy_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch point estimates for the top-20 words, with the
+    EXACT counts alongside — a hash-grade-checkable approximate sketch:
+    unlike HLL (engine-private hashing, rows-only by design,
+    ORACLE_PORTABILITY.md), this CMS uses the repo's portable
+    md5-derived hash family, so the D×W counter table and every
+    estimate are bit-reproduced by the DuckDB twin.  W=16 is chosen so
+    the synthetic 31-word vocab actually collides: the estimates
+    OVERESTIMATE (cms_n >= exact_n always — the CMS guarantee, pinned
+    by a unit test) and the oracle certifies the exact error.  Scale:
+    ONE corpus scan reduces to word cardinality; the sketch is built
+    from the (word, n) aggregate — map-side combinable — and is D·W
+    counters total, the O(1)-memory structure you'd register as a UDAF
+    over a 100 TB stream; top-k selection is vocab-sized."""
+    docs = t(spark, sf, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    bk = wc.select(
+        "word",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_md5_u32(f"cms{d}", F.col("word")) % _CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("db"),
+    ).select("word", "n", "db.d", "db.bucket")
+    sk = bk.groupBy("d", "bucket").agg(F.sum("n").cast("long").alias("cnt"))
+    top = wc.orderBy(F.col("n").desc(), "word").limit(_CMS_TOPK)
+    return (
+        top.withColumnRenamed("n", "exact_n")
+        .join(bk.select("word", "d", "bucket"), "word")
+        .join(sk, ["d", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cms_n"))
+    )
+
+
+
+
+_RFM_DAY_US = 86_400_000_000
+
+
+@query(
+    "rfm_user_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'),
+    mx AS (SELECT max(us) AS gmax FROM p),
+    pu AS (
+      SELECT user_id,
+             (gmax - max(us)) // {_RFM_DAY_US} AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(cents) AS BIGINT) AS mon
+      FROM p CROSS JOIN mx GROUP BY user_id, gmax),
+    sc AS (
+      SELECT user_id, rec_days, freq, mon,
+             1 + ((row_number() OVER (ORDER BY rec_days, user_id) - 1) * 3)
+                 // (count(*) OVER ()) AS r_score,
+             1 + ((row_number() OVER (ORDER BY freq, user_id) - 1) * 3)
+                 // (count(*) OVER ()) AS f_score,
+             1 + ((row_number() OVER (ORDER BY mon, user_id) - 1) * 3)
+                 // (count(*) OVER ()) AS m_score
+      FROM pu)
+    SELECT user_id, rec_days, freq, mon, r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+    FROM sc
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation: per-user
+    purchase recency in whole days behind the latest purchase, purchase
+    count, and exact cents spend, each scored into equal-frequency
+    thirds by rank arithmetic — 1 + ((rn-1)*3) div n — instead of
+    ntile(), whose tie placement is engine-defined; ties break on
+    user_id so every score is deterministic, and segment = 100r+10f+m
+    composes them (scores order ASCENDING in the metric: r_score 1 =
+    most recent, f/m_score 3 = heaviest).  Scale: one corpus scan
+    reduces to user cardinality; the three rank windows run over the
+    per-user table only.  The single-partition global windows are the
+    documented small-n shape — at 100 TB user counts, swap in the
+    broadcast boundary-tuple selection of price_decile_assign (same
+    nearest-rank discipline, no global sort)."""
+    p = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    mx = p.agg(F.max("us").alias("gmax"))
+    pu = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "gmax")
+        .agg(
+            F.max("us").alias("umax"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"(gmax - umax) div {_RFM_DAY_US}").alias("rec_days"),
+            "freq",
+            "mon",
+        )
+    )
+    sc = pu.withColumn("nu", F.count(F.lit(1)).over(W.partitionBy()))
+    for nm, metric in (
+        ("r_score", "rec_days"),
+        ("f_score", "freq"),
+        ("m_score", "mon"),
+    ):
+        sc = sc.withColumn(
+            f"_rn_{nm}",
+            F.row_number().over(W.partitionBy().orderBy(metric, "user_id")),
+        ).withColumn(nm, F.expr(f"1 + ((_rn_{nm} - 1) * 3) div nu"))
+    return sc.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "mon",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr("r_score * 100 + f_score * 10 + m_score").alias("segment"),
+    )
+
+
+_COVERAGE_KS = (5, 10, 20)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM tok WHERE word <> '' GROUP BY word),
+    r AS (
+      SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word) AS rn,
+             CAST(sum(n) OVER (ORDER BY n DESC, word
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER () AS BIGINT) AS tot
+      FROM wc)
+    SELECT rn AS k, cum AS topk_tokens, tot AS total_tokens,
+           (cum * 1000000) // tot AS coverage_e6
+    FROM r WHERE rn IN {_COVERAGE_KS}
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve — the fraction of corpus tokens
+    covered by the top-k most frequent words, for k in {5, 10, 20}:
+    the first statistic a tokenizer/vocab-size decision reads (BPE's
+    merge budget, OOV-rate planning).  Coverage ships in exact 1e-6
+    integer ticks via BIGINT cumulative sums — no doubles anywhere.
+    Scale: the corpus scan reduces to vocab cardinality; the ranked
+    cumulative sum runs over the vocab table only (vocab is millions
+    at web scale — one partition-bounded sort, or the two-phase
+    distributed prefix sum if it isn't)."""
+    docs = t(spark, sf, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = W.partitionBy().orderBy(F.col("n").desc(), "word")
+    r = wc.select(
+        F.row_number().over(wr).alias("k"),
+        F.sum("n")
+        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("topk_tokens"),
+        F.sum("n").over(W.partitionBy()).cast("long").alias("total_tokens"),
+    )
+    return r.filter(F.col("k").isin(*_COVERAGE_KS)).select(
+        "k",
+        "topk_tokens",
+        "total_tokens",
+        F.expr("(topk_tokens * 1000000) div total_tokens").alias(
+            "coverage_e6"
+        ),
     )

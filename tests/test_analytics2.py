@@ -89,3 +89,37 @@ def test_itempairs_support_and_lift_sane(spark):
         assert r["support"] >= 2
         assert 0 < r["conf_p1_e6"] <= 1_000_000
         assert r["lift_e6"] > 0
+
+
+def test_cms_overestimates_and_is_tight_somewhere(spark):
+    """The Count-Min guarantee: every estimate >= the exact count; and
+    with W=16 over a 31-word vocab at least one bucket collides, so at
+    least one estimate strictly overestimates (the sketch is doing
+    approximate work, not acting as an exact table)."""
+    rows = _q("count_min_heavy_estimates", spark).collect()
+    assert rows
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
+    assert any(r["cms_n"] > r["exact_n"] for r in rows)
+
+
+def test_rfm_scores_partition_users_into_thirds(spark):
+    """Every score in 1..3; each score value covers ~n/3 users (exact
+    rank arithmetic: the three classes differ in size by at most 1)."""
+    rows = _q("rfm_user_segments", spark).collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            assert 1 <= r[dim] <= 3
+            sizes[r[dim]] = sizes.get(r[dim], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    rows = sorted(_q("vocab_coverage_curve", spark).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [5, 10, 20]
+    cov = [r["coverage_e6"] for r in rows]
+    assert cov == sorted(cov)
+    assert all(0 < c <= 1_000_000 for c in cov)
+    assert all(r["topk_tokens"] <= r["total_tokens"] for r in rows)

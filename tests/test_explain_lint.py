@@ -42,6 +42,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_BY_DESIGN = {
     "ab_test_cuped",  # midpoint instant + theta row: scalar broadcasts
     "frequent_itempairs",  # n_orders universe count: scalar broadcast
+    "rfm_user_segments",  # global-max-instant row: scalar broadcast
     "ann_ivf_topk",
     "ann_ivf_topk_portable",
     "ann_lsh_topk",
@@ -99,6 +100,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "price_decile_assign": {"orders": 2},
     "price_histogram": {"orders": 2},
     "range_join_event_pairs": {"events": 2},
+    "rfm_user_segments": {"events": 2},  # global-max scalar + per-user build
     "referential_integrity_audit": {"orders": 2, "lineitem": 2},
     "sequence_packing": {"documents": 2},
     "set_similarity_prefix_join": {"documents": 2},
