@@ -121,6 +121,25 @@ SHOWCASE = [
         "Gram + 64-row sums) drive a data-size-independent driver "
         "iteration; the corpus itself sees ONE map-only projection pass",
     ),
+    (
+        "interval_max_concurrency",
+        "sweep-line concurrency: ONE events scan explodes both ±1 "
+        "boundary points per row; a single per-type window chain "
+        "computes running sum, partition max, and the first peak "
+        "instant — no second scan, no self-join",
+    ),
+    (
+        "frequent_itempairs",
+        "market-basket self-join: both sides share the persisted "
+        "basket table, pairs bounded by basket size; part-count and "
+        "universe sides broadcast back onto the pair aggregate",
+    ),
+    (
+        "count_min_heavy_estimates",
+        "Count-Min sketch: corpus reduces to vocab in one scan; the "
+        "sketch build, top-k panel, and estimate joins all run on "
+        "vocab-cardinality tables",
+    ),
 ]
 
 
