@@ -689,3 +689,99 @@ def vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
             "coverage_e6"
         ),
     )
+
+
+_SEG_BUCKET_US = 3_600_000_000  # 1 h sweep buckets
+
+
+@query(
+    "interval_max_concurrency_segmented",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + ((CAST(round(value * 100) AS BIGINT) % {_DUR_MOD_S}) + 60)
+                 * 1000000 AS e
+      FROM {EVENTS_US} events),
+    pts AS (
+      SELECT event_type, event_id, s AS tpt, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, event_id, e AS tpt, -1 AS d FROM iv),
+    run AS (
+      SELECT event_type, tpt,
+             CAST(sum(d) OVER (PARTITION BY event_type
+                               ORDER BY tpt, d, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pts),
+    sel AS (
+      SELECT event_type, tpt, cum,
+             max(cum) OVER (PARTITION BY event_type) AS mx
+      FROM run)
+    SELECT event_type, mx AS max_concurrent, min(tpt) AS at_us
+    FROM sel WHERE cum = mx GROUP BY 1, 2
+    """,
+)
+def interval_max_concurrency_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB shape of interval_max_concurrency — SAME semantics
+    and output (the oracle is byte-identical, and a unit test pins
+    equality against the plain variant), but no per-type global
+    window: the sweep is a grouped two-level prefix sum (the
+    operators/prefix_sum.py construction generalized to
+    (group, time-bucket) keys, the doc_inverted_index_segmented
+    precedent).  Boundary points land in 1-hour buckets; per-bucket
+    deltas aggregate map-side; a window over the TINY (type × hour)
+    bucket table produces each bucket's exclusive base; the base
+    broadcasts back and the ordered within-bucket window runs
+    partition-parallel across buckets — state is bounded by bucket
+    width, never by history.  The peak is then a plain aggregate +
+    broadcast join back (no full-partition max window); the point
+    stream is traversed twice (budgeted), the price of keeping every
+    window partition bounded."""
+    ev = t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = F.unix_micros("ts")
+    e = s + ((cents % _DUR_MOD_S) + 60) * F.lit(1_000_000)
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(s.alias("tpt"), F.lit(1).alias("d")),
+                F.struct(e.alias("tpt"), F.lit(-1).alias("d")),
+            )
+        ).alias("pt"),
+    ).select(
+        "event_type",
+        "event_id",
+        "pt.tpt",
+        "pt.d",
+        F.expr(f"pt.tpt div {_SEG_BUCKET_US}").alias("bk"),
+    )
+    btot = pts.groupBy("event_type", "bk").agg(F.sum("d").alias("bn"))
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("bk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bbase = btot.select(
+        "event_type",
+        "bk",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("base"),
+    )
+    wl = (
+        W.partitionBy("event_type", "bk")
+        .orderBy("tpt", "d", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = pts.join(F.broadcast(bbase), ["event_type", "bk"]).select(
+        "event_type",
+        "tpt",
+        (F.col("base") + F.sum("d").over(wl)).cast("long").alias("cum"),
+    )
+    mx = run.groupBy("event_type").agg(F.max("cum").alias("max_concurrent"))
+    return (
+        run.join(F.broadcast(mx), "event_type")
+        .filter(F.col("cum") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("tpt").alias("at_us"))
+    )

@@ -123,3 +123,18 @@ def test_vocab_coverage_monotone_and_bounded(spark):
     assert cov == sorted(cov)
     assert all(0 < c <= 1_000_000 for c in cov)
     assert all(r["topk_tokens"] <= r["total_tokens"] for r in rows)
+
+
+def test_interval_segmented_equals_plain(spark):
+    """The grouped two-level prefix-sum sweep must reproduce the plain
+    per-type-window sweep EXACTLY — same peak, same first instant —
+    at every bucket boundary regime the data exercises."""
+    plain = {
+        (r["event_type"], r["max_concurrent"], r["at_us"])
+        for r in _q("interval_max_concurrency", spark).collect()
+    }
+    seg = {
+        (r["event_type"], r["max_concurrent"], r["at_us"])
+        for r in _q("interval_max_concurrency_segmented", spark).collect()
+    }
+    assert plain == seg

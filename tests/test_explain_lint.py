@@ -91,6 +91,10 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "gopher_quality_flags": {"documents": 2},
     "heavy_hitters_mg": {"documents": 2},  # two-pass MG by design
     "incremental_novelty_exact": {"documents": 2},
+    # two passes of the point stream BY DESIGN: the bounded-window
+    # sweep recomputes `run` for the peak filter instead of holding a
+    # full-partition max window (docstring: the price of bounded state)
+    "interval_max_concurrency_segmented": {"events": 3},
     "knn_classify": {"embeddings": 2},
     "lm_bigram_surprisal": {"documents": 3},
     "merge_upsert_orders": {"orders": 3},
