@@ -671,3 +671,83 @@ def join_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("c"), "key")
         .limit(_SKEW_TOPK)
     )
+
+
+@query(
+    "grouped_map_streaks",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    o AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS rn,
+             lag(cents) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) AS pc
+      FROM e),
+    m AS (
+      SELECT event_type, rn,
+             CASE WHEN pc IS NULL OR cents <= pc THEN 1 ELSE 0 END AS brk
+      FROM o),
+    g AS (
+      SELECT event_type,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m),
+    r AS (SELECT event_type, grp, count(*) AS len FROM g GROUP BY 1, 2)
+    SELECT event_type, CAST(max(len) AS BIGINT) AS longest_run,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM r GROUP BY 1
+    """,
+)
+def grouped_map_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map Pandas API (``applyInPandas``) with a hash-grade
+    oracle: per event type, the longest strictly-increasing streak of
+    values (in exact cents, ordered by ts then event_id) and the total
+    number of maximal runs — the gaps-and-islands statistic.  The
+    Spark side is per-group IMPERATIVE pandas (sort, diff, cumsum of
+    breaks — the reference's per-partition style of logic,
+    /root/reference/mapper_word_count.py:11-35, expressed in the API
+    Spark provides for it), while the DuckDB twin is the classic SQL
+    islands formulation — two independent formulations agreeing
+    bit-for-bit.  Everything is integer, and the (us, event_id) order
+    is total, so both sides are deterministic.  Scale: grouped-map
+    BUFFERS each group in pandas (Arrow-batched) — fine for bounded
+    categorical groups; for unbounded groups the oracle's own
+    window-cumsum shape (islands via running break-count, one ordered
+    window, then two bounded aggregates) IS the scale path — use it
+    JVM-side, exactly as written, when a group can exceed a task."""
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def streaks(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+        c = pdf["cents"].to_numpy()
+        if len(c) == 0:
+            return pd.DataFrame(
+                {"event_type": [], "longest_run": [], "n_runs": []}
+            )
+        import numpy as np
+
+        brk = np.ones(len(c), dtype=np.int64)
+        if len(c) > 1:
+            brk[1:] = (c[1:] <= c[:-1]).astype(np.int64)
+        grp = brk.cumsum()
+        lens = pd.Series(grp).value_counts()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "longest_run": [int(lens.max())],
+                "n_runs": [int(lens.size)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        streaks, schema="event_type string, longest_run long, n_runs long"
+    )
