@@ -138,3 +138,33 @@ def test_interval_segmented_equals_plain(spark):
         for r in _q("interval_max_concurrency_segmented", spark).collect()
     }
     assert plain == seg
+
+
+def test_battery2_survives_empty_inputs(spark, tmp_path):
+    """Degenerate-regime lock: every battery-#2 query must return a
+    well-defined EMPTY result (not crash, not NaN rows) when its input
+    tables have zero rows — the div-by-zero / NULL-aggregate paths
+    (CUPED's guarded theta, the midpoint NULL, empty vocab) all
+    execute here."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = "/root/testdata/sf0.001"
+    for tbl in ("events", "lineitem", "orders", "documents"):
+        schema = pq.read_schema(f"{src}/{tbl}.parquet")
+        pq.write_table(schema.empty_table(), str(tmp_path / f"{tbl}.parquet"))
+
+    for name in (
+        "frequent_itempairs",
+        "interval_max_concurrency",
+        "interval_max_concurrency_segmented",
+        "triangle_count_copurchase",
+        "ab_test_cuped",
+        "attribution_linear_touch",
+        "count_min_heavy_estimates",
+        "rfm_user_segments",
+        "vocab_coverage_curve",
+        "grouped_map_streaks",
+    ):
+        out = registry()[name].fn(spark, str(tmp_path)).collect()
+        assert out == [], (name, out)
