@@ -45,6 +45,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     relational2,
     streamq,
     textq,
+    timeseries,
     tpch,
 )
 from .core import Query, registry

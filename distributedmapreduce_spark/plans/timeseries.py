@@ -1,0 +1,242 @@
+"""Round-5 timeseries battery: OHLC resampling, time-weighted
+averages, and interval-overlap joins — the hypertable/market-data
+operator family (TimescaleDB's time_bucket/TWA/range-join surface)
+re-expressed Spark-first.
+
+Portability discipline as plans/analytics.py: µs-pinned event
+timestamps (EVENTS_US), exact BIGINT cents, total ordering by
+(ts, event_id) everywhere a window or first/last selection occurs,
+and integer quotient+remainder decomposition instead of double
+division wherever a ratio ships in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import EVENTS_US, query, t
+
+_HOUR_US = 3_600_000_000
+_DUR_MOD_S = 3540  # interval length = cents % 3540 + 60 -> [60, 3599] s
+
+
+@query(
+    "ohlc_resample",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events),
+    b AS (
+      SELECT event_type, us // {_HOUR_US} AS hour_bucket, us, event_id,
+             cents
+      FROM e),
+    o AS (
+      SELECT event_type, hour_bucket, cents,
+             row_number() OVER (PARTITION BY event_type, hour_bucket
+                                ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hour_bucket
+                                ORDER BY us DESC, event_id DESC) AS rn_z
+      FROM b)
+    SELECT event_type, hour_bucket,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+             AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(max(CASE WHEN rn_z = 1 THEN cents END) AS BIGINT)
+             AS close_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o GROUP BY 1, 2
+    """,
+)
+def ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles per event type — the
+    canonical market-data downsample.  Open/close are FIRST/LAST by
+    the total order (us, event_id), selected via dual row_numbers +
+    conditional aggregation (engine-portable, unlike any_value or
+    first() which are order-undefined), on exact cents.  Scale: one
+    corpus scan; every window partitions on (type, hour bucket) so
+    state is bounded by a bucket's rows; the aggregate is map-side
+    combinable.  This is the hypertable continuous-aggregate shape —
+    at 100 TB the candles table is (types × hours), metadata-sized,
+    and refreshes incrementally per arriving bucket
+    (mv_incremental_refresh is the companion maintenance op)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("hour_bucket", F.expr(f"us div {_HOUR_US}"))
+    wp = W.partitionBy("event_type", "hour_bucket")
+    o = e.select(
+        "event_type",
+        "hour_bucket",
+        "cents",
+        F.row_number().over(wp.orderBy("us", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wp.orderBy(F.col("us").desc(), F.col("event_id").desc()))
+        .alias("rn_z"),
+    )
+    return o.groupBy("event_type", "hour_bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
+        .cast("long")
+        .alias("open_c"),
+        F.max("cents").cast("long").alias("high_c"),
+        F.min("cents").cast("long").alias("low_c"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("cents")))
+        .cast("long")
+        .alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@query(
+    "time_weighted_average",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events),
+    d AS (
+      SELECT event_type, cents,
+             lead(us) OVER (PARTITION BY event_type
+                            ORDER BY us, event_id) - us AS dur
+      FROM e),
+    s AS (
+      SELECT event_type,
+             CAST(sum(cents * dur) AS BIGINT) AS scd,
+             CAST(sum(dur) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS n_holds
+      FROM d WHERE dur IS NOT NULL GROUP BY 1)
+    SELECT event_type, sd AS sum_dur_us, n_holds,
+           scd // sd AS twap_cents,
+           ((scd % sd) * 1000000) // sd AS twap_frac_e6
+    FROM s
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per event type (TimescaleDB's
+    time_weight, last-observation-carried-forward): each observation
+    holds its cents value until the next observation, and the TWA is
+    Σ(cents·hold_µs)/Σ(hold_µs) — shipped as an EXACT integer
+    quotient + remainder expansion (twap_cents, twap_frac_e6): the
+    naive ·1e6-then-divide would overflow int64, and a double divide
+    would be engine-ambient; q/r decomposition is exact at any scale.
+    Int64 headroom is TIME-bounded, not row-bounded: Σ(cents·dur) ≤
+    max_cents · observation_span regardless of row count (~1.3e17 for
+    a 30-day window — 70× under the edge even at 100 TB density).
+    Scale: one scan, one per-type ordered window for the lead();
+    for a type too hot for one partition, chunk by (type, day) and
+    carry boundary observations — the segmented-sweep pattern."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wl = W.partitionBy("event_type").orderBy("us", "event_id")
+    d = e.select(
+        "event_type",
+        "cents",
+        (F.lead("us").over(wl) - F.col("us")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    s = d.groupBy("event_type").agg(
+        F.sum(F.col("cents") * F.col("dur")).cast("long").alias("scd"),
+        F.sum("dur").cast("long").alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("n_holds"),
+    )
+    return s.select(
+        "event_type",
+        F.col("sd").alias("sum_dur_us"),
+        "n_holds",
+        F.expr("scd div sd").alias("twap_cents"),
+        F.expr("((scd % sd) * 1000000) div sd").alias("twap_frac_e6"),
+    )
+
+
+@query(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, event_id, user_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + ((CAST(round(value * 100) AS BIGINT) % {_DUR_MOD_S}) + 60)
+                 * 1000000 AS e
+      FROM {EVENTS_US} events
+      WHERE event_type IN ('click', 'view')),
+    a AS (SELECT user_id, event_id AS click_id, s, e FROM iv
+          WHERE event_type = 'click'),
+    b AS (SELECT user_id, event_id AS view_id, s, e FROM iv
+          WHERE event_type = 'view')
+    SELECT a.user_id, a.click_id, b.view_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, all pairs that
+    intersect in time, same user) — the third member of the temporal
+    join family next to range_join (point-in-window) and as-of
+    (nearest predecessor).  The oracle is the declarative theta join;
+    the Spark plan is CARTESIAN-FREE: every interval (< 1 h long by
+    construction) explodes to the 1-hour grid cells it covers (≤ 2),
+    candidates come from an equi-join on (user, cell), the exact
+    predicate filters, and a distinct collapses the ≤ 2-cell double
+    matches.  Scale: candidate volume is Σ per-(user, cell)
+    |clicks|·|views| — density-bounded, never all-pairs; the cell
+    width should track the max interval length (wider intervals →
+    coarser grid or interval splitting, same as range_join's
+    bucket-width rule)."""
+    iv = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + (
+                    (F.round(F.col("value") * 100).cast("long") % _DUR_MOD_S)
+                    + 60
+                )
+                * F.lit(1_000_000)
+            ).alias("e"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {_HOUR_US}"),
+                    F.expr(f"(e - 1) div {_HOUR_US}"),
+                )
+            ),
+        )
+    )
+    a = iv.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("s").alias("as_"), F.col("e").alias("ae"), "cell",
+    )
+    b = iv.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("view_id"),
+        F.col("s").alias("bs"), F.col("e").alias("be"), "cell",
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user")) & (a["cell"] == b["cell"]),
+        )
+        .filter((F.col("as_") < F.col("be")) & (F.col("bs") < F.col("ae")))
+        .select(
+            "user_id",
+            "click_id",
+            "view_id",
+            (
+                F.least("ae", "be") - F.greatest("as_", "bs")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

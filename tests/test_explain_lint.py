@@ -95,6 +95,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # sweep recomputes `run` for the peak filter instead of holding a
     # full-partition max window (docstring: the price of bounded state)
     "interval_max_concurrency_segmented": {"events": 3},
+    "interval_overlap_join": {"events": 2},  # click/view interval self-join
     "knn_classify": {"embeddings": 2},
     "lm_bigram_surprisal": {"documents": 3},
     "merge_upsert_orders": {"orders": 3},
