@@ -240,3 +240,144 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hb,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events),
+    h AS (
+      SELECT event_type, hb, CAST(sum(cents) AS BIGINT) AS tot
+      FROM e GROUP BY 1, 2),
+    j AS (
+      SELECT cur.event_type, cur.tot AS actual, prev.tot AS forecast
+      FROM h cur JOIN h prev
+        ON cur.event_type = prev.event_type AND cur.hb = prev.hb + 24)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err_c,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) // count(*)
+             AS mae_c
+    FROM j GROUP BY 1
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ(t) = y(t - 24 h))
+    on hourly revenue per event type: MAE in exact cents over every
+    hour that has a same-hour-yesterday counterpart.  The
+    seasonal-naive is THE baseline every real forecaster must beat
+    (M-competition practice), and this query is the evaluation-harness
+    shape: aggregate once, self-join on the shifted bucket key, exact
+    integer error sums.  Missing buckets (silent hours) simply produce
+    no pair — compose with time_bucket_gapfill for the
+    zero-filled-regime backtest.  Scale: one corpus scan reduces to
+    the (type × hour) grid; the shifted self-join runs on that
+    metadata-sized grid, never on events."""
+    h = (
+        t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hb"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.sum("cents").cast("long").alias("tot"))
+    )
+    cur, prev = h.alias("cur"), h.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.event_type") == F.col("prev.event_type"))
+        & (F.col("cur.hb") == F.col("prev.hb") + 24),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.tot").alias("actual"),
+        F.col("prev.tot").alias("forecast"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("long")
+        .alias("sum_abs_err_c"),
+        F.expr("CAST(sum(abs(actual - forecast)) AS BIGINT) div count(*)")
+        .alias("mae_c"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hb
+      FROM {EVENTS_US} events),
+    h AS (
+      SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM h GROUP BY 1),
+    c AS (
+      SELECT h.event_type, h.hb,
+             sum(h.n * st.nb - st.tot)
+               OVER (PARTITION BY h.event_type ORDER BY h.hb
+                     ROWS UNBOUNDED PRECEDING) AS cus
+      FROM h JOIN st ON h.event_type = st.event_type),
+    m AS (
+      SELECT event_type, hb, cus,
+             max(abs(cus)) OVER (PARTITION BY event_type) AS mx
+      FROM c)
+    SELECT event_type, CAST(mx AS BIGINT) AS max_cusum_nb,
+           min(hb) AS at_hour_bucket
+    FROM m WHERE abs(cus) = mx GROUP BY 1, 2
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint location on hourly event counts per type
+    (Page 1954): the running sum of deviations from the series mean
+    peaks (in absolute value) at the most likely level-shift point.
+    Kept EXACT by scaling: instead of n - tot/nb (a double mean), the
+    running statistic is Σ(n·nb - tot) — the CUSUM multiplied by nb,
+    an integer with identical argmax; its magnitude is bounded by
+    tot·nb (~1e5·720 at sf0.1, ~1e9·720 at 100 TB-scale hourly
+    grids — far inside int64 because the GRID, not the corpus, is the
+    operand).  Ties on |cusum| resolve to the earliest hour.  Scale:
+    one corpus scan reduces to the (type × hour) grid; windows run on
+    the grid only."""
+    h = (
+        t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    st = h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = (
+        h.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            "hb",
+            F.sum(F.col("n") * F.col("nb") - F.col("tot"))
+            .over(wc)
+            .alias("cus"),
+        )
+    )
+    m = c.withColumn(
+        "mx", F.max(F.abs(F.col("cus"))).over(W.partitionBy("event_type"))
+    )
+    return (
+        m.filter(F.abs(F.col("cus")) == F.col("mx"))
+        .groupBy("event_type", F.col("mx").cast("long").alias("max_cusum_nb"))
+        .agg(F.min("hb").alias("at_hour_bucket"))
+    )

@@ -61,3 +61,33 @@ def test_interval_overlap_positive_and_bounded(spark):
     # pair uniqueness: the bucket-join dedup worked
     pairs = [(r["click_id"], r["view_id"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_seasonal_backtest_mae_consistency(spark):
+    """MAE is the integer quotient of the error sum; pair counts are
+    bounded by (buckets - 24) per type."""
+    rows = _q("seasonal_naive_backtest", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["mae_c"] == r["sum_abs_err_c"] // r["n_hours"]
+        assert r["n_hours"] > 0
+
+
+def test_cusum_peak_is_positive_and_in_range(spark):
+    """A series with any variation has a strictly positive scaled
+    CUSUM peak; the reported bucket exists in the series."""
+    rows = {r["event_type"]: r for r in _q("cusum_changepoint", spark).collect()}
+    hb = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.expr("unix_micros(ts) div 3600000000")).alias("lo"),
+            F.max(F.expr("unix_micros(ts) div 3600000000")).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(hb)
+    for ty, r in rows.items():
+        assert r["max_cusum_nb"] > 0
+        assert hb[ty][0] <= r["at_hour_bucket"] <= hb[ty][1]
