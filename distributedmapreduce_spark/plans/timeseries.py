@@ -381,3 +381,98 @@ def cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", F.col("mx").cast("long").alias("max_cusum_nb"))
         .agg(F.min("hb").alias("at_hour_bucket"))
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+_PATH_MAX_STEPS = 8
+_PATH_TOPK = 20
+
+
+@query(
+    "session_top_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM {EVENTS_US} events),
+    o AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT user_id, event_id, event_type, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY us, event_id) AS rn
+      FROM s),
+    p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_MAX_STEPS} GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1
+    ORDER BY n DESC, path LIMIT {_PATH_TOPK}
+    """,
+)
+def session_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 session paths: users' event streams split into sessions
+    at 30-minute inactivity gaps (the sessionization rule, re-derived
+    here by gaps-and-islands so the query is self-contained), each
+    session reduced to its first 8 event types joined as a 'a>b>c'
+    path, ranked by frequency — the product-analytics "what do users
+    actually do" query.  The 8-step cap bounds both the path string
+    and the per-session state; ranking ties break on the path string,
+    so the top-k is deterministic.  Path assembly is
+    array_sort(collect_list(struct(rn, type))) — order carried IN the
+    data, portable against DuckDB's ordered string_agg.  Scale: one
+    user-keyed shuffle for the session windows (per-user state is one
+    lag), one path-keyed aggregate; the top-k runs on the path
+    cardinality."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    wu = W.partitionBy("user_id").orderBy("us", "event_id")
+    o = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(wu).isNull()
+            | ((F.col("us") - F.lag("us").over(wu)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    s = o.withColumn(
+        "sid",
+        F.sum("brk").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    r = s.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+        ),
+    ).filter(F.col("rn") <= _PATH_MAX_STEPS)
+    p = r.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOPK)
+    )
