@@ -140,6 +140,24 @@ SHOWCASE = [
         "sketch build, top-k panel, and estimate joins all run on "
         "vocab-cardinality tables",
     ),
+    (
+        "ohlc_resample",
+        "hourly OHLC candles: one scan, windows partition on "
+        "(type, bucket) so state is bucket-bounded, aggregate "
+        "map-side combinable — the continuous-aggregate shape",
+    ),
+    (
+        "interval_overlap_join",
+        "interval-overlap join: <=2-cell grid explosion + equi-join "
+        "on (user, cell), exact predicate after — no cartesian, no "
+        "BroadcastNestedLoopJoin, candidates density-bounded",
+    ),
+    (
+        "session_top_paths",
+        "sessionized path mining: ONE user-keyed exchange feeds the "
+        "gap windows; paths aggregate map-side; top-k on path "
+        "cardinality only",
+    ),
 ]
 
 
