@@ -751,3 +751,97 @@ def grouped_map_streaks(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         streaks, schema="event_type string, longest_run long, n_runs long"
     )
+
+
+_HLL_M = 64  # registers; ~13% rel. std error — the CHECKABLE baseline
+_HLL_WBITS = 26  # md5_u32 div 64 leaves 26 bits for the rho pattern
+
+
+def _hll_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("hll", "o_custkey")
+    return f"""
+    WITH ks AS (SELECT DISTINCT o_custkey FROM orders),
+    hw AS (
+      SELECT {h} % {_HLL_M} AS bkt, {h} // {_HLL_M} AS w FROM ks),
+    r AS (
+      SELECT bkt,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE strpos(lpad(bin(w), {_HLL_WBITS}, '0'), '1')
+                 END) AS m_j
+      FROM hw GROUP BY bkt),
+    s AS (
+      SELECT CAST(sum(CAST(power(2, {_HLL_WBITS + 1} - m_j) AS BIGINT))
+                  AS BIGINT) AS s_occ,
+             CAST(count(*) AS BIGINT) AS occupied
+      FROM r),
+    e AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd
+          FROM orders)
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           s.s_occ + ({_HLL_M} - s.occupied)
+                     * CAST(power(2, {_HLL_WBITS + 1}) AS BIGINT) AS s_pow,
+           CAST({_HLL_M} - s.occupied AS BIGINT) AS v_zero,
+           e.exact_nd
+    FROM s CROSS JOIN e
+    """
+
+
+@query("approx_distinct_hll_portable", oracle=_hll_oracle())
+def approx_distinct_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog with a PORTABLE hash — closes the last sketch class
+    without hash-grade evidence (approx_count_distinct's HLL++
+    registers are engine-internal; approx_distinct_linear_portable
+    checks only the linear-counting regime).  Each distinct o_custkey
+    hashes (md5) into one of 64 registers; the register value is the
+    1-based position of the first set bit in the remaining 26 hash
+    bits (rho, via the engine-agreeing bin()/lpad/strpos chain — no
+    log2, whose libm rounding at exact powers is not portable).  The
+    OUTPUT is pure-integer sketch state: Σ 2^(27−M_j) over all 64
+    registers (empty registers contribute 2^27) — exact in int64
+    (≤ 64·2^27) and ORDER-INDEPENDENT, so both engines reproduce it
+    bit-for-bit.  The estimate α·m²·2^27/s_pow (+ the small-range
+    linear-counting correction) is evaluated in the unit test against
+    exact_nd, following the linear-twin precedent: estimator math is
+    libm; sketch state is the contract.  Scale: max() registers are
+    map-side combinable and HLL union = register-wise max — the
+    mergeable-sketch property that makes it THE 100 TB distinct-count
+    structure."""
+    from .llm3 import _md5_u32
+
+    orders = t(spark, sf, "orders")
+    h = _md5_u32("hll", F.col("o_custkey"))
+    hw = (
+        orders.select("o_custkey")
+        .distinct()
+        .select(h.alias("h"))
+        .select(
+            (F.col("h") % _HLL_M).alias("bkt"),
+            F.expr(f"h div {_HLL_M}").alias("w"),
+        )
+    )
+    r = hw.groupBy("bkt").agg(
+        F.expr(
+            f"max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}"
+            f" ELSE instr(lpad(bin(w), {_HLL_WBITS}, '0'), '1') END)"
+        ).alias("m_j")
+    )
+    s = r.agg(
+        F.sum(
+            F.expr(f"CAST(power(2, {_HLL_WBITS + 1} - m_j) AS BIGINT)")
+        ).cast("long").alias("s_occ"),
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+    )
+    e = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_nd")
+    )
+    return s.crossJoin(F.broadcast(e)).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        (
+            F.col("s_occ")
+            + (F.lit(_HLL_M) - F.col("occupied"))
+            * F.lit(2 ** (_HLL_WBITS + 1))
+        ).cast("long").alias("s_pow"),
+        (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("v_zero"),
+        "exact_nd",
+    )

@@ -168,3 +168,19 @@ def test_battery2_survives_empty_inputs(spark, tmp_path):
     ):
         out = registry()[name].fn(spark, str(tmp_path)).collect()
         assert out == [], (name, out)
+
+
+def test_hll_portable_estimate_accuracy(spark):
+    """Evaluate the HLL estimator on the bit-portable sketch state:
+    alpha_64 * m^2 * 2^27 / s_pow (+ small-range linear-counting
+    correction), and require the estimate within 3 standard errors
+    (3 * 1.04/sqrt(64) ~ 39%) of the exact distinct count."""
+    import math
+
+    r = _q("approx_distinct_hll_portable", spark).collect()[0]
+    m, s_pow, v_zero, exact = r["m"], r["s_pow"], r["v_zero"], r["exact_nd"]
+    assert m == 64 and s_pow > 0
+    est = 0.709 * m * m * (2 ** 27) / s_pow
+    if est <= 2.5 * m and v_zero > 0:
+        est = m * math.log(m / v_zero)
+    assert abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(m), (est, exact)

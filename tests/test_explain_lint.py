@@ -47,6 +47,7 @@ BNLJ_BY_DESIGN = {
     "ann_ivf_topk_portable",
     "ann_lsh_topk",
     "ann_lsh_topk_portable",
+    "approx_distinct_hll_portable",  # sketch-state x exact-count scalars
     "approx_distinct_linear_portable",
     "bloom_semi_join_audit",
     "bm25_search",
@@ -74,6 +75,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "attribution_linear_touch": {"events": 2},  # purchase/click self-join
     "ann_lsh_topk": {"embeddings": 2},
     "ann_lsh_topk_portable": {"embeddings": 2},
+    "approx_distinct_hll_portable": {"orders": 2},  # sketch + exact branches
     "approx_distinct_linear_portable": {"orders": 2},
     "asof_join_forward_tolerance": {"events": 2},
     "asof_join_purchase_click": {"events": 2},
