@@ -91,3 +91,20 @@ def test_cusum_peak_is_positive_and_in_range(spark):
     for ty, r in rows.items():
         assert r["max_cusum_nb"] > 0
         assert hb[ty][0] <= r["at_hour_bucket"] <= hb[ty][1]
+
+
+def test_event_queries_session_tz_independent(spark):
+    """End-to-end insurance on the ADVICE-r04 class: the new
+    event-time queries must produce IDENTICAL results under a non-UTC
+    session timezone (the driver's session is not ours to configure;
+    the loader's NTZ normalization is the choke point)."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        for name in ("interval_max_concurrency", "ohlc_resample",
+                     "session_top_paths"):
+            a = sorted(map(tuple, registry()[name].fn(spark, SF).collect()))
+            b = sorted(map(tuple, registry()[name].fn(s2, SF).collect()))
+            assert a == b, name
+    finally:
+        s2.conf.unset("spark.sql.session.timeZone")
