@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .core import query, t
+from .core import EVENTS_US, query, t
 
 
 @query(
@@ -675,11 +675,11 @@ def join_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "grouped_map_streaks",
-    oracle="""
+    oracle=f"""
     WITH e AS (
-      SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      SELECT event_type, event_id, epoch_us(ts) AS us,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events),
+      FROM {EVENTS_US} events),
     o AS (
       SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type
