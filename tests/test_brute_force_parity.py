@@ -1,0 +1,154 @@
+"""Hypothesis brute-force parity for the round-5 event operators.
+
+The DuckDB twin gate proves Spark == DuckDB, but NOT that the shared
+algorithm is right — both engines could encode the same mistake.
+These tests close that blind spot: hypothesis generates small random
+event tables, the REGISTERED ORACLE SQL (the exact text the driver
+runs) executes on DuckDB, and the result is compared against an
+independent O(n²)/naive Python implementation of the operator's
+mathematical definition.  DuckDB-only — no Spark session — so the
+property loop is fast enough for dozens of examples.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from distributedmapreduce_spark.plans.core import registry
+
+_DUR_MOD_S = 3540
+_ATTRIB_WINDOW_US = 86_400_000_000
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user bucket
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(min_value=0, max_value=400_000),  # seconds offset
+        st.integers(min_value=1, max_value=49_000),  # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_df(rows):
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC in µs
+    recs = []
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        recs.append(
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(base + sec * 1_000_000, unit="us"),
+                "user_id": u + 1,
+                "event_type": ty,
+                "value": cents / 100.0,
+                "props": "{}",
+            }
+        )
+    return pd.DataFrame(recs)
+
+
+def _oracle(name: str, pdf: pd.DataFrame):
+    sql = registry()[name].oracle
+    assert sql, name
+    con = duckdb.connect()
+    con.register("events", pdf)
+    return con.execute(sql).fetchall()
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_interval_max_concurrency_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: (r[1], r[2]) for r in _oracle("interval_max_concurrency", pdf)
+    }
+    # brute force: per type, max over candidate instants (all interval
+    # starts) of the number of open half-open intervals
+    base = 1_704_067_200_000_000
+    by_type: dict[str, list[tuple[int, int, int]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        s = base + sec * 1_000_000
+        e = s + ((cents % _DUR_MOD_S) + 60) * 1_000_000
+        by_type.setdefault(ty, []).append((s, e, i + 1))
+    for ty, ivs in by_type.items():
+        best, best_t = 0, None
+        for s0, _, _ in sorted(ivs, key=lambda x: (x[0], x[2])):
+            n = sum(1 for s, e, _ in ivs if s <= s0 < e)
+            if n > best:
+                best, best_t = n, s0
+        assert got[ty][0] == best, (ty, got[ty], best)
+        assert got[ty][1] == best_t, (ty, got[ty], best_t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_attribution_conservation_and_shares_brute_force(rows):
+    pdf = _events_df(rows)
+    out = _oracle("attribution_linear_touch", pdf)
+    base = 1_704_067_200_000_000
+    purchases = [
+        (i + 1, u + 1, base + sec * 1_000_000, cents)
+        for i, (u, ty, sec, cents) in enumerate(rows)
+        if ty == "purchase"
+    ]
+    clicks = [
+        (i + 1, u + 1, base + sec * 1_000_000)
+        for i, (u, ty, sec, cents) in enumerate(rows)
+        if ty == "click"
+    ]
+    if not purchases:
+        assert out == []
+        return
+    # conservation: attributed == total purchase cents
+    assert sum(r[1] for r in out) == sum(p[3] for p in purchases)
+    # brute-force expected per-hour totals
+    expected: dict[object, int] = {}
+    touches: dict[object, int] = {}
+    for pid, pu, pts, cents in purchases:
+        cs = [
+            (cts, cid)
+            for cid, cu, cts in clicks
+            if cu == pu and pts - _ATTRIB_WINDOW_US <= cts < pts
+        ]
+        if not cs:
+            expected[None] = expected.get(None, 0) + cents
+            touches[None] = touches.get(None, 0) + 1
+            continue
+        k = len(cs)
+        share = cents // k
+        last = max(cs)
+        for cts, cid in cs:
+            hour = (cts // 3_600_000_000) * 3_600_000_000
+            amt = share + (cents - k * share if (cts, cid) == last else 0)
+            expected[hour] = expected.get(hour, 0) + amt
+            touches[hour] = touches.get(hour, 0) + 1
+    got = {r[0]: (r[1], r[2]) for r in out}
+    assert got == {h: (expected[h], touches[h]) for h in expected}
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_streaks_match_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {r[0]: (r[1], r[2]) for r in _oracle("grouped_map_streaks", pdf)}
+    base = 1_704_067_200_000_000
+    by_type: dict[str, list[tuple[int, int, int]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        by_type.setdefault(ty, []).append(
+            (base + sec * 1_000_000, i + 1, cents)
+        )
+    for ty, evs in by_type.items():
+        seq = [c for _, _, c in sorted(evs)]
+        runs, cur = [], 1
+        for a, b in zip(seq, seq[1:]):
+            if b > a:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[ty] == (max(runs), len(runs)), (ty, got[ty], runs)
