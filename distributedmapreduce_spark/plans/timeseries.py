@@ -108,7 +108,7 @@ def ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
              CAST(sum(cents * dur) AS BIGINT) AS scd,
              CAST(sum(dur) AS BIGINT) AS sd,
              CAST(count(*) AS BIGINT) AS n_holds
-      FROM d WHERE dur IS NOT NULL GROUP BY 1)
+      FROM d WHERE dur IS NOT NULL AND dur > 0 GROUP BY 1)
     SELECT event_type, sd AS sum_dur_us, n_holds,
            scd // sd AS twap_cents,
            ((scd % sd) * 1000000) // sd AS twap_frac_e6
@@ -126,6 +126,12 @@ def time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
     Int64 headroom is TIME-bounded, not row-bounded: Σ(cents·dur) ≤
     max_cents · observation_span regardless of row count (~1.3e17 for
     a 30-day window — 70× under the edge even at 100 TB density).
+    A hold is a STRICTLY POSITIVE duration: same-instant repeats
+    contribute nothing, and a type whose observations all share one
+    instant has no time-weighted average — it is absent from the
+    output instead of emitting a 0/0 NULL row (hypothesis brute-force
+    find: the dur-IS-NOT-NULL-only form divided by zero there,
+    NULL-rowing on DuckDB and raising under ANSI Spark).
     Scale: one scan, one per-type ordered window for the lead();
     for a type too hot for one partition, chunk by (type, day) and
     carry boundary observations — the segmented-sweep pattern."""
@@ -140,7 +146,7 @@ def time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "cents",
         (F.lead("us").over(wl) - F.col("us")).alias("dur"),
-    ).filter(F.col("dur").isNotNull())
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
     s = d.groupBy("event_type").agg(
         F.sum(F.col("cents") * F.col("dur")).cast("long").alias("scd"),
         F.sum("dur").cast("long").alias("sd"),

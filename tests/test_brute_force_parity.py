@@ -152,3 +152,94 @@ def test_streaks_match_brute_force(rows):
                 cur = 1
         runs.append(cur)
         assert got[ty] == (max(runs), len(runs)), (ty, got[ty], runs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_ohlc_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5], r[6])
+        for r in _oracle("ohlc_resample", pdf)
+    }
+    base = 1_704_067_200_000_000
+    cells: dict[tuple, list[tuple[int, int, int]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        us = base + sec * 1_000_000
+        cells.setdefault((ty, us // 3_600_000_000), []).append(
+            (us, i + 1, cents)
+        )
+    exp = {}
+    for key, evs in cells.items():
+        evs.sort()
+        cs = [c for _, _, c in evs]
+        exp[key] = (cs[0], max(cs), min(cs), cs[-1], len(cs))
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_twa_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {r[0]: (r[1], r[2], r[3], r[4]) for r in _oracle("time_weighted_average", pdf)}
+    base = 1_704_067_200_000_000
+    by_type: dict[str, list[tuple[int, int, int]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        by_type.setdefault(ty, []).append((base + sec * 1_000_000, i + 1, cents))
+    for ty, evs in by_type.items():
+        evs.sort()
+        scd = sd = n = 0
+        for (u0, _, c0), (u1, _, _) in zip(evs, evs[1:]):
+            dur = u1 - u0
+            if dur <= 0:  # holds are strictly positive by definition
+                continue
+            scd += c0 * dur
+            sd += dur
+            n += 1
+        if sd == 0:
+            # no elapsed time for this type -> no TWA row at all
+            assert ty not in got
+            continue
+        assert got[ty] == (sd, n, scd // sd, ((scd % sd) * 1_000_000) // sd)
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_cusum_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {r[0]: (r[1], r[2]) for r in _oracle("cusum_changepoint", pdf)}
+    base = 1_704_067_200_000_000
+    by_type: dict[str, dict[int, int]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        hb = (base + sec * 1_000_000) // 3_600_000_000
+        by_type.setdefault(ty, {}).setdefault(hb, 0)
+        by_type[ty][hb] += 1
+    for ty, grid in by_type.items():
+        nb, tot = len(grid), sum(grid.values())
+        cus, best, best_hb = 0, None, None
+        for hb in sorted(grid):
+            cus += grid[hb] * nb - tot
+            if best is None or abs(cus) > best:
+                best, best_hb = abs(cus), hb
+        assert got[ty] == (best, best_hb), (ty, got[ty], (best, best_hb))
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_seasonal_backtest_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {r[0]: (r[1], r[2], r[3]) for r in _oracle("seasonal_naive_backtest", pdf)}
+    base = 1_704_067_200_000_000
+    grids: dict[str, dict[int, int]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        hb = (base + sec * 1_000_000) // 3_600_000_000
+        grids.setdefault(ty, {}).setdefault(hb, 0)
+        grids[ty][hb] += cents
+    exp = {}
+    for ty, g in grids.items():
+        errs = [
+            abs(g[hb] - g[hb - 24]) for hb in g if (hb - 24) in g
+        ]
+        if errs:
+            exp[ty] = (len(errs), sum(errs), sum(errs) // len(errs))
+    assert got == exp
