@@ -243,3 +243,74 @@ def test_seasonal_backtest_matches_brute_force(rows):
         if errs:
             exp[ty] = (len(errs), sum(errs), sum(errs) // len(errs))
     assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_session_paths_match_brute_force(rows):
+    pdf = _events_df(rows)
+    got = [(r[0], r[1]) for r in _oracle("session_top_paths", pdf)]
+    base = 1_704_067_200_000_000
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        by_user.setdefault(u + 1, []).append(
+            (base + sec * 1_000_000, i + 1, ty)
+        )
+    paths: dict[str, int] = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sess: list[list[str]] = []
+        prev = None
+        for us, _, ty in evs:
+            if prev is None or us - prev > 1_800_000_000:
+                sess.append([])
+            sess[-1].append(ty)
+            prev = us
+        for s in sess:
+            p = ">".join(s[:8])
+            paths[p] = paths.get(p, 0) + 1
+    exp = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_rfm_thirds_match_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5], r[6], r[7])
+        for r in _oracle("rfm_user_segments", pdf)
+    }
+    base = 1_704_067_200_000_000
+    per: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        if ty == "purchase":
+            per.setdefault(u + 1, []).append((base + sec * 1_000_000, cents))
+    if not per:
+        assert got == {}
+        return
+    gmax = max(us for evs in per.values() for us, _ in evs)
+    pu = {
+        u: (
+            (gmax - max(us for us, _ in evs)) // 86_400_000_000,
+            len(evs),
+            sum(c for _, c in evs),
+        )
+        for u, evs in per.items()
+    }
+    n = len(pu)
+
+    def third(metric_idx):
+        order = sorted(pu, key=lambda u: (pu[u][metric_idx], u))
+        return {u: 1 + (rn * 3) // n for rn, u in enumerate(order)}
+
+    r_s, f_s, m_s = third(0), third(1), third(2)
+    exp = {
+        u: (
+            pu[u][0], pu[u][1], pu[u][2],
+            r_s[u], f_s[u], m_s[u],
+            r_s[u] * 100 + f_s[u] * 10 + m_s[u],
+        )
+        for u in pu
+    }
+    assert got == exp
