@@ -785,3 +785,104 @@ def interval_max_concurrency_segmented(spark: SparkSession, sf: str) -> DataFram
         .groupBy("event_type", "max_concurrent")
         .agg(F.min("tpt").alias("at_us"))
     )
+
+
+_LPA_ITERS = 3
+
+_LPA_EDGES_SQL = f"""
+    cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT p, count(*) AS nc FROM cp GROUP BY p),
+    e0 AS (
+      SELECT DISTINCT a.c AS u, b.c AS v
+      FROM cp a
+      JOIN cp b ON a.p = b.p AND a.c < b.c
+      WHERE a.p IN (SELECT p FROM deg WHERE nc <= {_RARE_PART_MAX_CUSTS})),
+    ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    n0 AS (SELECT u AS node, u AS lbl FROM ed GROUP BY u)
+"""
+
+
+def _lpa_step_sql(i: int) -> str:
+    return f"""
+    v{i} AS (
+      SELECT ed.u AS node, n{i - 1}.lbl,
+             count(*) AS cnt
+      FROM ed JOIN n{i - 1} ON ed.v = n{i - 1}.node
+      GROUP BY 1, 2),
+    n{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM v{i}) WHERE rn = 1)
+    """
+
+
+def _lpa_oracle() -> str:
+    steps = ",".join(_lpa_step_sql(i) for i in range(1, _LPA_ITERS + 1))
+    return f"""
+    WITH {_LPA_EDGES_SQL}, {steps}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM n{_LPA_ITERS} GROUP BY 1
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the rare-part co-purchase graph (same blocked
+    projection as triangle_count_copurchase): labels start as node
+    ids and, for 3 fixed synchronous rounds, every node adopts its
+    neighbors' MOST FREQUENT label with ties broken by the smallest
+    label — fully deterministic, unlike the asynchronous/random-order
+    formulations.  Output is the community census (label, size,
+    smallest member).  The fixed iteration count keeps the oracle
+    SQL-expressible as chained CTEs (the pagerank_event_types
+    discipline).  Scale: the one corpus-sized job builds the edge
+    list; each round is a self-join of the (node, label) table with
+    the edge list — both orders of magnitude smaller than the input —
+    and the mode-selection window partitions per node, bounded by
+    node degree."""
+    cp = (
+        t(spark, sf, "orders")
+        .join(
+            t(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .withColumn("nc", F.count(F.lit(1)).over(W.partitionBy("p")))
+        .filter(F.col("nc") <= _RARE_PART_MAX_CUSTS)
+        .drop("nc")
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .distinct()
+    )
+    ed = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        ed.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            ed.join(labels, ed["v"] == labels["node"])
+            .groupBy(ed["u"].alias("nnode"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        wv = W.partitionBy("nnode").orderBy(F.desc("cnt"), "lbl")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nnode").alias("node"), "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_member"),
+    )
