@@ -314,3 +314,133 @@ def test_rfm_thirds_match_brute_force(rows):
         for u in pu
     }
     assert got == exp
+
+
+baskets_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # customer
+        st.lists(
+            st.integers(min_value=0, max_value=14),  # part ids
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _orders_lineitem(baskets):
+    orders, items = [], []
+    for oi, (cust, parts) in enumerate(baskets):
+        okey = oi + 1
+        orders.append(
+            {
+                "o_orderkey": okey,
+                "o_custkey": cust + 1,
+                "o_orderstatus": "O",
+                "o_totalprice": 1.0,
+                "o_orderdate": pd.Timestamp("2024-01-01"),
+                "o_orderpriority": "1-URGENT",
+            }
+        )
+        for ln, p in enumerate(parts):
+            items.append(
+                {
+                    "l_orderkey": okey,
+                    "l_partkey": p + 1,
+                    "l_suppkey": 1,
+                    "l_linenumber": ln + 1,
+                    "l_quantity": 1.0,
+                    "l_extendedprice": 1.0,
+                    "l_discount": 0.0,
+                    "l_tax": 0.0,
+                    "l_returnflag": "N",
+                    "l_linestatus": "O",
+                    "l_shipdate": pd.Timestamp("2024-01-02"),
+                }
+            )
+    return pd.DataFrame(orders), pd.DataFrame(items)
+
+
+def _oracle_tables(name: str, tables: dict):
+    sql = registry()[name].oracle
+    assert sql, name
+    con = duckdb.connect()
+    for tname, pdf in tables.items():
+        con.register(tname, pdf)
+    return con.execute(sql).fetchall()
+
+
+@settings(max_examples=40, deadline=None)
+@given(baskets_strategy)
+def test_itempairs_match_brute_force(baskets):
+    od, li = _orders_lineitem(baskets)
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in _oracle_tables("frequent_itempairs", {"lineitem": li})
+    }
+    basket_sets = [set(p + 1 for p in parts) for _, parts in baskets]
+    n_orders = len(basket_sets)
+    from collections import Counter
+
+    pc = Counter(p for s in basket_sets for p in s)
+    sup = Counter()
+    for s in basket_sets:
+        ss = sorted(s)
+        for i, p1 in enumerate(ss):
+            for p2 in ss[i + 1:]:
+                sup[(p1, p2)] += 1
+    exp = {}
+    for (p1, p2), s in sup.items():
+        if s >= 2:
+            exp[(p1, p2)] = (
+                s,
+                (s * n_orders * 1_000_000) // (pc[p1] * pc[p2]),
+                (s * 1_000_000) // pc[p1],
+            )
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(baskets_strategy)
+def test_triangles_match_brute_force(baskets):
+    od, li = _orders_lineitem(baskets)
+    got = {
+        r[0]: r[1]
+        for r in _oracle_tables(
+            "triangle_count_copurchase", {"orders": od, "lineitem": li}
+        )
+    }
+    # rebuild the projected graph with the same degree cap
+    cp = set()
+    for cust, parts in baskets:
+        for p in parts:
+            cp.add((cust + 1, p + 1))
+    from collections import Counter, defaultdict
+
+    deg = Counter(p for _, p in cp)
+    edges = set()
+    by_part = defaultdict(list)
+    for c, p in cp:
+        by_part[p].append(c)
+    for p, cs in by_part.items():
+        if deg[p] <= 15:
+            cs = sorted(set(cs))
+            for i, u in enumerate(cs):
+                for v in cs[i + 1:]:
+                    edges.add((u, v))
+    nodes = sorted({n for e in edges for n in e})
+    count = Counter()
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in edges:
+                continue
+            for c in nodes:
+                if c <= b:
+                    continue
+                if (b, c) in edges and (a, c) in edges:
+                    count[a] += 1
+                    count[b] += 1
+                    count[c] += 1
+    assert got == dict(count)
