@@ -886,3 +886,62 @@ def label_propagation_communities(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_member"),
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    tot AS (
+      SELECT flag, CAST(sum(w) AS BIGINT) AS tw FROM li GROUP BY 1),
+    c AS (
+      SELECT li.flag, li.price_c, tot.tw,
+             sum(li.w) OVER (PARTITION BY li.flag
+                             ORDER BY li.price_c, li.l_orderkey,
+                                      li.l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cw
+      FROM li JOIN tot ON li.flag = tot.flag)
+    SELECT flag, tw AS total_weight,
+           CAST(min(price_c) AS BIGINT) AS wmedian_c
+    FROM c WHERE cw * 2 >= tw GROUP BY 1, 2
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED median of lineitem price with quantity weights, per
+    return flag — the order statistic neither engine has built in
+    (percentile() / quantile_cont ignore weights): the smallest price
+    whose cumulative weight reaches half the total (lower weighted
+    median, 2·cw >= tw in integers — no halving, no doubles).
+    Quantities are integer-valued by construction, so cumulative
+    weights are exact BIGINTs, and the cumsum order is totalized by
+    (price, orderkey, linenumber).  Scale: the cumsum is a per-group
+    ordered window — groups here are the 3 return flags; for
+    high-cardinality groups the two-phase bucketed cumsum of
+    token_budget_select is the drop-in (same discipline:
+    boundary-bucket window only)."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = li.groupBy("flag").agg(F.sum("w").cast("long").alias("tw"))
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = li.join(F.broadcast(tot), "flag").select(
+        "flag", "price_c", "tw", F.sum("w").over(wc).alias("cw")
+    )
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag", F.col("tw").alias("total_weight"))
+        .agg(F.min("price_c").cast("long").alias("wmedian_c"))
+    )

@@ -127,6 +127,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "time_bucket_interpolate": {"events": 3},
     "token_budget_select": {"documents": 3},
     "tpch_q11_important_part_value": {"lineitem": 2},
+    "weighted_median_price": {"lineitem": 2},  # total-weight scalar branch
     "tpch_q15_top_supplier": {"lineitem": 2},
     "tpch_q17_small_quantity_revenue": {"lineitem": 2},
     "tpch_q18_large_volume_customer": {"lineitem": 2},
