@@ -945,3 +945,94 @@ def weighted_median_price(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("flag", F.col("tw").alias("total_weight"))
         .agg(F.min("price_c").cast("long").alias("wmedian_c"))
     )
+
+
+_CONTRIB_TOPK = 3
+
+
+@query(
+    "revenue_contribution_topk",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment AS segment,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM g),
+    r AS (
+      SELECT segment, rev_c, n_orders,
+             row_number() OVER (ORDER BY rev_c DESC, segment) AS rn
+      FROM g),
+    folded AS (
+      SELECT CASE WHEN rn <= {_CONTRIB_TOPK} THEN segment
+                  ELSE 'OTHER' END AS segment,
+             CAST(sum(rev_c) AS BIGINT) AS rev_c,
+             CAST(sum(n_orders) AS BIGINT) AS n_orders
+      FROM r GROUP BY 1)
+    SELECT f.segment, f.rev_c, f.n_orders,
+           (f.rev_c * 10000) // tot.t AS share_e4
+    FROM folded f CROSS JOIN tot
+    """,
+)
+def revenue_contribution_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Contribution report: revenue by customer market segment, top-3
+    segments kept (3 < the 5 segments in the data, so the OTHER fold
+    is actually exercised), the tail folded into an 'OTHER' row, each with its
+    exact share of total in 1e-4 integer ticks (e4, not e6: the OTHER
+    row's cents sum x 1e6 crossed int64 at the 10x replica under ANSI
+    — caught by the gate, exactly what ANSI-on oracle runs are for;
+    e4 holds ~100x past the 100x replica, and DECIMAL(38) sums are
+    the documented upgrade beyond) — the
+    every-dashboard-has-one "top N + other" rollup, with
+    deterministic rank ties (revenue desc, then segment).  Exact cents
+    everywhere; shares are BIGINT-multiply-then-integer-divide, so
+    Σshare_e6 <= 1e6 with the deficit being truncation dust — a
+    documented property, not a float artifact.  Scale: fact table
+    shuffles once into the per-segment aggregate (segment cardinality
+    is tiny); ranking, folding, and the total are all
+    aggregate-cardinality operations with a scalar broadcast."""
+    g = (
+        t(spark, sf, "orders")
+        .join(
+            t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    r = g.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.desc("rev_c"), "segment")
+        ),
+    )
+    folded = (
+        r.withColumn(
+            "segment",
+            F.when(F.col("rn") <= _CONTRIB_TOPK, F.col("segment")).otherwise(
+                F.lit("OTHER")
+            ),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum("rev_c").cast("long").alias("rev_c"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+    # the denominator comes from the (<= TOPK+1)-row folded table via a
+    # window, not a second pass over the fact table — one orders scan
+    return folded.withColumn(
+        "t", F.sum("rev_c").over(W.partitionBy()).cast("long")
+    ).select(
+        "segment",
+        "rev_c",
+        "n_orders",
+        F.expr("(rev_c * 10000) div t").alias("share_e4"),
+    )
