@@ -1036,3 +1036,38 @@ def revenue_contribution_topk(spark: SparkSession, sf: str) -> DataFrame:
         "n_orders",
         F.expr("(rev_c * 10000) div t").alias("share_e4"),
     )
+
+
+_K_ANON = 8  # chosen so violations EXIST at the sf0.01 gate (11 classes)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2)
+    SELECT nation, segment, group_size
+    FROM g WHERE group_size < {_K_ANON}
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment)
+    quasi-identifier pair: every equivalence class smaller than k=8 —
+    the rows a release would have to suppress or generalize before
+    publication (Sweeney 2002, the data-governance gate every
+    privacy-aware lake runs before sharing).  Scale: one hash
+    aggregate on the quasi-identifier tuple (map-side combinable);
+    the violation list is at most the class count.  Generalization
+    ladders (nation -> region) compose by re-running the audit on the
+    coarser key — the same aggregate shape at every rung."""
+    return (
+        t(spark, sf, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < _K_ANON)
+    )
