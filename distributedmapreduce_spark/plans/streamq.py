@@ -199,3 +199,69 @@ def stateful_user_totals(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_ohlc_candles",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events),
+    o AS (
+      SELECT event_type, us // 3600000000 AS hour_bucket, cents,
+             row_number() OVER (PARTITION BY event_type, us // 3600000000
+                                ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, us // 3600000000
+                                ORDER BY us DESC, event_id DESC) AS rn_z
+      FROM e)
+    SELECT hour_bucket, event_type,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(max(CASE WHEN rn_z = 1 THEN cents END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_candles(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING OHLC candle aggregate
+    (streaming/windows.py::ohlc_candles, stream==batch parity in
+    tests/test_streaming.py): open/close selected by min_by/max_by
+    over the (us, event_id) struct key — the streaming-compatible
+    first/last (window rank functions are not allowed on streams; a
+    lexicographic arg-min over a unique key is, and is deterministic).
+    The oracle is the independent dual-row_number formulation (shared
+    with ohlc_resample), so the min_by path gets its own hash-grade
+    check.  Scale: per-candle state is 5 numbers; updates are
+    map-side combinable — the continuous aggregate every hypertable
+    maintains incrementally."""
+    ev = t(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    ).withColumn(
+        "okey",
+        F.struct(
+            F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid")
+        ),
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("cents", "okey").alias("open_c"),
+            F.max("cents").cast("long").alias("high_c"),
+            F.min("cents").cast("long").alias("low_c"),
+            F.max_by("cents", "okey").alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.expr("unix_micros(w.start) div 3600000000").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "n",
+        )
+    )

@@ -135,3 +135,42 @@ def run_stream_to_table(
     finally:
         q.stop()
     return sdf.sparkSession.table(name)
+
+
+def ohlc_candles(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked hourly OHLC candles — the continuous-aggregate
+    (hypertable) shape as a STREAMING query: open/close via
+    min_by/max_by over the (us, event_id) total-order key, which are
+    streaming-supported aggregates (unlike window rank functions), so
+    the candle updates incrementally per micro-batch and state is one
+    candle row per (type, hour)."""
+    ev = events.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    ).withColumn(
+        "okey",
+        F.struct(
+            F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid")
+        ),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("cents", "okey").alias("open_c"),
+            F.max("cents").cast("long").alias("high_c"),
+            F.min("cents").cast("long").alias("low_c"),
+            F.max_by("cents", "okey").alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.expr("unix_micros(w.start) div 3600000000").alias("hour_bucket"),
+            "event_type",
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "n",
+        )
+    )

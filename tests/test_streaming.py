@@ -118,3 +118,16 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == load_table(spark, "events", SF).count()
     assert "batch_id" in written.columns
+
+
+def test_stream_ohlc_matches_batch(spark):
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.ohlc_candles(stream), "t_ohlc", "complete"
+    )
+    batch = QUERIES["stream_ohlc_candles"](spark, SF)
+    cols = [
+        "hour_bucket", "event_type", "open_c", "high_c", "low_c",
+        "close_c", "n",
+    ]
+    assert _rows(out, cols) == _rows(batch, cols)
