@@ -1,0 +1,202 @@
+"""Data-quality / profiling battery (round 5): mode aggregates,
+zone-map (data-skipping) statistics, Benford first-digit auditing,
+and calendar heatmaps — the checks a lakehouse runs continuously over
+ingested data.
+
+Portability discipline as the rest of plans/: exact integers
+(BIGINT cents, integer-tick shares), deterministic tie-breaks, and
+calendar arithmetic done on epoch integers instead of engine
+date-part functions where the engines' conventions differ
+(dayofweek: Spark is 1=Sunday, DuckDB is 0=Sunday — both are avoided
+entirely by computing ((days since epoch) + 4) % 7, anchored on
+1970-01-01 being a Thursday).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import EVENTS_US, query, t
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "mode_order_priority",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT status, prio, n,
+             row_number() OVER (PARTITION BY status
+                                ORDER BY n DESC, prio) AS rn
+      FROM c)
+    SELECT status, prio AS mode_priority, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """MODE aggregate (most frequent value) of order priority per
+    order status, with deterministic ties (count desc, then the
+    priority string) — the holistic aggregate Spark has no built-in
+    for (mode() landed only in 3.4+ and its tie order is
+    engine-defined; this formulation pins it).  Scale: the
+    (status, priority) pre-aggregate reduces map-side to the tiny
+    value-pair grid; the rank window runs on that grid only — the
+    standard two-phase shape for any holistic aggregate."""
+    c = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = c.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("status").orderBy(F.desc("n"), "prio")
+        ),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "status",
+        F.col("prio").alias("mode_priority"),
+        F.col("n").alias("mode_n"),
+    )
+
+
+@query(
+    "zone_map_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      FROM {EVENTS_US} events)
+    SELECT us // {_DAY_US} AS day_zone,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(us) AS BIGINT) AS min_us,
+           CAST(max(us) AS BIGINT) AS max_us,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM e GROUP BY 1
+    """,
+)
+def zone_map_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map construction — per daily zone, the min/max statistics
+    (timestamps, values, ids) a data-skipping layer (parquet row-group
+    stats, Iceberg/Delta file stats, small-materialized-aggregates)
+    maintains so point/range predicates can prune entire zones without
+    reading them.  This is the exact statistic that makes the 100 TB
+    scan-pruning story work: a `WHERE ts BETWEEN ...` touches only
+    zones whose [min_us, max_us] intersects.  Scale: one
+    map-side-combinable aggregate; output is zone-cardinality
+    (metadata-sized by construction)."""
+    e = t(spark, sf, "events").select(
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return e.groupBy(F.expr(f"us div {_DAY_US}").alias("day_zone")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("us").cast("long").alias("min_us"),
+        F.max("us").cast("long").alias("max_us"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+# Benford expected first-digit shares, floor(log10(1+1/d)*1e6) —
+# hardcoded integer ticks so neither engine evaluates log10 at runtime
+_BENFORD_E6 = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def _benford_case() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in _BENFORD_E6.items()
+    )
+    return f"CASE digit {whens} END"
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+    SELECT g.digit, g.n,
+           (g.n * 1000000) // tot.t AS share_e6,
+           {_benford_case()} AS benford_e6,
+           abs((g.n * 1000000) // tot.t - {_benford_case()}) AS dev_e6
+    FROM g CROSS JOIN tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / data-quality screen: observed share of each
+    leading digit vs the Benford expectation log10(1+1/d), with the
+    expectation HARDCODED as integer 1e-6 ticks so neither engine
+    evaluates log10 at run time (libm portability), and observed
+    shares as BIGINT-multiply-then-integer-divide.  The deviation
+    column is the per-digit audit signal (synthetic uniform-ish data
+    legitimately deviates — the value here is the exact, portable
+    measurement).  Scale: digit extraction is map-only; the aggregate
+    has 9 groups; the total is a scalar broadcast."""
+    c = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    g = c.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = g.agg(F.sum("n").cast("long").alias("t"))
+    bexpr = _benford_case()
+    return g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("(n * 1000000) div t").alias("share_e6"),
+        F.expr(bexpr).alias("benford_e6"),
+        F.expr(f"abs((n * 1000000) div t - {bexpr})").alias("dev_e6"),
+    )
+
+
+@query(
+    "dow_hour_heatmap",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS us FROM {EVENTS_US} events)
+    SELECT ((us // {_DAY_US}) + 4) % 7 AS dow,
+           (us % {_DAY_US}) // {_HOUR_US} AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def dow_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (0 = Sunday, UTC) —
+    the seasonality grid behind every traffic dashboard.  The day of
+    week comes from PURE EPOCH ARITHMETIC (((days since epoch) + 4)
+    % 7, 1970-01-01 being a Thursday) because the engines' dayofweek()
+    functions disagree on numbering (Spark 1=Sunday, DuckDB
+    0=Sunday) — integer arithmetic has no convention to disagree on.
+    Scale: one map-side-combinable aggregate onto a 168-cell grid."""
+    e = t(spark, sf, "events").select(F.unix_micros("ts").alias("us"))
+    return e.groupBy(
+        F.expr(f"((us div {_DAY_US}) + 4) % 7").alias("dow"),
+        F.expr(f"(us % {_DAY_US}) div {_HOUR_US}").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

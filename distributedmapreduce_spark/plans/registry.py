@@ -41,6 +41,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     llm5,
     llm6,
     mmq,
+    quality,
     relational,
     relational2,
     streamq,

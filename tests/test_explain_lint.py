@@ -49,6 +49,7 @@ BNLJ_BY_DESIGN = {
     "ann_lsh_topk_portable",
     "approx_distinct_hll_portable",  # sketch-state x exact-count scalars
     "approx_distinct_linear_portable",
+    "benford_first_digit_audit",  # digit-total row: scalar broadcast
     "bloom_semi_join_audit",
     "bm25_search",
     "cosine_topk_bruteforce",
@@ -79,6 +80,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "approx_distinct_linear_portable": {"orders": 2},
     "asof_join_forward_tolerance": {"events": 2},
     "asof_join_purchase_click": {"events": 2},
+    "benford_first_digit_audit": {"orders": 2},  # digit-total branch
     "bloom_semi_join_audit": {"customer": 4},
     "bm25_search": {"documents": 4},
     "boilerplate_shingle_score": {"documents": 2},
