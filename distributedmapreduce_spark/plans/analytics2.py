@@ -1071,3 +1071,53 @@ def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .filter(F.col("group_size") < _K_ANON)
     )
+
+
+@query(
+    "ab_srm_check",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (
+      SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1
+      FROM u)
+    SELECT n0, n1,
+           ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS srm_stat_e6,
+           CASE WHEN ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1)
+                     > 3841000000 THEN 1 ELSE 0 END AS srm_flag
+    FROM a
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail for the user_id % 2
+    experiment split (companion to ab_test_cuped): the chi-square
+    statistic for a 50/50 split reduces to (n0−n1)²/(n0+n1), shipped
+    in exact integer 1e-6 ticks, and the flag fires above the
+    χ²(1df, p=0.05) critical value 3.841 — the first thing every
+    experimentation platform checks before reading a metric, because
+    assignment skew invalidates everything downstream.  Int64
+    headroom: (n0−n1)²·1e6 needs |n0−n1| ≤ 3e6 — a 3-million-user
+    imbalance would be flagged at a glance long before arithmetic
+    matters; widen to DECIMAL(38) if you ever ship one.  Scale: one
+    distinct-users aggregate (map-side combinable), then scalar
+    arithmetic."""
+    u = t(spark, sf, "events").select("user_id").distinct()
+    a = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    return a.select(
+        "n0",
+        "n1",
+        F.expr("((n0 - n1) * (n0 - n1) * 1000000) div (n0 + n1)").alias(
+            "srm_stat_e6"
+        ),
+        F.expr(
+            "CASE WHEN ((n0 - n1) * (n0 - n1) * 1000000) div (n0 + n1)"
+            " > 3841000000 THEN 1 ELSE 0 END"
+        ).alias("srm_flag"),
+    )
