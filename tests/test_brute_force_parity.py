@@ -444,3 +444,89 @@ def test_triangles_match_brute_force(baskets):
                     count[b] += 1
                     count[c] += 1
     assert got == dict(count)
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["key", "agg", "row", "scan", "slow", "fast",
+                         "table", "value", "part", "hash"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _docs_df(docs):
+    return pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": [" ".join(ws) for ws in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(" ".join(ws)) for ws in docs],
+        }
+    )
+
+
+def _md5_u32_py(tag: str, val: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}:{val}".encode()).hexdigest()[:8], 16)
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs_strategy)
+def test_cms_matches_brute_force(docs):
+    from collections import Counter
+
+    pdf = _docs_df(docs)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in _oracle_tables("count_min_heavy_estimates", {"documents": pdf})
+    }
+    wc = Counter(w for ws in docs for w in ws if w)
+    if not wc:
+        assert got == {}
+        return
+    # independent pure-python CMS (same md5 family, D=4 x W=16)
+    sketch = [[0] * 16 for _ in range(4)]
+    for w, n in wc.items():
+        for d in range(4):
+            sketch[d][_md5_u32_py(f"cms{d}", w) % 16] += n
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    exp = {
+        w: (n, min(sketch[d][_md5_u32_py(f"cms{d}", w) % 16] for d in range(4)))
+        for w, n in top
+    }
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60))
+def test_hll_state_matches_brute_force(custkeys):
+    rows = [
+        {
+            "o_orderkey": i + 1,
+            "o_custkey": c,
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+        for i, c in enumerate(custkeys)
+    ]
+    got = _oracle_tables(
+        "approx_distinct_hll_portable", {"orders": pd.DataFrame(rows)}
+    )[0]
+    regs = {}
+    for c in set(custkeys):
+        h = _md5_u32_py("hll", str(c))
+        bkt, w = h % 64, h // 64
+        rho = 27 if w == 0 else (27 - w.bit_length())
+        regs[bkt] = max(regs.get(bkt, 0), rho)
+    s_pow = sum(2 ** (27 - m) for m in regs.values()) + (64 - len(regs)) * 2 ** 27
+    assert (got[0], got[1], got[2], got[3]) == (
+        64, s_pow, 64 - len(regs), len(set(custkeys))
+    )
