@@ -1121,3 +1121,85 @@ def ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
             " > 3841000000 THEN 1 ELSE 0 END"
         ).alias("srm_flag"),
     )
+
+
+@query(
+    "decile_lift_gains",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS mon
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    r AS (
+      SELECT user_id, mon,
+             1 + ((row_number() OVER (ORDER BY mon DESC, user_id) - 1)
+                  * 10) // (count(*) OVER ()) AS decile
+      FROM p),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(mon) AS BIGINT) AS rev_c
+      FROM r GROUP BY 1),
+    c AS (
+      SELECT decile, n_users, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_c,
+             CAST(sum(rev_c) OVER () AS BIGINT) AS tot
+      FROM d)
+    SELECT decile, n_users, rev_c,
+           (cum_rev_c * 1000000) // tot AS cum_share_e6
+    FROM c
+    """,
+)
+def decile_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative-gains (lift) table: users ranked by purchase spend,
+    cut into equal-frequency deciles by rank arithmetic (the
+    rfm_user_segments discipline — never ntile), with each decile's
+    revenue and the CUMULATIVE share of total in exact 1e-6 ticks —
+    the evaluation harness for any targeting/propensity model ("the
+    top decile holds X% of revenue"), here with spend itself as the
+    ranking score (a perfect-model upper bound).  Monotonicity of
+    cum_share and the decile size balance are unit-tested.  Int64
+    headroom: total_cents × 1e6 ≈ 2.4e16 at the 100× replica — 380×
+    under the edge; DECIMAL(38) at billions of users.  Scale: one
+    corpus scan reduces to user cardinality; the ranking window runs
+    per-user-table (boundary-tuple selection is the 100 TB swap, as
+    documented in price_decile_assign); everything after is
+    10-row arithmetic."""
+    p = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("mon")
+        )
+    )
+    r = p.select(
+        "mon",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("mon"), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nu"),
+    ).select("mon", F.expr("1 + ((rn - 1) * 10) div nu").alias("decile"))
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("mon").cast("long").alias("rev_c"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select(
+        "decile",
+        "n_users",
+        "rev_c",
+        F.sum("rev_c").over(wc).cast("long").alias("cum_rev_c"),
+        F.sum("rev_c").over(W.partitionBy()).cast("long").alias("tot"),
+    )
+    return c.select(
+        "decile",
+        "n_users",
+        "rev_c",
+        F.expr("(cum_rev_c * 1000000) div tot").alias("cum_share_e6"),
+    )

@@ -184,3 +184,17 @@ def test_hll_portable_estimate_accuracy(spark):
     if est <= 2.5 * m and v_zero > 0:
         est = m * math.log(m / v_zero)
     assert abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(m), (est, exact)
+
+
+def test_decile_gains_monotone_and_balanced(spark):
+    """Cumulative share is strictly increasing to exactly 1e6 at
+    decile 10; deciles are equal-frequency within 1 user; revenue per
+    decile is non-increasing (ranked by spend)."""
+    rows = sorted(_q("decile_lift_gains", spark).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cs = [r["cum_share_e6"] for r in rows]
+    assert cs == sorted(cs) and cs[-1] == 1_000_000
+    sizes = [r["n_users"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    revs = [r["rev_c"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
