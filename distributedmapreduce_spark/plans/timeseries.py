@@ -482,3 +482,78 @@ def session_top_paths(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(_PATH_TOPK)
     )
+
+
+_NEAREST_TOL_US = 3_600_000_000  # ±1 h
+
+
+@query(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+      FROM {EVENTS_US} events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.pid, c.cid, abs(c.cts - p.pts) AS dist,
+             CASE WHEN c.cts <= p.pts THEN 0 ELSE 1 END AS after_flag
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.pts - {_NEAREST_TOL_US}
+                     AND p.pts + {_NEAREST_TOL_US}),
+    r AS (
+      SELECT pid, cid, dist,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY dist, after_flag, cid) AS rn
+      FROM cand)
+    SELECT pid, cid AS nearest_click_id, dist AS dist_us
+    FROM r WHERE rn = 1
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST-in-time as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to the click with the
+    smallest |Δt| within ±1 h, ties resolved to the EARLIER side then
+    the smaller id — completing the temporal-join family (backward
+    as-of, forward+tolerance, range, interval-overlap, and now
+    nearest).  Scale: candidates come from a (user, time)-bounded
+    equi-join — the tolerance bounds each purchase's candidate set —
+    and the per-purchase argmin window partitions on purchase id; for
+    mega-users the (user, hour-bucket) scheme of range_join_event_
+    pairs drops in.  The BETWEEN predicate pushes into the join,
+    never a cartesian (explain-lint-gated like every query)."""
+    ev = t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuser"),
+        F.unix_micros("ts").alias("cts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("cts") >= F.col("pts") - _NEAREST_TOL_US)
+        & (F.col("cts") <= F.col("pts") + _NEAREST_TOL_US),
+    ).select(
+        "pid",
+        "cid",
+        F.abs(F.col("cts") - F.col("pts")).alias("dist"),
+        F.when(F.col("cts") <= F.col("pts"), 0).otherwise(1).alias("after_flag"),
+    )
+    r = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy("dist", "after_flag", "cid")
+        ),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "pid",
+        F.col("cid").alias("nearest_click_id"),
+        F.col("dist").alias("dist_us"),
+    )

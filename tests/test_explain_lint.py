@@ -79,6 +79,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "approx_distinct_hll_portable": {"orders": 2},  # sketch + exact branches
     "approx_distinct_linear_portable": {"orders": 2},
     "asof_join_forward_tolerance": {"events": 2},
+    "asof_join_nearest": {"events": 2},  # purchase/click self-join
     "asof_join_purchase_click": {"events": 2},
     "benford_first_digit_audit": {"orders": 2},  # digit-total branch
     "bloom_semi_join_audit": {"customer": 4},
