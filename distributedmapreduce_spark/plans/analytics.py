@@ -953,30 +953,57 @@ def event_value_quantiles_exact(spark: SparkSession, sf: str) -> DataFrame:
     value instead of interpolating, so the result is engine-portable
     (Spark's percentile() and DuckDB's quantile_cont interpolate
     differently and merge doubles).  Complements the approximate
-    family (approx_quantiles) with a hash-grade ground truth.  Scale:
-    one window per group — fine while every group fits a partition
-    (event_type has ~5 values here); for high-cardinality groups the
-    two-phase bucketed cumsum of token_budget_select is the upgrade
-    path, and for 100 TB single-group data you use approx_percentile
-    and check it against this on a sample."""
-    ev = t(spark, sf, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
+    family (approx_quantiles) with a hash-grade ground truth.
+
+    Scale (r06, window-funnel lint): the per-type rank no longer runs
+    one full-stream window per event_type.  Values are binned into
+    fixed quarter-unit ranges; per-(type, bin) counts feed a window
+    over the tiny bin table only (rank base + per-type total), the
+    <=3 boundary bins per type are found IN that table, and the
+    per-row rank window runs ONLY over the boundary bins' rows —
+    the equal_freq_bucket boundary-selection discipline, emitting
+    the exact nearest-rank tuple per (type, percentile)."""
+    ev = t(spark, sf, "events").select(
         "event_type",
         "value",
         "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        F.floor(F.col("value") * 4).cast("long").alias("bin"),
     )
-    qs = F.explode(
-        F.array(*[F.lit(q) for q in _QUANTILES])
-    ).alias("q")
+    bcnt = ev.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bbase = bcnt.select(
+        "event_type",
+        "bin",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+        .cast("long")
+        .alias("base"),
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    targets = bbase.select(
+        "event_type",
+        "bin",
+        "base",
+        F.explode(F.array(*[F.lit(q) for q in _QUANTILES])).alias("q"),
+        F.expr("ceil(q * n / 100.0)").cast("long").alias("brank"),
+    ).filter(
+        (F.col("base") < F.col("brank"))
+        & (F.col("brank") <= F.col("base") + F.col("cnt"))
+    )
+    wl = W.partitionBy("event_type", "bin", "q").orderBy(
+        "value", "event_id"
+    )
     return (
-        ranked.select("event_type", "value", "rn", "n", qs)
-        .filter(
-            F.col("rn")
-            == F.ceil(F.col("q") * F.col("n") / 100.0).cast("long")
-        )
+        ev.join(F.broadcast(targets), ["event_type", "bin"])
+        .withColumn("rn", F.col("base") + F.row_number().over(wl))
+        .filter(F.col("rn") == F.col("brank"))
         .select(
             "event_type",
             F.col("q").cast("long").alias("pct"),

@@ -578,12 +578,13 @@ def rfm_user_segments(spark: SparkSession, sf: str) -> DataFrame:
     ntile(), whose tie placement is engine-defined; ties break on
     user_id so every score is deterministic, and segment = 100r+10f+m
     composes them (scores order ASCENDING in the metric: r_score 1 =
-    most recent, f/m_score 3 = heaviest).  Scale: one corpus scan
-    reduces to user cardinality; the three rank windows run over the
-    per-user table only.  The single-partition global windows are the
-    documented small-n shape — at 100 TB user counts, swap in the
-    broadcast boundary-tuple selection of price_decile_assign (same
-    nearest-rank discipline, no global sort)."""
+    most recent, f/m_score 3 = heaviest).  Scale (r06: the documented
+    swap is now APPLIED): one corpus scan reduces to user cardinality,
+    then each score is an ``equal_freq_bucket`` assignment
+    (operators/quantiles.py) — per-metric range bins, boundary-bin
+    windows only, broadcast boundary tuples, NO global rank window.
+    Bin widths: 1 day / 1 purchase (both value-bounded ranges), 4096
+    cents for spend."""
     p = (
         t(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")
@@ -609,16 +610,22 @@ def rfm_user_segments(spark: SparkSession, sf: str) -> DataFrame:
             "mon",
         )
     )
-    sc = pu.withColumn("nu", F.count(F.lit(1)).over(W.partitionBy()))
-    for nm, metric in (
-        ("r_score", "rec_days"),
-        ("f_score", "freq"),
-        ("m_score", "mon"),
+    from ..operators.quantiles import equal_freq_bucket
+
+    # cache the user-cardinality reduction: the three bucket
+    # assignments each walk it twice (bin counts + boundary rows);
+    # without the cache that re-runs the CORPUS scan five times
+    # (caught by the FileScan budget lint).  At 100 TB the per-user
+    # table is the thing you persist; the raw events are scanned once.
+    sc = pu.persist()
+    for nm, metric, width in (
+        ("r_score", "rec_days", 1),
+        ("f_score", "freq", 1),
+        ("m_score", "mon", 4096),
     ):
-        sc = sc.withColumn(
-            f"_rn_{nm}",
-            F.row_number().over(W.partitionBy().orderBy(metric, "user_id")),
-        ).withColumn(nm, F.expr(f"1 + ((_rn_{nm} - 1) * 3) div nu"))
+        sc = equal_freq_bucket(
+            sc, metric, "user_id", nm, 3, bucket_width=width
+        )
     return sc.select(
         "user_id",
         "rec_days",
@@ -830,7 +837,44 @@ def _lpa_oracle() -> str:
     """
 
 
-@query("label_propagation_communities", oracle=_lpa_oracle())
+def _lpa_oracle_staged() -> list[str]:
+    """Materialized-staging twin (Query.staged_oracle): the edge list
+    and each round's label table become temp TABLES, so round i's two
+    references to round i-1 stop re-inlining the whole chain — the
+    chained form dies of DuckDB CTE re-expansion at the 100x replica
+    (SCALE.md §9j); this one is linear in the iteration count."""
+    stages = [
+        f"CREATE OR REPLACE TEMP TABLE lpa_ed AS WITH {_LPA_EDGES_SQL} "
+        "SELECT u, v FROM ed",
+        "CREATE OR REPLACE TEMP TABLE lpa_n0 AS "
+        "SELECT u AS node, u AS lbl FROM lpa_ed GROUP BY u",
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        stages.append(
+            f"""CREATE OR REPLACE TEMP TABLE lpa_n{i} AS
+    WITH v AS (
+      SELECT ed.u AS node, p.lbl, count(*) AS cnt
+      FROM lpa_ed ed JOIN lpa_n{i - 1} p ON ed.v = p.node
+      GROUP BY 1, 2)
+    SELECT node, lbl FROM (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY cnt DESC, lbl) AS rn
+      FROM v) WHERE rn = 1"""
+        )
+    stages.append(
+        f"""SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM lpa_n{_LPA_ITERS} GROUP BY 1"""
+    )
+    return stages
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    staged_oracle=_lpa_oracle_staged(),
+)
 def label_propagation_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) on the rare-part co-purchase graph (same blocked
@@ -919,26 +963,64 @@ def weighted_median_price(spark: SparkSession, sf: str) -> DataFrame:
     median, 2·cw >= tw in integers — no halving, no doubles).
     Quantities are integer-valued by construction, so cumulative
     weights are exact BIGINTs, and the cumsum order is totalized by
-    (price, orderkey, linenumber).  Scale: the cumsum is a per-group
-    ordered window — groups here are the 3 return flags; for
-    high-cardinality groups the two-phase bucketed cumsum of
-    token_budget_select is the drop-in (same discipline:
-    boundary-bucket window only)."""
+    (price, orderkey, linenumber).
+
+    Scale (the VERDICT r05 #2 swap, applied): the per-flag cumsum no
+    longer runs a full-table window inside 3 partitions.  Two-phase
+    bucketed cumsum, the _budget_prefix / keyed_prefix_sum discipline:
+    price-range buckets per flag give a tiny (flag, bucket) totals
+    table (cardinality bounded by the PRICE range / width, independent
+    of row count); a window over that table yields each bucket's
+    exclusive weight base; the single boundary bucket per flag — the
+    one whose inclusive span crosses tw/2 — is identified in the tiny
+    table, and the ordered per-row window runs ONLY over that bucket's
+    rows (partition-parallel across flags, bounded by bucket width).
+    All earlier buckets can't hold the lower weighted median (their
+    cw <= base < tw/2) and contribute nothing but their base sum."""
+    bw = 4096  # cents; (flag, bucket) table ~ price range / bw rows
     li = t(spark, sf, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
         F.col("l_quantity").cast("long").alias("w"),
         "l_orderkey",
         "l_linenumber",
+    ).withColumn("bkt", F.floor(F.col("price_c") / bw).cast("long"))
+    btot = li.groupBy("flag", "bkt").agg(
+        F.sum("w").cast("long").alias("btok")
     )
-    tot = li.groupBy("flag").agg(F.sum("w").cast("long").alias("tw"))
+    wb = W.partitionBy("flag").orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bbase = btot.select(
+        "flag",
+        "bkt",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0))
+        .cast("long")
+        .alias("base"),
+        "btok",
+        F.sum("btok")
+        .over(W.partitionBy("flag"))
+        .cast("long")
+        .alias("tw"),
+    )
+    # exactly one boundary bucket per flag: inclusive span crosses tw/2
+    boundary = bbase.filter(
+        (F.col("base") * 2 < F.col("tw"))
+        & ((F.col("base") + F.col("btok")) * 2 >= F.col("tw"))
+    )
+    # partitioned by (flag, bkt) — the window's true bound is the
+    # bucket width; exactly one bucket per flag survives the join, so
+    # this equals the per-flag cumsum on the boundary rows
     wc = (
-        W.partitionBy("flag")
+        W.partitionBy("flag", "bkt")
         .orderBy("price_c", "l_orderkey", "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c = li.join(F.broadcast(tot), "flag").select(
-        "flag", "price_c", "tw", F.sum("w").over(wc).alias("cw")
+    c = li.join(F.broadcast(boundary), ["flag", "bkt"]).select(
+        "flag",
+        "price_c",
+        "tw",
+        (F.col("base") + F.sum("w").over(wc)).alias("cw"),
     )
     return (
         c.filter(F.col("cw") * 2 >= F.col("tw"))
@@ -988,7 +1070,7 @@ def revenue_contribution_topk(spark: SparkSession, sf: str) -> DataFrame:
     every-dashboard-has-one "top N + other" rollup, with
     deterministic rank ties (revenue desc, then segment).  Exact cents
     everywhere; shares are BIGINT-multiply-then-integer-divide, so
-    Σshare_e6 <= 1e6 with the deficit being truncation dust — a
+    Σshare_e4 <= 1e4 with the deficit being truncation dust — a
     documented property, not a float artifact.  Scale: fact table
     shuffles once into the per-segment aggregate (segment cardinality
     is tiny); ranking, folding, and the total are all
@@ -1163,11 +1245,20 @@ def decile_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
     ranking score (a perfect-model upper bound).  Monotonicity of
     cum_share and the decile size balance are unit-tested.  Int64
     headroom: total_cents × 1e6 ≈ 2.4e16 at the 100× replica — 380×
-    under the edge; DECIMAL(38) at billions of users.  Scale: one
-    corpus scan reduces to user cardinality; the ranking window runs
-    per-user-table (boundary-tuple selection is the 100 TB swap, as
-    documented in price_decile_assign); everything after is
-    10-row arithmetic."""
+    under the edge; DECIMAL(38) at billions of users.
+
+    Scale (the VERDICT r05 #1 swap, applied): NO global rank window
+    anywhere — deciles come from operators/quantiles.py's
+    ``equal_freq_bucket``: spend-range bins (count bounded by the
+    SPEND range / width, independent of user count) give exclusive
+    rank bases via a window over the tiny bin table; per-bin windows
+    run ONLY inside the <=9 boundary bins; assignment is a map-only
+    broadcast boundary-tuple compare (the price_decile_assign
+    discipline); everything after is 10-row arithmetic.  The oracle
+    keeps the obvious global-window form — output-identical by the
+    rank-count identity documented in the operator."""
+    from ..operators.quantiles import equal_freq_bucket
+
     p = (
         t(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")
@@ -1178,13 +1269,9 @@ def decile_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
             .alias("mon")
         )
     )
-    r = p.select(
-        "mon",
-        F.row_number()
-        .over(W.partitionBy().orderBy(F.desc("mon"), "user_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nu"),
-    ).select("mon", F.expr("1 + ((rn - 1) * 10) div nu").alias("decile"))
+    r = equal_freq_bucket(
+        p, "mon", "user_id", "decile", 10, descending=True
+    ).select("mon", "decile")
     d = r.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("mon").cast("long").alias("rev_c"),

@@ -24,6 +24,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    # Materialized-staging twin of an ITERATIVE oracle (VERDICT r05
+    # next-round #6): DuckDB 1.0 re-inlines a chained CTE once per
+    # reference, so a K-iteration oracle whose step k reads step k-1
+    # twice expands 2^K subtrees and dies in spill at the 100x
+    # replica even though the Spark side is fine.  staged_oracle is
+    # the same computation as an explicit list of statements — all but
+    # the last are `CREATE OR REPLACE TEMP TABLE` stage
+    # materializations (each stage computed ONCE), the last is the
+    # SELECT compared against Spark.  tools/check_oracle.py uses it
+    # under SPARK_GRAFT_STAGED=1 to extend hash evidence to scales
+    # where the chained form is the bottleneck; the driver contract
+    # (oracle_sql) still ships the single-statement chained form.
+    staged_oracle: list[str] | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -43,13 +56,17 @@ _REGISTRY: dict[str, Query] = {}
 EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    staged_oracle: list[str] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Register a named query (and optional DuckDB oracle twin)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(fn, oracle)
+        _REGISTRY[name] = Query(fn, oracle, staged_oracle)
         return fn
 
     return deco

@@ -273,7 +273,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("pair.doc_a", "pair.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = grouped.select("doc_id", "hs")
+    # Verification reads the fat shingle-set column ONCE, for
+    # candidate-touched docs only: a broadcast semi-join prunes the
+    # signature scan to collision-group members, and the (tiny,
+    # spillable) result feeds BOTH pair sides — previously each side
+    # re-scanned every doc's hs array (r06 bench fix; at 100 TB the
+    # touched-docs set is near-dup-density-sized, not corpus-sized).
+    touched = (
+        cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+    )
+    sets = (
+        grouped.select("doc_id", "hs")
+        .join(F.broadcast(touched), "doc_id")
+        .persist()
+    )
     sh_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     sh_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")

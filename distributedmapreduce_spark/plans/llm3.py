@@ -288,22 +288,48 @@ def source_mixture_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Source-mixture balancing: downsample every source to the size
     of the SMALLEST source (equal-weight mixture), choosing survivors
     by the portable md5 uniform so the selection is deterministic and
-    engine-independent.  One shuffle on source for the rank window
-    (each source's rows stay together — at 100 TB salt the window by
-    a uniform prefix if a single source dominates), plus a broadcast
-    of the single-row floor count."""
-    docs = t(spark, sf, "documents").select("doc_id", "source")
-    floor_n = docs.groupBy("source").count().agg(
-        F.min("count").alias("m")
+    engine-independent.
+
+    Scale (r06, window-funnel lint): selecting "the m lowest-u rows
+    per source" no longer ranks each source's full row set inside one
+    window partition.  The uniform is binned into 4096 fixed ranges;
+    per-(source, bin) counts feed a window over the tiny bin table
+    only, giving each bin's exclusive rank base, and the per-row
+    rank window is partitioned by (source, BIN) — 4096-way parallel
+    per source with ~n/4096 rows of state per task — with global rank
+    = base + local rank (the equal_freq_bucket two-phase discipline
+    with row count as the contribution)."""
+    nbins = 4096
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        _md5_uniform("mix", F.col("doc_id")).alias("u"),
+    ).withColumn("bin", F.floor(F.col("u") * nbins).cast("long"))
+    # persisted: the bin table (sources x 4096 rows, value-bounded) is
+    # read twice (floor count + rank bases) — without the cache each
+    # reference re-scans the corpus (FileScan budget lint)
+    bcnt = docs.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).persist()
+    floor_n = bcnt.groupBy("source").agg(F.sum("cnt").alias("n")).agg(
+        F.min("n").cast("long").alias("m")
     )
-    rk = F.row_number().over(
-        W.partitionBy("source").orderBy(
-            _md5_uniform("mix", F.col("doc_id")), "doc_id"
-        )
+    wb = W.partitionBy("source").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, -1
     )
+    bbase = bcnt.join(F.broadcast(floor_n)).select(
+        "source",
+        "bin",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+        .cast("long")
+        .alias("base"),
+        "cnt",
+        "m",
+    )
+    wl = W.partitionBy("source", "bin").orderBy("u", "doc_id")
     return (
-        docs.withColumn("rk", rk)
-        .join(F.broadcast(floor_n))
+        docs.join(F.broadcast(bbase), ["source", "bin"])
+        .withColumn("rk", F.col("base") + F.row_number().over(wl))
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "source")
     )

@@ -507,10 +507,13 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term).alias("score"))
     )
-    w = W.orderBy(F.desc("score"), "doc_id")
+    # global top-20 via sort+limit, NOT a row_number window: Spark
+    # plans TakeOrderedAndProject (per-partition top-k + tiny merge),
+    # which scales where a global rank window funnels every scored doc
+    # through one task (caught by the r06 window-funnel lint)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
 

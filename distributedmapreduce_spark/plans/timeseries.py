@@ -132,21 +132,43 @@ def time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
     output instead of emitting a 0/0 NULL row (hypothesis brute-force
     find: the dur-IS-NOT-NULL-only form divided by zero there,
     NULL-rowing on DuckDB and raising under ANSI Spark).
-    Scale: one scan, one per-type ordered window for the lead();
-    for a type too hot for one partition, chunk by (type, day) and
-    carry boundary observations — the segmented-sweep pattern."""
+    Scale (r06 — the segmented-sweep swap the old docstring promised,
+    applied): the lead() runs per (type, HOUR) partition, never over a
+    type's whole stream; each bucket's last observation is stitched to
+    the next non-empty bucket's first via a lead over the per-bucket
+    summary table (time-bounded cardinality: types x hours), whose
+    first/last tuples come from lexicographic struct min/max — so a
+    type too hot for one partition costs hour-bounded window state."""
     e = t(spark, sf, "events").select(
         "event_type",
         "event_id",
         F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    wl = W.partitionBy("event_type").orderBy("us", "event_id")
-    d = e.select(
+    ).withColumn("hb", F.expr(f"us div {_HOUR_US}"))
+    wl = W.partitionBy("event_type", "hb").orderBy("us", "event_id")
+    inner = e.select(
         "event_type",
         "cents",
         (F.lead("us").over(wl) - F.col("us")).alias("dur"),
-    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    )
+    # bucket summary: first (us,id) and last (us,id,cents) per bucket —
+    # (us,event_id) is unique, so the lexicographic max never lets
+    # cents decide the winner
+    bk = e.groupBy("event_type", "hb").agg(
+        F.min(F.struct("us", "event_id")).alias("fst"),
+        F.max(F.struct("us", "event_id", "cents")).alias("lst"),
+    )
+    wbk = W.partitionBy("event_type").orderBy("hb")
+    stitch = bk.select(
+        "event_type",
+        F.col("lst.cents").alias("cents"),
+        (
+            F.lead(F.col("fst.us")).over(wbk) - F.col("lst.us")
+        ).alias("dur"),
+    )
+    d = inner.unionByName(stitch).filter(
+        F.col("dur").isNotNull() & (F.col("dur") > 0)
+    )
     s = d.groupBy("event_type").agg(
         F.sum(F.col("cents") * F.col("dur")).cast("long").alias("scd"),
         F.sum("dur").cast("long").alias("sd"),
@@ -228,12 +250,14 @@ def interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     b = iv.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("b_user"), F.col("event_id").alias("view_id"),
-        F.col("s").alias("bs"), F.col("e").alias("be"), "cell",
+        F.col("s").alias("bs"), F.col("e").alias("be"),
+        F.col("cell").alias("b_cell"),
     )
     return (
         a.join(
             b,
-            (F.col("user_id") == F.col("b_user")) & (a["cell"] == b["cell"]),
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("cell") == F.col("b_cell")),
         )
         .filter((F.col("as_") < F.col("be")) & (F.col("bs") < F.col("ae")))
         .select(

@@ -54,6 +54,7 @@ BNLJ_BY_DESIGN = {
     "bm25_search",
     "cosine_topk_bruteforce",
     "curation_pipeline_v3",
+    "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
     "event_rate_deviation",
     "join_key_skew_profile",
     "knn_classify",
@@ -93,6 +94,12 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "dup_span_detect": {"documents": 2},
     "event_rate_deviation": {"events": 3},
     "event_robust_outliers": {"events": 3},
+    # two-phase boundary-rank selection BY DESIGN: bin-count pass +
+    # boundary-row pass (the r06 window-funnel swap)
+    "event_value_quantiles_exact": {"events": 2},
+    # segmented TWA BY DESIGN: within-bucket lead pass + bucket-summary
+    # stitch pass (the r06 window-funnel swap)
+    "time_weighted_average": {"events": 2},
     "gopher_quality_flags": {"documents": 2},
     "heavy_hitters_mg": {"documents": 2},  # two-pass MG by design
     "incremental_novelty_exact": {"documents": 2},
@@ -142,6 +149,128 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
 _SCAN_RE = re.compile(r"FileScan \w+ .*?file:[^\]]*?/(\w+)\.parquet")
 _SMJ_DIM_RE = re.compile(r"SortMergeJoin \[[^\]]*(?:n_nationkey|r_regionkey)")
 
+# --- rule 5 (VERDICT r05 next-round #2): no low-parallelism window
+# over corpus-scaled input.  The r05 shapes this kills: a global
+# rank/row_number window (empty partition spec) whose input is an
+# ENTITY-cardinality table (decile_lift_gains ranked every user
+# through one task), and a window partitioned only by a KNOWN-tiny
+# column over raw rows (weighted_median_price cumsum'd all of lineitem
+# inside 3 l_returnflag partitions).  Both are invisible to row-count
+# caps at the lint SF (15 purchase users at sf0.001), so the rule is
+# STRUCTURAL, on the executed physical plan via py4j: a Window is
+# ENGAGED when its partition spec is empty or draws only on columns
+# from the low-cardinality denylist; an engaged Window fails if its
+# input subtree reaches a FileScan with no aggregate in between, or
+# the first aggregate below is keyed on an entity-id/vocab column
+# (user_id, doc_id, orderkey, word, ...) — i.e. the window's input
+# grows with the corpus.  Broadcast sides, cached intermediates, and
+# reused exchanges are bounded by construction and end the walk.
+# Safe-by-value inputs (bucket-totals tables keyed on range buckets,
+# decile tables, scalar panels) pass untouched.
+_ENTITY_KEYS = {
+    "user_id", "doc_id", "emb_id", "event_id", "session_id",
+    "o_orderkey", "l_orderkey", "o_custkey", "c_custkey",
+    "s_suppkey", "p_partkey", "l_partkey", "l_suppkey",
+    "ps_partkey", "ps_suppkey",
+    "word", "token", "term", "shingle", "fp",
+}
+_LOW_CARD_PARTS = {
+    "flag", "l_returnflag", "l_linestatus", "l_shipmode",
+    "l_shipinstruct", "event_type", "etype", "o_orderstatus",
+    "status", "o_orderpriority", "priority", "c_mktsegment",
+    "segment", "r_regionkey", "n_nationkey", "lang", "source",
+    "p_brand", "p_container", "decile",
+}
+_AGG_CLASSES = {
+    "HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec",
+}
+_SCAN_CLASSES = {
+    "FileSourceScanExec", "RowDataSourceScanExec", "BatchScanExec",
+}
+_BOUNDED_STOP = {  # bounded by construction: stop the walk, it's fine
+    "BroadcastExchangeExec", "BroadcastQueryStageExec",
+    "ReusedExchangeExec", "InMemoryTableScanExec",
+    # map-side rank-limit pruning: a Partial WindowGroupLimit bounds
+    # the final window's input to k rows per (group x map task) —
+    # the same merge shape as TakeOrderedAndProject, scale-safe
+    "WindowGroupLimitExec",
+}
+_NAMEREF_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+_AGGKEYS_RE = re.compile(r"keys=\[([^\]]*)\]")
+
+# audited exceptions: parity fixtures whose POINT is the naive form,
+# kept as the documented contrast to their scale-safe twins
+WINDOW_FUNNEL_BY_DESIGN: dict[str, str] = {
+    "price_decile_assign": "9-row boundary rank over orders; docstring"
+    " documents the bucketed two-phase swap at extreme n",
+    "interval_max_concurrency": "naive per-type sweep kept as the"
+    " documented contrast; interval_max_concurrency_segmented IS the"
+    " bounded-window 100 TB shape, in-registry and hash-green",
+    "window_rank_battery": "reference-parity fixture for the"
+    " rank/dense_rank/percent_rank/cume_dist surface — the naive"
+    " per-type window IS the semantics under test",
+    "window_rank_dense_ntile": "reference-parity fixture for"
+    " rank/dense_rank/ntile over the 100-row supplier dim",
+}
+
+
+def _jchildren(node):
+    out = [node.children().apply(i) for i in range(node.children().size())]
+    cn = node.getClass().getSimpleName()
+    if cn == "AdaptiveSparkPlanExec":
+        out.append(node.executedPlan())
+    elif "QueryStage" in cn:
+        out.append(node.plan())
+    return out
+
+
+def _window_input_violations(node) -> list[str]:
+    cn = node.getClass().getSimpleName()
+    if cn in _BOUNDED_STOP:
+        return []
+    if cn in _AGG_CLASSES:
+        m = _AGGKEYS_RE.search(node.simpleString(200))
+        names = set(_NAMEREF_RE.findall(m.group(1))) if m else set()
+        ent = sorted(names & _ENTITY_KEYS)
+        return (
+            [f"first aggregate below is keyed on entity column(s) {ent}"]
+            if ent
+            else []
+        )
+    if cn in _SCAN_CLASSES:
+        return ["raw FileScan with no aggregate below the window"]
+    out: list[str] = []
+    for c in _jchildren(node):
+        out += _window_input_violations(c)
+    return out
+
+
+def _window_funnels(jplan) -> list[str]:
+    bad: list[str] = []
+
+    def visit(node):
+        cn = node.getClass().getSimpleName()
+        if cn in _BOUNDED_STOP:
+            return
+        if cn == "WindowExec":
+            ps = node.partitionSpec()
+            pnames: set[str] = set()
+            for i in range(ps.size()):
+                pnames |= set(_NAMEREF_RE.findall(ps.apply(i).toString()))
+            engaged = ps.isEmpty() or (
+                bool(pnames) and pnames <= _LOW_CARD_PARTS
+            )
+            if engaged:
+                part = sorted(pnames) if pnames else "(global)"
+                for child in _jchildren(node):
+                    for v in _window_input_violations(child):
+                        bad.append(f"Window partitioned by {part}: {v}")
+        for c in _jchildren(node):
+            visit(c)
+
+    visit(jplan)
+    return bad
+
 
 def _name_col(line: str) -> int:
     """Column where the node name starts in Spark's tree rendering
@@ -149,10 +278,11 @@ def _name_col(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-*("))
 
 
-def _executed_final_plan(spark, name: str) -> str:
+def _executed_final_plan(spark, name: str) -> tuple[str, object]:
     df = registry()[name].fn(spark, SF)
     df.collect()  # materialize THIS QueryExecution so AQE finalizes
-    s = df._jdf.queryExecution().executedPlan().toString()
+    jplan = df._jdf.queryExecution().executedPlan()
+    s = jplan.toString()
     # keep only the AQE-final section; the echoed pre-adaptive plan
     # would double-count scans that runtime exchange reuse eliminated
     s = s.split("== Initial Plan ==")[0]
@@ -171,12 +301,12 @@ def _executed_final_plan(spark, name: str) -> str:
             skip_deeper_than = col
             continue
         out.append(line)
-    return "\n".join(out)
+    return "\n".join(out), jplan
 
 
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_executed_plan_lint(spark, name):
-    plan = _executed_final_plan(spark, name)
+    plan, jplan = _executed_final_plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in BNLJ_BY_DESIGN:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -197,3 +327,12 @@ def test_executed_plan_lint(spark, name):
         f"(budget {budget or 'default 1/table'}) — a new re-scan of a "
         f"shareable table; fix the plan or justify a budget bump"
     )
+    if name not in WINDOW_FUNNEL_BY_DESIGN:
+        funnels = _window_funnels(jplan)
+        assert not funnels, (
+            f"{name}: low-parallelism window over corpus-scaled input "
+            f"(one/few tasks hold the table at 100 TB): {funnels}; use "
+            f"the two-phase bucketed rank/cumsum discipline "
+            f"(keyed_prefix_sum / _budget_prefix / boundary tuples) or "
+            f"justify a WINDOW_FUNNEL_BY_DESIGN entry"
+        )

@@ -1,46 +1,119 @@
-"""Multimodal honesty guards: the decode path is a DETERMINISTIC STUB
-(no image/audio codec libraries exist in this container) — strict mode
-must refuse loudly rather than hand back fake pixels, and the stub
-must stay deterministic so its oracle twins keep holding."""
+"""Multimodal honesty guards, real-codec edition (round 6): malformed
+payloads must refuse loudly (a real decoder's failure mode — replaces
+the retired stub-family strict gates), and decode/transform outputs
+must be deterministic and agree with the independent encoders."""
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from distributedmapreduce_spark.operators.multimodal import (
     as_binary_assets,
-    decode_metadata,
+    byte_histogram,
+    decode_real,
+    header_scan,
+    pcm_frame_sample,
+    resize_nearest,
 )
 
 
 def _assets(spark):
+    from distributedmapreduce_spark.operators.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        ramp_bytes,
+    )
+
     df = spark.createDataFrame(
-        [(1, b"fake-jpeg-bytes"), (2, b"other-payload")],
+        [
+            (1, encode_png(6, 4, ramp_bytes(7, 6 * 4 * 3), 3)),
+            (2, encode_bmp(5, 3, ramp_bytes(11, 5 * 3 * 3))),
+            (3, encode_wav(2, 16000, 16, ramp_bytes(200, 32 * 2 * 2))),
+        ],
         "asset_id long, payload binary",
     )
     return as_binary_assets(df, "asset_id", "payload")
 
 
-def test_decode_strict_mode_raises(spark):
-    """strict=True must surface the missing-codec condition as an
-    error, not silently return stub dimensions."""
-    from py4j.protocol import Py4JJavaError
-
-    strict = decode_metadata(_assets(spark), strict=True)
+def test_malformed_payload_raises(spark):
+    """A corrupt byte stream must surface as an error from the Python
+    worker, never as silently-fake metadata (the honesty property the
+    old strict-mode stub gate pinned, now enforced by the REAL
+    parsers: bad magic bytes -> ValueError)."""
+    bad = spark.createDataFrame(
+        [(1, b"not-a-real-media-payload")], "asset_id long, payload binary"
+    )
     with pytest.raises(Exception) as exc_info:
-        strict.collect()
-    # the NotImplementedError is raised inside the Python worker and
-    # surfaces wrapped; assert the codec message survives the trip
-    assert "no image codec" in str(exc_info.value)
+        decode_real(bad).collect()
+    assert "unknown payload format" in str(exc_info.value)
 
 
-def test_decode_stub_deterministic(spark):
-    """Same payload -> same stub metadata on every run (the property
-    the oracle twins rely on)."""
-    a = {r.asset_id: (r.width, r.height, r.n_channels, r.sha256)
-         for r in decode_metadata(_assets(spark)).collect()}
-    b = {r.asset_id: (r.width, r.height, r.n_channels, r.sha256)
-         for r in decode_metadata(_assets(spark)).collect()}
-    assert a == b
-    assert a[1] != a[2]  # different payloads -> different digests
+def test_corrupt_png_crc_raises(spark):
+    """Flipping one IDAT byte must break the chunk CRC check."""
+    from distributedmapreduce_spark.operators.codecs import (
+        encode_png,
+        ramp_bytes,
+    )
+
+    good = bytearray(encode_png(6, 4, ramp_bytes(7, 6 * 4 * 3), 3))
+    good[40] ^= 0xFF  # inside IHDR/IDAT territory, past the signature
+    bad = spark.createDataFrame(
+        [(1, bytes(good))], "asset_id long, payload binary"
+    )
+    with pytest.raises(Exception) as exc_info:
+        decode_real(bad).collect()
+    assert "CRC mismatch" in str(exc_info.value) or "PNG" in str(
+        exc_info.value
+    )
+
+
+def test_header_scan_matches_decode_geometry(spark):
+    """The no-inflate header scan and the full decoder must agree on
+    every shared geometry column for all three formats."""
+    full = {r.asset_id: r for r in decode_real(_assets(spark)).collect()}
+    head = {r.asset_id: r for r in header_scan(_assets(spark)).collect()}
+    assert set(full) == set(head) == {1, 2, 3}
+    for aid in full:
+        for col in ("format", "width", "height", "n_channels",
+                    "sample_rate", "n_frames"):
+            assert getattr(full[aid], col) == getattr(head[aid], col), (
+                aid,
+                col,
+            )
+    assert head[1].n_chunks == 3  # IHDR + IDAT + IEND
+    assert head[2].n_chunks is None
+    assert head[3].n_chunks == 2  # fmt + data
+
+
+def test_transforms_deterministic_and_grounded(spark):
+    """Transforms recompute identically and match hand-derived truth
+    on tiny fixtures."""
+    a = _assets(spark)
+    r1 = sorted(resize_nearest(a.filter("asset_id < 3"), 2, 2).collect())
+    r2 = sorted(resize_nearest(a.filter("asset_id < 3"), 2, 2).collect())
+    assert r1 == r2
+    # png asset: 6x4x3 ramp from 7 -> 2x2 nearest picks rows 0,2 cols 0,3
+    px = lambda y, x, ch, w, c, d: (d + (y * w + x) * c + ch) % 256
+    want = sum(
+        px(y, x, ch, 6, 3, 7)
+        for y in (0, 2)
+        for x in (0, 3)
+        for ch in range(3)
+    )
+    got = {r.asset_id: r.out_sum for r in r1}[1]
+    assert got == want
+    # wav asset: 32 frames, 2ch -> sampled frame idxs 0,8,16,24
+    fs = sorted(
+        pcm_frame_sample(a.filter("asset_id = 3"), 4).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in fs] == [0, 8, 16, 24]
+    assert [r.frame_offset for r in fs] == [44 + i * 4 for i in (0, 8, 16, 24)]
+    lo, hi = (200 + 0) % 256, (200 + 1) % 256
+    uv = lo + 256 * hi
+    assert fs[0].sample_i16 == (uv - 65536 if uv >= 32768 else uv)
+    # histogram counts must total the raster size
+    hist = byte_histogram(a.filter("asset_id = 1"), 16).collect()
+    assert sum(r.n_in_bin for r in hist) == 6 * 4 * 3
+    assert len(hist) == 16
