@@ -51,6 +51,26 @@ HEADLINE = [
     "ann_ivf_topk",
 ]
 
+# Tier-2 (VERDICT r05 next-round #7): the most expensive NON-headline
+# registry families — iterative graph/tokenizer training, similarity
+# self-joins, sketches, pipelines, grouped-map UDFs — timed so the
+# new operator families carry a per-round perf-regression signal.
+# Timed identically to tier 1 (same warm-up + interleaved min-of-N)
+# but reported under "tier2" and NOT folded into the headline total,
+# so BENCH_r{N} totals stay comparable across rounds.
+TIER2 = [
+    "bpe_train_merges",
+    "label_propagation_communities",
+    "triangle_count_copurchase",
+    "set_similarity_prefix_join",
+    "heavy_hitters_mg",
+    "curation_pipeline_v3",
+    "dup_span_detect",
+    "interval_max_concurrency",
+    "grouped_map_streaks",
+    "weighted_median_price",
+]
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -72,7 +92,7 @@ def main() -> None:
     # amortize to zero.  Each headline query is warmed at sf0.001 so
     # its own generated code paths are hot before the timed run.
     _materialize(QUERIES["pandas_udf_zscore"](spark, "/root/testdata/sf0.001"))
-    for name in HEADLINE:
+    for name in HEADLINE + TIER2:
         _materialize(QUERIES[name](spark, "/root/testdata/sf0.001"))
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -109,6 +129,22 @@ def main() -> None:
             timings[name] = min(timings[name], time.time() - t0)
     timings = {name: round(v, 3) for name, v in timings.items()}
 
+    # tier-2: same protocol (untimed steady-state round, interleaved
+    # min-of-N) over the expensive non-headline families
+    t2_jobs = [
+        (name, lambda name=name: _materialize(QUERIES[name](spark, sf_dir)))
+        for name in TIER2
+    ]
+    for _, fn in t2_jobs:
+        fn()
+    tier2: dict[str, float] = {name: float("inf") for name, _ in t2_jobs}
+    for _ in range(runs):
+        for name, fn in t2_jobs:
+            t0 = time.time()
+            fn()
+            tier2[name] = min(tier2[name], time.time() - t0)
+    tier2 = {name: round(v, 3) for name, v in tier2.items()}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -117,6 +153,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tier2": tier2,
+                "tier2_total": round(sum(tier2.values()), 3),
                 "sf": sf,
                 "runs_per_query": runs,
             }

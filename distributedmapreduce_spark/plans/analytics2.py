@@ -796,6 +796,36 @@ def interval_max_concurrency_segmented(spark: SparkSession, sf: str) -> DataFram
 
 _LPA_ITERS = 3
 
+def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric (u, v) edge list of the rare-part co-purchase graph —
+    the blocked projection shared by triangle counting, label
+    propagation, and connected components (analytics3.py): customers
+    are linked when they bought the same RARE part (<= 15 buyers), so
+    candidate pairs are degree-bounded per part, never all-pairs.
+    Persisted: every iterative consumer walks it once per round."""
+    cp = (
+        t(spark, sf, "orders")
+        .join(
+            t(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .withColumn("nc", F.count(F.lit(1)).over(W.partitionBy("p")))
+        .filter(F.col("nc") <= _RARE_PART_MAX_CUSTS)
+        .drop("nc")
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .distinct()
+    )
+    return e0.union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+
+
 _LPA_EDGES_SQL = f"""
     cp AS (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -890,25 +920,7 @@ def label_propagation_communities(spark: SparkSession, sf: str) -> DataFrame:
     the edge list — both orders of magnitude smaller than the input —
     and the mode-selection window partitions per node, bounded by
     node degree."""
-    cp = (
-        t(spark, sf, "orders")
-        .join(
-            t(spark, sf, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .withColumn("nc", F.count(F.lit(1)).over(W.partitionBy("p")))
-        .filter(F.col("nc") <= _RARE_PART_MAX_CUSTS)
-        .drop("nc")
-    )
-    a, b = cp.alias("a"), cp.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
-        .distinct()
-    )
-    ed = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    ed = copurchase_edges(spark, sf)
     labels = (
         ed.select("u")
         .distinct()

@@ -1,0 +1,362 @@
+"""Round-6 analytics battery #3: retention cohorts, ordered funnels,
+rolling time-window features, embedding quantization, and hash-min
+connected components.
+
+Same portability discipline as plans/analytics.py: events are read
+through the µs-pinned EVENTS_US relation, money is BIGINT cents,
+every published ratio is integer-divided, and float-typed embedding
+components enter arithmetic only as floor(x * 1e7) BIGINT ticks (the
+embedding_centroids precedent, proven portable through the 100x
+sweep).  The iterative query ships both the chained-CTE oracle (the
+driver contract) and a materialized-staging twin (Query.staged_oracle)
+for big-replica evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .analytics2 import _LPA_EDGES_SQL, copurchase_edges
+from .core import EVENTS_US, query, t
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+_CC_ITERS = 4
+
+
+@query(
+    "retention_cohorts_weekly",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'),
+    first AS (
+      SELECT user_id, min(wk) AS cw FROM p GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, wk FROM p)
+    SELECT first.cw AS cohort_week,
+           CAST(act.wk - first.cw AS BIGINT) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN first ON act.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly USER-retention cohort matrix over the event stream (the
+    per-user twin of analytics.py's order-count retention_cohorts):
+    users are cohorted by their first purchase week, and cell
+    (cohort_week, age_weeks) counts how many of that cohort purchased
+    again age_weeks later (age 0 = the cohort size itself, since a
+    user's first week is an active week).  Weeks are integer
+    epoch-µs // week so both engines bucket identically with no
+    calendar/timezone semantics in play.  Scale: one corpus scan
+    reduces to (user, week) cardinality; the cohort join shuffles on
+    user_id (co-partitioned with the first-week aggregate); the
+    output is (weeks x weeks)-bounded."""
+    p = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk"),
+        )
+    )
+    first = p.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    act = p.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).cast("long").alias("age_weeks"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM {EVENTS_US} events),
+    t1 AS (
+      SELECT user_id, min(us) AS ts1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.us) AS ts2
+      FROM e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.us >= t1.ts1
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.us) AS ts3
+      FROM e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.us >= t2.ts2
+      GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+           CAST(count(*) AS BIGINT) AS n_users FROM t1
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): a user
+    converts at stage k only via events in CAUSAL order — the click
+    must not precede the user's first view, the purchase not precede
+    that first qualifying click (min-timestamp semantics, the standard
+    product-analytics funnel; an unordered intersect would overcount
+    users who purchased before ever viewing).  Scale: each stage is a
+    per-user aggregate joined user-co-partitioned onto the next event
+    stream — 3 corpus scans by design (one per stage, filter pushed to
+    each scan), everything after is user-cardinality."""
+    e = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    # stages cached: each is a user-cardinality (user, min_ts) table
+    # consumed by BOTH the next stage's join and its own count — as
+    # raw lineage every downstream reference would replay the corpus
+    # scans of every stage above it (FileScan budget lint)
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("ts1"))
+        .persist()
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("us") >= F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("ts2"))
+        .persist()
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") >= F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("ts3"))
+    )
+
+    def cnt(df: DataFrame, stage: int, et: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(et).alias("event_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        cnt(t1, 1, "view")
+        .unionByName(cnt(t2, 2, "click"))
+        .unionByName(cnt(t3, 3, "purchase"))
+    )
+
+
+@query(
+    "rolling_7d_user_spend",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events WHERE event_type = 'purchase')
+    SELECT user_id, event_id,
+           CAST(sum(cents) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {7 * 86_400 * 1_000_000} PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS spend_7d_c
+    FROM p
+    """,
+)
+def rolling_7d_user_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day spend per purchase event — the classic rolling
+    time-window ML feature ("how much has this user spent in the last
+    week, as of this event"), computed with a RANGE frame over the
+    integer µs timestamp so same-instant purchases are frame peers on
+    both engines (a ROWS frame would be tie-order-ambiguous).  Exact
+    BIGINT cents.  Scale: the window partitions on user_id — full
+    corpus parallelism across users, per-task state bounded by one
+    user's purchase history (for a pathological single hot user,
+    hour-bucket segmentation a la time_weighted_average is the
+    documented upgrade)."""
+    p = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 86_400 * 1_000_000, 0)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).cast("long").alias("spend_7d_c"),
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1e7) AS BIGINT)
+               AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    s AS (
+      SELECT dim, min(xi) AS mn, max(xi) AS mx FROM x GROUP BY dim),
+    q AS (
+      SELECT x.dim, x.xi, s.mn, s.mx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE ((x.xi - s.mn) * 255) // (s.mx - s.mn) END AS code
+      FROM x JOIN s ON x.dim = s.dim),
+    r AS (
+      SELECT dim, mn, mx,
+             abs(xi - (mn + (code * (mx - mn)) // 255)) AS err
+      FROM q)
+    SELECT dim, CAST(mn AS BIGINT) AS mn_e7, CAST(mx AS BIGINT) AS mx_e7,
+           CAST(sum(err) AS BIGINT) AS sum_abs_err_e7,
+           CAST(max(err) AS BIGINT) AS max_abs_err_e7
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension int8 (256-level min/max) quantization of the
+    embedding table with EXACT reconstruction-error accounting — the
+    vector-compression step an embedding lake runs before ANN
+    serving, here entirely in integer ticks: components become
+    floor(x*1e7) BIGINTs, codes are (xi-mn)*255 // (mx-mn), and the
+    report is per-dim (range, Σ|err|, max|err|), so both engines agree
+    bit-for-bit (a double-path quantizer would round differently at
+    bin edges).  Both integer divisions run on non-negative operands,
+    where Spark's `div` (truncate) and DuckDB's `//` (floor) agree.
+    Scale: dim-bounded stats aggregate (64 rows) broadcast back onto
+    a second map-side pass; 2 corpus scans by design."""
+    x = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("xf").cast("double") * 1e7).cast("long").alias("xi"),
+    )
+    s = x.groupBy("dim").agg(
+        F.min("xi").alias("mn"), F.max("xi").alias("mx")
+    )
+    q = x.join(F.broadcast(s), "dim").select(
+        "dim",
+        "mn",
+        "mx",
+        F.expr(
+            "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) "
+            "ELSE ((xi - mn) * 255) div (mx - mn) END"
+        ).alias("code"),
+        "xi",
+    )
+    r = q.select(
+        "dim",
+        "mn",
+        "mx",
+        F.abs(
+            F.col("xi")
+            - (F.col("mn") + F.expr("(code * (mx - mn)) div 255"))
+        ).alias("err"),
+    )
+    return r.groupBy(
+        "dim",
+        F.col("mn").cast("long").alias("mn_e7"),
+        F.col("mx").cast("long").alias("mx_e7"),
+    ).agg(
+        F.sum("err").cast("long").alias("sum_abs_err_e7"),
+        F.max("err").cast("long").alias("max_abs_err_e7"),
+    )
+
+
+def _cc_oracle() -> str:
+    steps = []
+    for i in range(1, _CC_ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT node, lbl FROM c{i - 1}
+        UNION ALL
+        SELECT ed.u AS node, c.lbl
+        FROM ed JOIN c{i - 1} c ON ed.v = c.node)
+      GROUP BY node)""")
+    return f"""
+    WITH {_LPA_EDGES_SQL},
+    c0 AS (SELECT u AS node, u AS lbl FROM ed GROUP BY u),{",".join(steps)}
+    SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM c{_CC_ITERS} GROUP BY 1
+    """
+
+
+def _cc_oracle_staged() -> list[str]:
+    stages = [
+        f"CREATE OR REPLACE TEMP TABLE cc_ed AS WITH {_LPA_EDGES_SQL} "
+        "SELECT u, v FROM ed",
+        "CREATE OR REPLACE TEMP TABLE cc_c0 AS "
+        "SELECT u AS node, u AS lbl FROM cc_ed GROUP BY u",
+    ]
+    for i in range(1, _CC_ITERS + 1):
+        stages.append(
+            f"""CREATE OR REPLACE TEMP TABLE cc_c{i} AS
+    SELECT node, min(lbl) AS lbl FROM (
+      SELECT node, lbl FROM cc_c{i - 1}
+      UNION ALL
+      SELECT ed.u AS node, c.lbl
+      FROM cc_ed ed JOIN cc_c{i - 1} c ON ed.v = c.node)
+    GROUP BY node"""
+        )
+    stages.append(
+        f"""SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM cc_c{_CC_ITERS} GROUP BY 1"""
+    )
+    return stages
+
+
+@query(
+    "connected_components_hashmin",
+    oracle=_cc_oracle(),
+    staged_oracle=_cc_oracle_staged(),
+)
+def connected_components_hashmin(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components by K=4 rounds of synchronous hash-min
+    label propagation on the co-purchase graph: every node's label
+    becomes min(own, neighbors') each round, so after K rounds each
+    label is the minimum node id within K hops — deterministic at a
+    FIXED iteration count whether or not the diameter is exhausted
+    (the same fixed-K discipline as label_propagation_communities;
+    with convergence the labels are the truly-minimum component ids).
+    Complements LPA: min-fold vs frequency-mode semantics.  Output is
+    the component census.  Scale: the corpus-sized work is the one
+    edge-list build (persisted); each round is an edge-label join +
+    min-combine — both map-side-combinable aggregates on tables
+    orders of magnitude smaller than the corpus.  The chained oracle
+    doubles per step (2^K CTE re-inlining), hence the staged twin."""
+    ed = copurchase_edges(spark, sf)
+    lbl = (
+        ed.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+    )
+    for _ in range(_CC_ITERS):
+        nbr = ed.join(lbl, ed["v"] == lbl["node"]).select(
+            ed["u"].alias("node"), "lbl"
+        )
+        lbl = (
+            lbl.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return lbl.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_member"),
+    )

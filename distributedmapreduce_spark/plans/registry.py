@@ -33,6 +33,7 @@ import re
 from . import (  # noqa: F401  (registration via @query decorators)
     analytics,
     analytics2,
+    analytics3,
     curation,
     llm,
     llm2,

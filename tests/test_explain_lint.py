@@ -100,6 +100,13 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # segmented TWA BY DESIGN: within-bucket lead pass + bucket-summary
     # stitch pass (the r06 window-funnel swap)
     "time_weighted_average": {"events": 2},
+    # ordered funnel: one pass per stage BY DESIGN (filter pushed to
+    # each scan; later stages join the prior stage's per-user min)
+    "funnel_conversion": {"events": 3},
+    # dim-stats pass + broadcast-stats map pass
+    "embedding_int8_quantize": {"embeddings": 2},
+    # first-week aggregate + distinct-activity pass
+    "retention_cohorts_weekly": {"events": 2},
     "gopher_quality_flags": {"documents": 2},
     "heavy_hitters_mg": {"documents": 2},  # two-pass MG by design
     "incremental_novelty_exact": {"documents": 2},
