@@ -717,3 +717,125 @@ def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
         f_stop.alias("f_stop"),
         (f_len & f_wordlen & f_rep & f_stop).alias("pass_all"),
     )
+
+
+# --- PII detection / redaction (round 6) -----------------------------
+#
+# The synthetic corpus carries no PII, so — like the multimodal ramp
+# fixtures — deterministic PII spans are INJECTED from doc_id by both
+# engines with identical concat arithmetic, and what the oracle then
+# verifies cross-engine is the detection/redaction machinery itself
+# (regexp_extract_all counting + ordered regexp_replace + md5 of the
+# redacted text).  Patterns are written in the RE2 ∩ Java-regex
+# portable subset (character classes + bounded repetition only — no
+# backrefs, no lookaround), so Spark's Java engine and DuckDB's RE2
+# match identically.
+
+_PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.com"
+_PII_PHONE_RE = "555-[0-9]{4}"
+_PII_IP_RE = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 < 3
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' call 555-'
+                        || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+
+@query(
+    "pii_detect_redact",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IP_RE}'))
+                AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                 '{_PII_IP_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_detect_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction — the compliance pass every training
+    corpus goes through before release: per-class occurrence counts
+    (emails, phone-like, IPv4) and the md5 of the text after ordered
+    class-by-class redaction, so a detector that misses a span, a
+    redactor that leaves a residue, or a class-order swap all
+    hash-mismatch.  PII spans are injected deterministically from
+    doc_id (the corpus is synthetic), with non-carriers mixed in so
+    zero-count rows are exercised.  Scale: pure map-side expression
+    work on the corpus scan — JVM regexp in whole-stage codegen, no
+    Python, no shuffle; output is doc-cardinality."""
+    docs = t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 < 3,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    txt = docs.select("doc_id", aug.alias("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    return txt.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
