@@ -158,6 +158,38 @@ SHOWCASE = [
         "gap windows; paths aggregate map-side; top-k on path "
         "cardinality only",
     ),
+    (
+        "decile_lift_gains",
+        "r06 window-funnel swap: NO global rank window — spend-range "
+        "bin table + boundary-bin-only windows select 9 boundary "
+        "tuples, assignment is a broadcast array compare (BNLJ on a "
+        "1-row bounds array by design)",
+    ),
+    (
+        "weighted_median_price",
+        "r06 window-funnel swap: two-phase bucketed cumsum — the "
+        "per-row ordered window is partitioned by (flag, price-bin) "
+        "and runs ONLY over the boundary bin's rows after a "
+        "broadcast semi-join",
+    ),
+    (
+        "time_weighted_average",
+        "r06 segmented sweep: lead() partitioned by (type, hour); "
+        "bucket summaries stitch boundaries via a window over the "
+        "aggregated bucket table only",
+    ),
+    (
+        "rolling_7d_user_spend",
+        "trailing RANGE-frame feature: single user-partitioned "
+        "window, frame bounded by time not history; no global "
+        "exchange",
+    ),
+    (
+        "pii_detect_redact",
+        "compliance pass as pure map-side JVM regexp inside one "
+        "WholeStageCodegen span: no shuffle, no Python, "
+        "doc-cardinality output",
+    ),
 ]
 
 
