@@ -236,3 +236,46 @@ def test_span_dedup_no_cartesian(spark):
     plan = _formatted_plan(spark, "dup_span_detect")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """Compliance pass: pure per-row expression work — no exchange of
+    any kind may appear (one codegen span over the scan)."""
+    plan = _formatted_plan(spark, "pii_detect_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_spend_single_user_exchange(spark):
+    """Trailing RANGE window: exactly one hashpartitioning exchange,
+    keyed on user_id — never a single-partition funnel."""
+    plan = _formatted_plan(spark, "rolling_7d_user_spend")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert "SinglePartition" not in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_decile_gains_no_entity_rank_funnel(spark):
+    """r06 swap pinned statically too (the executed-plan lint is the
+    primary gate): the per-user table is never globally ranked — any
+    empty-partition window in this plan sits above a bin/decile
+    aggregate, and the only broadcast of user-derived data is the
+    9-tuple bounds array."""
+    plan = _formatted_plan(spark, "decile_lift_gains")
+    # no Sort of user rows under an Exchange SinglePartition: every
+    # SinglePartition exchange must sit above an aggregate keyed on
+    # a value-bounded bin/decile column, not user_id
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.end():]
+        assert "user_id" not in tail.split("Exchange", 1)[0].split(
+            "Scan parquet", 1
+        )[0] or "HashAggregate" in tail.split("Exchange", 1)[0]
+
+
+def test_weighted_median_window_is_bin_scoped(spark):
+    """The ordered cumsum window must be partitioned by (flag, bkt) —
+    never by flag alone over raw rows."""
+    plan = _formatted_plan(spark, "weighted_median_price")
+    assert re.search(
+        r"windowspecdefinition\(flag#\d+, bkt#\d+", plan
+    ), "cumsum window lost its bin partition key"
