@@ -367,3 +367,56 @@ def test_embedding_quantize_brute_force(vecs):
             errs.append(abs(xi - recon))
         exp.append((d, mn, mx, sum(errs), max(errs)))
     assert got == sorted(exp)
+
+
+pii_docs_strategy = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "user@mailx.com", "10.1.2.3",
+                             "555-1234x", "gamma"]),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pii_docs_strategy)
+def test_pii_detect_redact_brute_force(rows):
+    """Oracle vs Python `re` on text that already CONTAINS pii-shaped
+    (and near-miss) tokens, on top of the doc_id-injected spans — the
+    regex semantics themselves are the thing under test."""
+    import re as _re
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(rows) + 1)),
+            "text": [" ".join(ws) for (ws,) in rows],
+        }
+    )
+    got = sorted(_oracle_tables("pii_detect_redact", {"documents": docs}))
+    email = _re.compile(r"[a-z0-9]+@[a-z0-9]+\.com")
+    phone = _re.compile(r"555-[0-9]{4}")
+    ip = _re.compile(r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+    exp = []
+    for d, (ws,) in enumerate(rows, start=1):
+        t = " ".join(ws)
+        if d % 4 < 3:
+            t += f" contact user{d}@mail{d % 7}.com"
+        if d % 3 == 0:
+            t += f" call 555-{1000 + d % 9000}"
+        if d % 5 == 0:
+            t += f" host 10.{d % 256}.{(d * 7) % 256}.{(d * 13) % 256}"
+        n_e = len(email.findall(t))
+        red = email.sub("<EMAIL>", t)
+        n_p = len(phone.findall(red))
+        red = phone.sub("<PHONE>", red)
+        n_i = len(ip.findall(red))
+        red = ip.sub("<IP>", red)
+        exp.append(
+            (d, n_e, n_p, n_i, hashlib.md5(red.encode()).hexdigest())
+        )
+    assert got == sorted(exp)
