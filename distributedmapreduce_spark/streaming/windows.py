@@ -174,3 +174,78 @@ def ohlc_candles(
             "n",
         )
     )
+
+
+ROLLING_SPEND_SCHEMA = "user_id long, event_id long, spend_7d_c long"
+_ROLL_STATE_SCHEMA = "us array<long>, eid array<long>, cents array<long>"
+_ROLL_7D_US = 7 * 86_400 * 1_000_000
+
+
+def _rolling_spend_fn(key, pdfs, state: GroupState):
+    """Trailing-7-day spend per purchase with UPDATE semantics: state
+    holds the user's purchase history (sorted triplet arrays); every
+    batch merges its rows in and re-emits the trailing sum for EVERY
+    event, so a late-arriving older purchase retro-corrects the sums
+    of the events inside its 7-day shadow (the memory-sink reader
+    keeps the last emit per event_id).  RANGE-frame semantics match
+    the batch twin exactly: the window for event i is all purchases
+    with us in [us_i - 7d, us_i] INCLUSIVE of same-instant peers,
+    computed by prefix sums + bisect over the sorted history.  State
+    is one user's purchase history — at production scale evict
+    entries older than the watermark minus 7d; the operator's math is
+    unchanged by eviction because evicted rows can no longer fall in
+    any live event's window."""
+    import bisect
+
+    (user_id,) = key
+    if state.exists:
+        us, eid, cents = (list(x) for x in state.get)
+    else:
+        us, eid, cents = [], [], []
+    for pdf in pdfs:
+        us += [int(x) for x in pdf["us"]]
+        eid += [int(x) for x in pdf["event_id"]]
+        cents += [int(x) for x in pdf["cents"]]
+    order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
+    us = [us[i] for i in order]
+    eid = [eid[i] for i in order]
+    cents = [cents[i] for i in order]
+    state.update((us, eid, cents))
+    pref = [0]
+    for c in cents:
+        pref.append(pref[-1] + c)
+    sums = [
+        pref[bisect.bisect_right(us, u)]
+        - pref[bisect.bisect_left(us, u - _ROLL_7D_US)]
+        for u in us
+    ]
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(us),
+            "event_id": eid,
+            "spend_7d_c": sums,
+        }
+    )
+
+
+def rolling_spend_stateful(events: DataFrame) -> DataFrame:
+    """STREAMING twin of plans/analytics3.py::rolling_7d_user_spend —
+    the trailing time-window ML feature as a custom stateful operator
+    (applyInPandasWithState, update mode): per micro-batch the
+    affected users' features are re-emitted with corrections, which
+    is how a feature store keeps "spend in the last 7 days as of the
+    event" fresh under out-of-order arrival.  Parity with the batch
+    RANGE-frame window is pinned in tests/test_streaming.py."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return p.groupBy("user_id").applyInPandasWithState(
+        _rolling_spend_fn,
+        outputStructType=ROLLING_SPEND_SCHEMA,
+        stateStructType=_ROLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
