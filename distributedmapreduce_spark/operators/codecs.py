@@ -289,26 +289,39 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> dict:
-    """Walk a real RIFF/WAVE stream chunk by chunk (tolerating extra
-    chunks), read PCM geometry from fmt, checksum the data bytes."""
+def wav_layout(data: bytes) -> tuple[tuple, int, int, int]:
+    """THE one RIFF/WAVE chunk walk (shared by decode_wav,
+    scan_header, and operators/multimodal.py::pcm_frame_sample — a
+    format-grammar fix lands once): returns (fmt_tuple, data_pos,
+    data_len, n_chunks) where data_pos is the byte offset of the PCM
+    payload INSIDE the stream and fmt_tuple is the unpacked
+    (audio_fmt, n_channels, sample_rate, byte_rate, block, bits).
+    Tolerates extra chunks; honors RIFF word alignment."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos, fmt, pcm = 12, None, None
+    pos, fmt, data_pos, data_len, n_chunks = 12, None, None, None, 0
     while pos + 8 <= len(data):
         ctype = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        cdata = data[pos + 8 : pos + 8 + length]
+        n_chunks += 1
         if ctype == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", cdata[:16])
+            fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
         elif ctype == b"data":
-            pcm = cdata
+            data_pos, data_len = pos + 8, length
         pos += 8 + length + (length % 2)  # RIFF chunks are word-aligned
-    if fmt is None or pcm is None:
+    if fmt is None or data_pos is None:
         raise ValueError("WAV: missing fmt or data chunk")
-    audio_fmt, n_channels, sample_rate, _byte_rate, block, bits = fmt
-    if audio_fmt != 1:
+    if fmt[0] != 1:
         raise ValueError("unsupported WAV encoding (PCM only)")
+    return fmt, data_pos, data_len, n_chunks
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a real RIFF/WAVE stream (shared wav_layout walk), read
+    PCM geometry from fmt, checksum the data bytes."""
+    fmt, data_pos, data_len, _n_chunks = wav_layout(data)
+    pcm = data[data_pos : data_pos + data_len]
+    _audio_fmt, n_channels, sample_rate, _byte_rate, block, bits = fmt
     return {
         "format": "wav",
         "width": None,
@@ -391,23 +404,8 @@ def scan_header(data: bytes) -> dict:
             "n_chunks": None,
         }
     if data[:4] == b"RIFF":
-        if data[8:12] != b"WAVE":
-            raise ValueError("not a WAV: bad RIFF/WAVE header")
-        pos, fmt, data_len, n_chunks = 12, None, None, 0
-        while pos + 8 <= len(data):
-            ctype = data[pos : pos + 4]
-            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-            n_chunks += 1
-            if ctype == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
-            elif ctype == b"data":
-                data_len = length
-            pos += 8 + length + (length % 2)
-        if fmt is None or data_len is None:
-            raise ValueError("WAV: missing fmt or data chunk")
-        audio_fmt, n_channels, sample_rate, _rate, block, _bits = fmt
-        if audio_fmt != 1:
-            raise ValueError("unsupported WAV encoding (PCM only)")
+        fmt, _data_pos, data_len, n_chunks = wav_layout(data)
+        _audio_fmt, n_channels, sample_rate, _rate, block, _bits = fmt
         return {
             "format": "wav",
             "width": None,

@@ -180,6 +180,8 @@ def pcm_frame_sample(assets: DataFrame, n_samples: int = 4) -> DataFrame:
     sample_i16)."""
     import struct
 
+    from .codecs import wav_layout
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {
             "asset_id": [],
@@ -190,19 +192,7 @@ def pcm_frame_sample(assets: DataFrame, n_samples: int = 4) -> DataFrame:
         for pdf in it:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload)
-                # locate the data chunk by RIFF walk (codecs.scan_header
-                # validates structure; we need the byte position too)
-                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-                    raise ValueError("pcm_frame_sample: not a WAV payload")
-                pos, fmt, data_pos, data_len = 12, None, None, None
-                while pos + 8 <= len(data):
-                    ctype = data[pos : pos + 4]
-                    (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-                    if ctype == b"fmt ":
-                        fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
-                    elif ctype == b"data":
-                        data_pos, data_len = pos + 8, length
-                    pos += 8 + length + (length % 2)
+                fmt, data_pos, data_len, _nch = wav_layout(data)
                 _afmt, nc, _rate, _br, block, _bits = fmt
                 n_frames = data_len // block
                 for i in range(n_samples):
@@ -234,6 +224,12 @@ def byte_histogram(assets: DataFrame, n_bins: int = 16) -> DataFrame:
 
     from .codecs import PNG_SIG, decode_png_raster, decode_bmp_raster
 
+    if 256 % n_bins != 0:
+        raise ValueError(
+            f"byte_histogram: n_bins must divide 256 (got {n_bins}) — "
+            f"otherwise bytes >= (256 // n_bins) * n_bins would fall "
+            f"past the last bin and be silently dropped"
+        )
     width = 256 // n_bins
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -115,7 +115,9 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     # stages cached: each is a user-cardinality (user, min_ts) table
     # consumed by BOTH the next stage's join and its own count — as
     # raw lineage every downstream reference would replay the corpus
-    # scans of every stage above it (FileScan budget lint)
+    # scans of every stage above it (FileScan budget lint).  No
+    # unpersist: the RETURNED lazy plan reads these at execution time
+    # (the bpe_encode precedent); entity-sized and LRU-evictable.
     t1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -284,6 +284,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
     )
+    # stays persisted (no unpersist): the RETURNED lazy plan reads it
+    # from both pair sides at execution time — the bpe_encode
+    # precedent; the cache is collision-group-sized and LRU-evictable
     sets = (
         grouped.select("doc_id", "hs")
         .join(F.broadcast(touched), "doc_id")

@@ -410,12 +410,13 @@ def test_pii_detect_redact_brute_force(rows):
             t += f" call 555-{1000 + d % 9000}"
         if d % 5 == 0:
             t += f" host 10.{d % 256}.{(d * 7) % 256}.{(d * 13) % 256}"
+        # counts are over the ORIGINAL text for all three classes
+        # (matching the oracle and the Spark plan); only the
+        # redaction chains class over class
         n_e = len(email.findall(t))
-        red = email.sub("<EMAIL>", t)
-        n_p = len(phone.findall(red))
-        red = phone.sub("<PHONE>", red)
-        n_i = len(ip.findall(red))
-        red = ip.sub("<IP>", red)
+        n_p = len(phone.findall(t))
+        n_i = len(ip.findall(t))
+        red = ip.sub("<IP>", phone.sub("<PHONE>", email.sub("<EMAIL>", t)))
         exp.append(
             (d, n_e, n_p, n_i, hashlib.md5(red.encode()).hexdigest())
         )
