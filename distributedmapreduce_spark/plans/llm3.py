@@ -515,3 +515,57 @@ def span_cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_sources") >= 2)
     )
+
+
+@query(
+    "source_temperature_weights",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+      FROM g),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+    SELECT source, n_docs, n_chars, w AS weight,
+           (w * 1000000) // tot.tw AS share_e6
+    FROM w CROSS JOIN tot
+    """,
+)
+def source_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-T=2 mixture reweighting: sampling weight per source
+    ∝ n_docs^(1/2) — the standard upweight-the-tail recipe (multilingual
+    / multi-source pretraining samples source s with p_s ∝ n_s^(1/T))
+    alongside the equal-weight floor of source_mixture_balance.  The
+    only transcendental is sqrt, which IEEE 754 requires CORRECTLY
+    ROUNDED — unlike ln/exp/pow it is bit-identical across libms — and
+    it is floor()ed to an integer weight anyway; shares are exact
+    BIGINT-multiply-integer-divide e6 ticks.  Scale: one map-side
+    combinable aggregate to source cardinality, then scalar
+    arithmetic with a 1-row broadcast total."""
+    g = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    w = g.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    # total via a window over the SOURCE-CARDINALITY aggregate (tiny,
+    # reduced input — lint-clean), not a second corpus scan
+    tw = F.sum("weight").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ).cast("long")
+    return w.withColumn("tw", tw).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "weight",
+        F.expr("(weight * 1000000) div tw").alias("share_e6"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core import query, t
+from .llm3 import _md5_u32_sql
 
 # Tokens = split on single space, drop empties — the reference's
 # mapper tokenization (mapper_word_count.py:16-18) shared by every
@@ -572,3 +573,96 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         project, "vec_id long, pc1_q long, resid2_q long"
     )
+
+
+_NEG_K = 3  # candidate negatives per anchor
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+    cand AS (
+      SELECT e.vec_id AS anchor_id, e.label AS anchor_label, u.j,
+             b.mn + ({_md5_u32_sql("neg', CAST(u.j AS VARCHAR), '",
+                                   "e.vec_id")})
+                    % (b.mx - b.mn + 1) AS cand_id
+      FROM embeddings e CROSS JOIN bounds b,
+           unnest(range(0, {_NEG_K})) AS u(j))
+    SELECT c.anchor_id, CAST(c.j AS BIGINT) AS slot,
+           n.vec_id AS neg_id, CAST(n.label AS BIGINT) AS neg_label
+    FROM cand c JOIN embeddings n ON c.cand_id = n.vec_id
+    WHERE n.vec_id <> c.anchor_id AND n.label <> c.anchor_label
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor embedding draws K=3 candidate ids from the portable md5
+    ring over [min_id, max_id], keeps the ones that exist, are not the
+    anchor, and carry a DIFFERENT label — the (anchor, negative) pair
+    stream a contrastive/triplet trainer consumes, reproducible on any
+    engine and any partitioning (rand()-based samplers are neither).
+    Rejected slots simply drop (the trainer sees a variable 0..K
+    negatives per anchor — standard practice); with dense ids the
+    drop rate is just self/same-label collisions.  Scale: candidate
+    generation is map-side (K rows per anchor); resolution is one
+    equi-join on the candidate id, co-partitioned with the embedding
+    table — no broadcast of the corpus, no all-pairs anything."""
+    emb = t(spark, sf, "embeddings")
+    bounds = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    )
+    cand = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_NEG_K)])
+            ).alias("j"),
+            "mn",
+            "mx",
+        )
+        .withColumn(
+            "cand_id",
+            F.col("mn")
+            + _u32_col("neg", F.col("j"), F.col("anchor_id"))
+            % (F.col("mx") - F.col("mn") + 1),
+        )
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        cand.join(n, cand["cand_id"] == n["neg_id"])
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("slot"),
+            "neg_id",
+            F.col("neg_label").cast("long"),
+        )
+    )
+
+
+def _u32_col(tag: str, j: "F.Column", key: "F.Column") -> "F.Column":
+    """md5-u32 over 'tag<j>:<key>' — the per-slot portable hash used
+    by negative_sampling_pairs (slot folded into the tag so each of
+    the K draws is an independent ring position)."""
+    h = F.md5(
+        F.concat(
+            F.lit(tag),
+            j.cast("string"),
+            F.lit(":"),
+            key.cast("string"),
+        )
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")

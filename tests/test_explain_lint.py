@@ -58,6 +58,7 @@ BNLJ_BY_DESIGN = {
     "event_rate_deviation",
     "join_key_skew_profile",
     "knn_classify",
+    "negative_sampling_pairs",  # (mn, mx) id-ring bounds: scalar broadcast
     "pagerank_event_types",
     "pmi_bigram_scores",
     "price_decile_assign",
@@ -119,6 +120,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "lm_bigram_surprisal": {"documents": 3},
     "merge_upsert_orders": {"orders": 3},
     "mv_incremental_refresh": {"events": 2},
+    # id-ring bounds scalar + anchor side + negative side BY DESIGN
+    # (bounds scan is vec_id-pruned; the join sides are the operator)
+    "negative_sampling_pairs": {"embeddings": 3},
     "phrase_search_positions": {"documents": 4},
     "pmi_bigram_scores": {"documents": 4},
     "price_decile_assign": {"orders": 2},
