@@ -41,6 +41,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     llm4,
     llm5,
     llm6,
+    mlops,
     mmq,
     quality,
     relational,

@@ -1,0 +1,226 @@
+"""Hypothesis brute-force parity for the ML-ops battery
+(plans/mlops.py): the REGISTERED DuckDB oracle runs on tiny random
+tables and is compared against an independent naive-Python
+implementation of the mathematical definition — closing the
+both-engines-wrong-the-same-way blind spot.  The Spark==oracle leg is
+covered by tools/check_oracle.py at sf0.01/10x/100x.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import date, timedelta
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from distributedmapreduce_spark.plans.core import registry
+from distributedmapreduce_spark.plans.mlops import _KM_K, _KM_T
+
+
+def _oracle_tables(name: str, tables: dict):
+    sql = registry()[name].oracle
+    assert sql, name
+    con = duckdb.connect()
+    for tname, pdf in tables.items():
+        con.register(tname, pdf)
+    return con.execute(sql).fetchall()
+
+
+vecs_strategy = st.integers(min_value=2, max_value=4).flatmap(
+    lambda dim: st.lists(
+        st.lists(
+            st.floats(
+                min_value=-0.6,
+                max_value=0.6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=dim,
+            max_size=dim,
+        ),
+        min_size=_KM_K,
+        max_size=24,
+    )
+)
+
+
+def _emb_df(vecs, labels=None):
+    return pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": vecs,
+            "label": labels if labels is not None else [0] * len(vecs),
+        }
+    )
+
+
+def _quant(vecs):
+    import math
+
+    return [
+        [math.floor(x * 100) + 128 for x in v] for v in vecs
+    ]
+
+
+def _km_python(vecs):
+    """Naive replay of the exact integer Lloyd definition."""
+    q = _quant(vecs)
+    cents = {j: list(q[j]) for j in range(_KM_K)}
+
+    def code_of(v):
+        return min(
+            sum((a - b) * (a - b) for a, b in zip(v, m)) * _KM_K + j
+            for j, m in cents.items()
+        )
+
+    for _ in range(_KM_T):
+        members = defaultdict(list)
+        for v in q:
+            members[code_of(v) % _KM_K].append(v)
+        cents = {
+            j: [
+                (2 * sum(col) + len(vs)) // (2 * len(vs))
+                for col in zip(*vs)
+            ]
+            for j, vs in members.items()
+        }
+    out = defaultdict(lambda: [0, 0])
+    for v in q:
+        c = code_of(v)
+        j = c % _KM_K
+        out[j][0] += 1
+        out[j][1] += c // _KM_K
+    return sorted(
+        (j, n, inertia, sum(cents[j]))
+        for j, (n, inertia) in out.items()
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(vecs_strategy)
+def test_kmeans_brute_force(vecs):
+    got = sorted(
+        _oracle_tables("kmeans_int8_lloyd", {"embeddings": _emb_df(vecs)})
+    )
+    assert got == _km_python(vecs)
+
+
+scored_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label
+        st.floats(
+            min_value=-0.6,
+            max_value=0.6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _scored_py(rows):
+    import math
+
+    return [
+        (1 if lab == 0 else 0, math.floor(x * 1000)) for lab, x in rows
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(scored_strategy)
+def test_auc_brute_force(rows):
+    emb = _emb_df(
+        [[x] for _, x in rows], labels=[lab for lab, _ in rows]
+    )
+    ((pos, neg, auc_e6),) = _oracle_tables(
+        "auc_binary_bucketed", {"embeddings": emb}
+    )
+    scored = _scored_py(rows)
+    P = sum(y for y, _ in scored)
+    N = len(scored) - P
+    assert (pos, neg) == (P, N)
+    if P == 0 or N == 0:
+        assert auc_e6 == 0
+        return
+    pairs2 = 0
+    for y, s in scored:
+        if y:
+            for y2, s2 in scored:
+                if not y2:
+                    pairs2 += 2 if s > s2 else (1 if s == s2 else 0)
+    assert auc_e6 == pairs2 * 1_000_000 // (2 * P * N)
+
+
+@settings(max_examples=40, deadline=None)
+@given(scored_strategy)
+def test_pr_curve_brute_force(rows):
+    emb = _emb_df(
+        [[x] for _, x in rows], labels=[lab for lab, _ in rows]
+    )
+    got = sorted(
+        _oracle_tables("pr_curve_bucketed", {"embeddings": emb})
+    )
+    scored = _scored_py(rows)
+    P = sum(y for y, _ in scored)
+    exp = []
+    for thr in sorted({s for _, s in scored}):
+        tp = sum(1 for y, s in scored if y and s >= thr)
+        fp = sum(1 for y, s in scored if not y and s >= thr)
+        exp.append(
+            (
+                thr,
+                tp,
+                fp,
+                tp * 1_000_000 // (tp + fp),
+                0 if P == 0 else tp * 1_000_000 // P,
+            )
+        )
+    assert got == sorted(exp)
+
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # day offset
+        st.integers(min_value=1, max_value=9_000_000),  # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders_strategy)
+def test_acf_brute_force(rows):
+    base = date(2024, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(rows) + 1)),
+            "o_orderdate": [base + timedelta(days=d) for d, _ in rows],
+            "o_totalprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    got = sorted(_oracle_tables("acf_daily_revenue", {"orders": orders}))
+    daily = defaultdict(int)
+    for d, c in rows:
+        daily[d] += c
+    days = sorted(daily)
+    xs = [daily[d] // 10000 for d in days]
+    mean = sum(xs) // len(xs)
+    dv = [x - mean for x in xs]
+    den = sum(v * v for v in dv)
+    exp = []
+    for k in range(1, 8):
+        num = sum(dv[t] * dv[t - k] for t in range(k, len(dv)))
+        np_k = max(0, len(dv) - k)
+        if den == 0 or np_k == 0:
+            acf = 0
+        elif num < 0:
+            acf = -((-num * 10000) // den)
+        else:
+            acf = (num * 10000) // den
+        exp.append((k, np_k, acf))
+    assert got == sorted(exp)
