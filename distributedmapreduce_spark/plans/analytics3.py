@@ -362,3 +362,107 @@ def connected_components_hashmin(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_member"),
     )
+
+
+_KCORE_K = 3
+_KCORE_T = 4
+
+
+def _kcore_round_sql(i: int, ed: str, prev: str) -> tuple[str, str]:
+    d = f"""
+      SELECT e.u AS node, count(*) AS dg
+      FROM {ed} e
+      JOIN {prev} x ON e.u = x.node
+      JOIN {prev} y ON e.v = y.node
+      GROUP BY e.u"""
+    a = f"SELECT node FROM kd{i} WHERE dg >= {_KCORE_K}"
+    return d, a
+
+
+def _kcore_oracle() -> str:
+    parts = [f"ka0 AS (SELECT u AS node FROM ed GROUP BY u)"]
+    for i in range(1, _KCORE_T + 1):
+        d, a = _kcore_round_sql(i, "ed", f"ka{i - 1}")
+        parts.append(f"kd{i} AS ({d})")
+        parts.append(f"ka{i} AS ({a})")
+    d_fin, _ = _kcore_round_sql(_KCORE_T + 1, "ed", f"ka{_KCORE_T}")
+    return f"""
+    WITH {_LPA_EDGES_SQL},
+    {",".join(parts)},
+    kfin AS ({d_fin})
+    SELECT CAST(node AS BIGINT) AS node, CAST(dg AS BIGINT) AS core_deg
+    FROM kfin
+    """
+
+
+def _kcore_oracle_staged() -> list[str]:
+    stages = [
+        f"CREATE OR REPLACE TEMP TABLE kc_ed AS WITH {_LPA_EDGES_SQL} "
+        "SELECT u, v FROM ed",
+        "CREATE OR REPLACE TEMP TABLE kc_ka0 AS "
+        "SELECT u AS node FROM kc_ed GROUP BY u",
+    ]
+    for i in range(1, _KCORE_T + 1):
+        d, _ = _kcore_round_sql(i, "kc_ed", f"kc_ka{i - 1}")
+        stages.append(f"CREATE OR REPLACE TEMP TABLE kc_kd{i} AS {d}")
+        stages.append(
+            f"CREATE OR REPLACE TEMP TABLE kc_ka{i} AS "
+            f"SELECT node FROM kc_kd{i} WHERE dg >= {_KCORE_K}"
+        )
+    d_fin, _ = _kcore_round_sql(_KCORE_T + 1, "kc_ed", f"kc_ka{_KCORE_T}")
+    stages.append(
+        f"SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(dg AS BIGINT) AS core_deg FROM ({d_fin})"
+    )
+    return stages
+
+
+@query(
+    "kcore_copurchase",
+    oracle=_kcore_oracle(),
+    staged_oracle=_kcore_oracle_staged(),
+)
+def kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peeling (k=3, T=4 rounds) of the rare-part co-purchase
+    graph — the dense-cohort extractor behind community mining and
+    spam/fraud-cell detection, completing the graph family (triangles,
+    LPA, hash-min CC) with the degree-constrained subgraph operator.
+    Each round drops every node whose degree within the surviving
+    subgraph is < k; after T rounds the output is each surviving
+    node's degree in the induced subgraph (a node whose last neighbor
+    was peeled in the final round emits no row — both engines apply
+    the same rule).  Fixed T is the same discipline as the other
+    iterative queries: deterministic whether or not the peel has
+    converged; at convergence the result IS the 3-core.
+
+    Scale: the corpus-sized work is the one blocked edge-list build
+    (persisted, degree-bounded per rare part — never all-pairs); each
+    round is two semi-join-shaped reductions against the shrinking
+    alive set plus a map-side-combinable degree count, all on tables
+    orders of magnitude smaller than the corpus.  The chained oracle
+    re-inlines the edge CTE per round, hence the staged twin
+    (ORACLE_PORTABILITY.md CTE discipline)."""
+    ed = copurchase_edges(spark, sf)
+    alive = ed.select(F.col("u").alias("node")).distinct().persist()
+    for _ in range(_KCORE_T):
+        deg = (
+            ed.join(alive.select(F.col("node").alias("u")), "u")
+            .join(alive.select(F.col("node").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        alive = (
+            deg.filter(F.col("dg") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+            .persist()
+        )
+    return (
+        ed.join(alive.select(F.col("node").alias("u")), "u")
+        .join(alive.select(F.col("node").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .select(
+            F.col("u").cast("long").alias("node"),
+            F.col("dg").cast("long").alias("core_deg"),
+        )
+    )

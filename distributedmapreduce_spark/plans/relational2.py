@@ -845,3 +845,82 @@ def approx_distinct_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(_HLL_M) - F.col("occupied")).cast("long").alias("v_zero"),
         "exact_nd",
     )
+
+
+_KMV_K = 32
+_TWO32 = 4_294_967_296
+
+
+def _kmv_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("kmv", "o_custkey")
+    return f"""
+    WITH ks AS (SELECT DISTINCT o_custkey FROM orders),
+    hs AS (SELECT {h} AS h FROM ks),
+    tk AS (SELECT h FROM hs ORDER BY h LIMIT {_KMV_K}),
+    s AS (SELECT max(h) AS kth, count(*) AS got FROM tk),
+    e AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd
+          FROM orders)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(s.got AS BIGINT) AS got,
+           CAST(s.kth AS BIGINT) AS kth_min,
+           CAST(CASE WHEN s.got < {_KMV_K} THEN s.got
+                WHEN s.kth = 0 THEN 0
+                ELSE ({_KMV_K - 1} * {_TWO32}) // s.kth
+                END AS BIGINT) AS est_kmv,
+           e.exact_nd
+    FROM s CROSS JOIN e
+    """
+
+
+@query("approx_distinct_kmv_portable", oracle=_kmv_oracle())
+def approx_distinct_kmv_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (K=32) with a portable
+    hash — the third checkable sketch family next to the HLL and
+    linear-counting twins, and the one whose state is literally a
+    top-k: the K smallest md5-u32 hashes of the key set.  The
+    estimate is the classic (K−1)/θ̂ with θ̂ = kth_min/2^32, published
+    as an exact integer floor division ((K−1)·2^32 // kth_min —
+    ≤ 1.4e11, comfortable int64); below K distinct keys the sketch is
+    exact by definition.  The kth value of the globally sorted hash
+    stream is a deterministic multiset statistic, so both engines
+    agree bit-for-bit; exact_nd rides along for the accuracy check
+    (tests/test_brute_force_r06.py evaluates the estimator error).
+
+    Scale: ORDER BY h LIMIT K is Spark's TakeOrdered — per-partition
+    top-K then a K·P-row driver merge, no global sort; KMV union is
+    "K smallest of the union", the mergeable-sketch property that
+    lets a 100 TB scan combine per-split sketches associatively."""
+    from .llm3 import _md5_u32
+
+    orders = t(spark, sf, "orders")
+    hs = (
+        orders.select("o_custkey")
+        .distinct()
+        .select(_md5_u32("kmv", F.col("o_custkey")).alias("h"))
+    )
+    s = (
+        hs.orderBy("h")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").alias("kth"),
+            F.count(F.lit(1)).alias("got"),
+        )
+    )
+    e = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_nd")
+    )
+    return s.crossJoin(F.broadcast(e)).select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.col("got").cast("long"),
+        F.col("kth").cast("long").alias("kth_min"),
+        F.when(F.col("got") < _KMV_K, F.col("got"))
+        .when(F.col("kth") == 0, F.lit(0))
+        .otherwise(
+            F.expr(f"({_KMV_K - 1} * {_TWO32}) div kth")
+        )
+        .cast("long")
+        .alias("est_kmv"),
+        "exact_nd",
+    )

@@ -530,3 +530,87 @@ def test_hll_state_matches_brute_force(custkeys):
     assert (got[0], got[1], got[2], got[3]) == (
         64, s_pow, 64 - len(regs), len(set(custkeys))
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=80))
+def test_kmv_state_matches_brute_force(custkeys):
+    rows = [
+        {
+            "o_orderkey": i + 1,
+            "o_custkey": c,
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+        for i, c in enumerate(custkeys)
+    ]
+    got = _oracle_tables(
+        "approx_distinct_kmv_portable", {"orders": pd.DataFrame(rows)}
+    )[0]
+    hs = sorted(_md5_u32_py("kmv", str(c)) for c in set(custkeys))
+    top = hs[:32]
+    kth, n = max(top), len(top)
+    if n < 32:
+        est = n
+    elif kth == 0:
+        est = 0
+    else:
+        est = 31 * 4_294_967_296 // kth
+    assert got == (32, n, kth, est, len(set(custkeys)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # custkey
+            st.integers(min_value=1, max_value=6),  # partkey
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kcore_matches_brute_force(pairs):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(pairs) + 1)),
+            "o_custkey": [c for c, _ in pairs],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": list(range(1, len(pairs) + 1)),
+            "l_partkey": [p for _, p in pairs],
+        }
+    )
+    got = sorted(
+        _oracle_tables(
+            "kcore_copurchase", {"orders": orders, "lineitem": lineitem}
+        )
+    )
+    # independent naive peel (k=3, T=4 rounds) on the same blocking
+    cp = set(pairs)
+    buyers = {}
+    for c, p in cp:
+        buyers.setdefault(p, set()).add(c)
+    edges = set()
+    for p, cs in buyers.items():
+        if len(cs) <= 15:
+            for a in cs:
+                for b in cs:
+                    if a != b:
+                        edges.add((a, b))
+    alive = {u for u, _ in edges}
+    for _ in range(4):
+        deg = {}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+        alive = {u for u, d in deg.items() if d >= 3}
+    fin = {}
+    for u, v in edges:
+        if u in alive and v in alive:
+            fin[u] = fin.get(u, 0) + 1
+    assert got == sorted(fin.items())

@@ -48,6 +48,7 @@ BNLJ_BY_DESIGN = {
     "ann_lsh_topk",
     "ann_lsh_topk_portable",
     "approx_distinct_hll_portable",  # sketch-state x exact-count scalars
+    "approx_distinct_kmv_portable",  # sketch-state x exact-count scalars
     "approx_distinct_linear_portable",
     "benford_first_digit_audit",  # digit-total row: scalar broadcast
     "bloom_semi_join_audit",
@@ -79,6 +80,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "ann_lsh_topk": {"embeddings": 2},
     "ann_lsh_topk_portable": {"embeddings": 2},
     "approx_distinct_hll_portable": {"orders": 2},  # sketch + exact branches
+    "approx_distinct_kmv_portable": {"orders": 2},  # sketch + exact branches
     "approx_distinct_linear_portable": {"orders": 2},
     "asof_join_forward_tolerance": {"events": 2},
     "asof_join_nearest": {"events": 2},  # purchase/click self-join
