@@ -924,3 +924,48 @@ def approx_distinct_kmv_portable(spark: SparkSession, sf: str) -> DataFrame:
         .alias("est_kmv"),
         "exact_nd",
     )
+
+
+@query(
+    "bucketed_join_lineitem_orders",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """The co-located join: orders and lineitem are materialized ONCE
+    as 8-bucket tables clustered+sorted on the order key
+    (operators/bucketed.py — write-time hash partitioning, the
+    layout a 100 TB lake bakes into its fact tables), then joined
+    WITHOUT any Exchange on either side: Spark matches the two
+    bucketing specs and feeds the SortMergeJoin directly from the
+    bucketed files (tests/test_bucketed.py pins the executed plan
+    shuffle-free).  The aggregate is the usual exact-cents revenue
+    per order status, so the result is oracle-checkable against the
+    raw parquet — identical answer, structurally cheaper plan.
+
+    Scale: bucketing replaces the per-query fact shuffle with a
+    one-time write investment amortized over every key-aligned join /
+    agg / dedup that follows; at 1000 executors it also fixes the
+    join's parallelism to the bucket count, so n is a layout
+    parameter (here 8 for the test corpus; a real lake sizes it to
+    cluster width)."""
+    from ..operators.bucketed import bucketed_table
+
+    o = bucketed_table(spark, sf, "orders", "o_orderkey", 8)
+    li = bucketed_table(spark, sf, "lineitem", "l_orderkey", 8)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).cast("long").alias("revenue_c"),
+        )
+    )
