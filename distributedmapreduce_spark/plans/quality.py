@@ -200,3 +200,79 @@ def dow_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"((us div {_DAY_US}) + 4) % 7").alias("dow"),
         F.expr(f"(us % {_DAY_US}) div {_HOUR_US}").alias("hour_of_day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_KEYNESS_TOPK = 50
+
+
+@query(
+    "keyness_lang_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CAST(lang = 'en' AS BIGINT) AS en,
+             unnest(list_filter(str_split(lower(text), ' '),
+                                x -> x <> '')) AS word
+      FROM documents),
+    wc AS (
+      SELECT word, sum(en) AS c_en, count(*) - sum(en) AS c_ot
+      FROM toks GROUP BY word),
+    tot AS (
+      SELECT sum(c_en) AS t_en, sum(c_ot) AS t_ot FROM wc),
+    r AS (
+      SELECT wc.word,
+             CAST(wc.c_en AS BIGINT) AS c_en,
+             CAST(wc.c_ot AS BIGINT) AS c_ot,
+             CAST(CASE WHEN tot.t_en = 0 THEN 0
+                  ELSE (wc.c_en * 1000000) // tot.t_en END
+               - CASE WHEN tot.t_ot = 0 THEN 0
+                  ELSE (wc.c_ot * 1000000) // tot.t_ot END
+               AS BIGINT) AS drift_e6
+      FROM wc CROSS JOIN tot)
+    SELECT word, c_en, c_ot, drift_e6
+    FROM r ORDER BY abs(drift_e6) DESC, word LIMIT {_KEYNESS_TOPK}
+    """,
+)
+def keyness_lang_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyness / corpus-drift report: the {_KEYNESS_TOPK} words whose
+    per-million rate differs most between the English slice and the
+    rest of the corpus — the distribution-shift QA a curation
+    pipeline runs when a new crawl or source is folded in (a sudden
+    keyness spike on boilerplate tokens is how template contamination
+    shows up).  Rates are exact e6 integer ticks (per-side floor
+    division on non-negative counts, subtraction AFTER the division
+    so no negative operand is ever divided); ties break on the word
+    for a total order.
+
+    Scale: one corpus scan → vocab-sized word×side counts (map-side
+    combinable), two scalar totals broadcast back onto the vocab
+    table, TakeOrdered top-k — the corpus never passes through a
+    window or a sort."""
+    toks = t(spark, sf, "documents").select(
+        (F.col("lang") == "en").cast("long").alias("en"),
+        F.explode(
+            F.split(F.lower(F.col("text")), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = toks.groupBy("word").agg(
+        F.sum("en").alias("c_en"),
+        (F.count(F.lit(1)) - F.sum("en")).alias("c_ot"),
+    ).persist()  # vocab-sized; feeds both the totals and the report
+    tot = wc.agg(
+        F.sum("c_en").alias("t_en"), F.sum("c_ot").alias("t_ot")
+    )
+    r = wc.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.col("c_en").cast("long"),
+        F.col("c_ot").cast("long"),
+        (
+            F.when(F.col("t_en") == 0, F.lit(0)).otherwise(
+                F.expr("(c_en * 1000000) div t_en")
+            )
+            - F.when(F.col("t_ot") == 0, F.lit(0)).otherwise(
+                F.expr("(c_ot * 1000000) div t_ot")
+            )
+        ).cast("long").alias("drift_e6"),
+    )
+    return r.orderBy(
+        F.abs(F.col("drift_e6")).desc(), "word"
+    ).limit(_KEYNESS_TOPK)

@@ -581,3 +581,85 @@ def asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cid").alias("nearest_click_id"),
         F.col("dist").alias("dist_us"),
     )
+
+
+_EWMA_W = [128, 64, 32, 16, 8, 4, 2, 1]  # 2^(7-a) for age a = 0..7
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "ewma_pow2_user_spend",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    w AS (SELECT * FROM (VALUES {", ".join(f"({a}, {w})" for a, w in
+                                           enumerate(_EWMA_W))})
+          AS t(a, wt)),
+    c AS (
+      SELECT b.user_id, b.day + w.a AS day, sum(b.cents * w.wt) AS e,
+             max(CASE WHEN w.a = 0 THEN 1 ELSE 0 END) AS hb
+      FROM b CROSS JOIN w GROUP BY 1, 2)
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           CAST(e AS BIGINT) AS ewma_c
+    FROM c WHERE hb = 1
+    """,
+)
+def ewma_pow2_user_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing exponentially-weighted spend per user per active day —
+    the decayed-recency feature behind churn/LTV models — with
+    power-of-2 integer weights so the statistic is EXACT: for each
+    (user, day) with a purchase, ewma_c = Σ_{{a=0..7}}
+    spend(day−a)·2^(7−a) in cents.  Instead of a variable-weight
+    window (inexpressible as a plain frame sum), each day-bucket
+    SCATTERS its 8 future contributions (posexplode of the weight
+    vector), and one groupBy folds them — the a=0 contribution doubles
+    as the "day is active" marker, so rows without spend are filtered
+    by the same fold and the corpus is scanned exactly ONCE.  Headroom:
+    Σweights = 255, so ewma_c ≤ 255 × the max single-day user spend —
+    at the 100× replica ≈ 2·10¹⁰, five orders inside int64.
+
+    Scale: the day-bucket aggregate shrinks the corpus to
+    (user × active-day) before the 8× scatter, so shuffle volume is
+    8 rows per user-day — a constant factor, not a window over raw
+    events; everything is hash-partitioned on (user, day), no skew
+    beyond a single user-day's events (the documented
+    rolling_7d_user_spend caveat applies the same way)."""
+    b = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    wts = F.array(*[F.lit(w) for w in _EWMA_W])
+    c = (
+        b.select(
+            "user_id",
+            "day",
+            "cents",
+            F.posexplode(wts).alias("a", "wt"),
+        )
+        .groupBy(
+            "user_id", (F.col("day") + F.col("a")).alias("day")
+        )
+        .agg(
+            F.sum(F.col("cents") * F.col("wt")).alias("e"),
+            F.max(
+                F.when(F.col("a") == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("hb"),
+        )
+    )
+    return c.filter(F.col("hb") == 1).select(
+        "user_id",
+        F.col("day").cast("long"),
+        F.col("e").cast("long").alias("ewma_c"),
+    )

@@ -421,3 +421,66 @@ def test_pii_detect_redact_brute_force(rows):
             (d, n_e, n_p, n_i, hashlib.md5(red.encode()).hexdigest())
         )
     assert got == sorted(exp)
+
+
+_DAY_US = 86_400_000_000
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_ewma_pow2_brute_force(rows):
+    got = sorted(
+        _oracle_tables("ewma_pow2_user_spend", {"events": _events_df(rows)})
+    )
+    daily = defaultdict(int)
+    for u, _eid, us, cents in _purchases(rows):
+        daily[(u, us // _DAY_US)] += cents
+    exp = []
+    for (u, day) in daily:
+        e = sum(
+            daily.get((u, day - a), 0) * (128 >> a) for a in range(8)
+        )
+        exp.append((u, day, e))
+    assert got == sorted(exp)
+
+
+docs_lang_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "zh"]),
+        st.lists(
+            st.sampled_from(["the", "der", "data", "spark", "ja", ""]),
+            min_size=0,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs_lang_strategy)
+def test_keyness_brute_force(docs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(docs) + 1)),
+            "text": [" ".join(ws) for _, ws in docs],
+            "lang": [lang for lang, _ in docs],
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(" ".join(ws)) for _, ws in docs],
+        }
+    )
+    got = _oracle_tables("keyness_lang_drift", {"documents": pdf})
+    c_en, c_ot = Counter(), Counter()
+    for lang, ws in docs:
+        for w in ws:
+            if w:
+                (c_en if lang == "en" else c_ot)[w] += 1
+    t_en, t_ot = sum(c_en.values()), sum(c_ot.values())
+    exp = []
+    for w in set(c_en) | set(c_ot):
+        r_en = 0 if t_en == 0 else c_en[w] * 1_000_000 // t_en
+        r_ot = 0 if t_ot == 0 else c_ot[w] * 1_000_000 // t_ot
+        exp.append((w, c_en[w], c_ot[w], r_en - r_ot))
+    exp.sort(key=lambda r: (-abs(r[3]), r[0]))
+    assert got == exp[:50]

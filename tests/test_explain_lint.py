@@ -58,6 +58,7 @@ BNLJ_BY_DESIGN = {
     "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
     "event_rate_deviation",
     "join_key_skew_profile",
+    "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "knn_classify",
     "negative_sampling_pairs",  # (mn, mx) id-ring bounds: scalar broadcast
     "pagerank_event_types",
