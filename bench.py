@@ -69,6 +69,10 @@ TIER2 = [
     "interval_max_concurrency",
     "grouped_map_streaks",
     "weighted_median_price",
+    # round-6 additions: the new iterative / layout families
+    "kmeans_int8_lloyd",
+    "kcore_copurchase",
+    "bucketed_join_lineitem_orders",
 ]
 
 
