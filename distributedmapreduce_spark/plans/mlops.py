@@ -467,3 +467,104 @@ def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return s.select(
         F.explode(F.expr(f"array({structs})")).alias("r")
     ).select("r.lag", "r.n_pairs", "r.acf_e4")
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    b AS (
+      SELECT score_b // 100 AS bin, count(*) AS cnt, sum(y) AS pos
+      FROM scored GROUP BY 1),
+    ix AS (
+      SELECT bin, cnt, pos,
+             row_number() OVER (ORDER BY bin) AS i,
+             sum(cnt) OVER (ORDER BY bin) AS ccnt,
+             sum(pos) OVER (ORDER BY bin) AS cpos
+      FROM b),
+    seg AS (
+      SELECT j.i AS j, k.i AS k,
+             CAST(k.cpos - j.cpos + j.pos AS DOUBLE)
+               / (k.ccnt - j.ccnt + j.cnt) AS m
+      FROM ix j JOIN ix k ON j.i <= k.i),
+    g AS (
+      SELECT i.i, seg.j, min(seg.m) AS mn
+      FROM ix i JOIN seg ON seg.j <= i.i AND seg.k >= i.i
+      GROUP BY 1, 2),
+    iso AS (SELECT i, max(mn) AS v FROM g GROUP BY i)
+    SELECT CAST(ix.bin AS BIGINT) AS bin,
+           CAST(ix.cnt AS BIGINT) AS cnt,
+           CAST(ix.pos AS BIGINT) AS pos,
+           CAST(floor(iso.v * 1000000) AS BIGINT) AS iso_e6
+    FROM ix JOIN iso ON ix.i = iso.i
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the bucketed classifier
+    score — the shape-constrained regression a ranking/filter model
+    gets before its scores are treated as probabilities.  The PAVA
+    fit is computed by its closed minimax form iso(i) = max_{{j<=i}}
+    min_{{k>=i}} mean(y[j..k]) over the COARSE bins (score_b div
+    100), so no iterative pooling exists anywhere: segment means come
+    from two cumulative sums over the bin table, and the min/max
+    folds run over the j<=i<=k triangle of a bins-squared panel.
+    Portability: segment means are a single IEEE double division of
+    two exact integers — correctly rounded, hence bit-identical on
+    both engines — and min/max/floor preserve that; the published
+    calibration is floor(iso·1e6).
+
+    Scale: ONE corpus scan reduces to the bin table (tens of rows);
+    the triangle enumeration is bins², driver-free and broadcast-
+    joined.  The non-equi joins are BroadcastNestedLoopJoins over
+    the bin panel BY DESIGN — bounded at any corpus size."""
+    b = _scored(spark, sf).groupBy(
+        F.expr("score_b div 100").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    word = W.orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ix = b.select(
+        "bin",
+        "cnt",
+        "pos",
+        F.row_number().over(W.orderBy("bin")).alias("i"),
+        F.sum("cnt").over(word).alias("ccnt"),
+        F.sum("pos").over(word).alias("cpos"),
+    ).persist()  # bin-table-sized; feeds seg, the triangle, and output
+    j = ix.select(
+        F.col("i").alias("j"),
+        F.col("pos").alias("jpos"),
+        F.col("cnt").alias("jcnt"),
+        F.col("ccnt").alias("jccnt"),
+        F.col("cpos").alias("jcpos"),
+    )
+    k = ix.select(
+        F.col("i").alias("k"),
+        F.col("ccnt").alias("kccnt"),
+        F.col("cpos").alias("kcpos"),
+    )
+    seg = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcpos") - F.col("jcpos") + F.col("jpos")).cast(
+                "double"
+            )
+            / (F.col("kccnt") - F.col("jccnt") + F.col("jcnt"))
+        ).alias("m"),
+    )
+    g = (
+        ix.select("i")
+        .join(seg, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("m").alias("mn"))
+    )
+    iso = g.groupBy("i").agg(F.max("mn").alias("v"))
+    return ix.join(iso, "i").select(
+        F.col("bin").cast("long"),
+        F.col("cnt").cast("long"),
+        F.col("pos").cast("long"),
+        F.floor(F.col("v") * 1000000).cast("long").alias("iso_e6"),
+    )

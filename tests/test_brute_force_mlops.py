@@ -224,3 +224,87 @@ def test_acf_brute_force(rows):
             acf = (num * 10000) // den
         exp.append((k, np_k, acf))
     assert got == sorted(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(scored_strategy)
+def test_isotonic_brute_force(rows):
+    from fractions import Fraction
+
+    emb = _emb_df(
+        [[x] for _, x in rows], labels=[lab for lab, _ in rows]
+    )
+    got = sorted(
+        _oracle_tables("isotonic_calibration", {"embeddings": emb})
+    )
+    # bin reduction: scores can be negative, and BOTH engines truncate
+    # integer division toward zero (Spark `div`, and DuckDB `//` on
+    # INTEGER operands — verified directly; it floors only for
+    # floats), while Python // floors — so replicate truncation
+    agg = {}
+    for y, s in _scored_py(rows):
+        b = abs(s) // 100 * (1 if s >= 0 else -1)
+        c, p = agg.get(b, (0, 0))
+        agg[b] = (c + 1, p + y)
+    bins = sorted(agg)
+    cnt = [agg[b][0] for b in bins]
+    pos = [agg[b][1] for b in bins]
+    n = len(bins)
+    # 1) PAVA (pool adjacent violators) with exact rationals
+    blocks = [[cnt[i], pos[i]] for i in range(n)]  # [weight, sum]
+    merged = []
+    for blk in blocks:
+        merged.append(blk)
+        while len(merged) > 1 and (
+            Fraction(merged[-2][1], merged[-2][0])
+            >= Fraction(merged[-1][1], merged[-1][0])
+        ):
+            b2 = merged.pop()
+            merged[-1] = [merged[-1][0] + b2[0], merged[-1][1] + b2[1]]
+    pava = []
+    for w, s in merged:
+        # expand back to one value per ORIGINAL bin covered
+        pava.append((w, Fraction(s, w)))
+    fit_frac = []
+    bi = 0
+    for w, v in pava:
+        covered = 0
+        while covered < w:
+            covered += cnt[bi]
+            fit_frac.append(v)
+            bi += 1
+    # 2) minimax with exact rationals — must equal PAVA exactly
+    P = [0]
+    C = [0]
+    for i in range(n):
+        P.append(P[-1] + pos[i])
+        C.append(C[-1] + cnt[i])
+    mm_frac = [
+        max(
+            min(
+                Fraction(P[k + 1] - P[j], C[k + 1] - C[j])
+                for k in range(i, n)
+            )
+            for j in range(i + 1)
+        )
+        for i in range(n)
+    ]
+    assert fit_frac == mm_frac
+    # 3) minimax with IEEE doubles — must equal the oracle exactly
+    mm_float = [
+        max(
+            min(
+                (P[k + 1] - P[j]) / (C[k + 1] - C[j])
+                for k in range(i, n)
+            )
+            for j in range(i + 1)
+        )
+        for i in range(n)
+    ]
+    import math
+
+    exp = sorted(
+        (bins[i], cnt[i], pos[i], math.floor(mm_float[i] * 1_000_000))
+        for i in range(n)
+    )
+    assert got == exp

@@ -57,6 +57,7 @@ BNLJ_BY_DESIGN = {
     "curation_pipeline_v3",
     "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
     "event_rate_deviation",
+    "isotonic_calibration",  # bins² minimax triangle: bounded panel
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "knn_classify",
