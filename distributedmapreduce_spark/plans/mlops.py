@@ -13,11 +13,15 @@ the SURVEY §2 extension categories, not reference parity.
 
 Portability discipline (the plans/analytics.py rules): embedding
 components enter arithmetic only as floor(x * tick) BIGINTs, money is
-BIGINT cents, every published ratio is an integer-tick floor division
-with both operands non-negative (Spark ``div`` truncates while DuckDB
-``//`` floors, so negative intermediates are routed through an
-explicit CASE/sign split), and the one iterative query ships both the
-chained-CTE oracle (driver contract) and a materialized-staging twin.
+BIGINT cents, every published ratio is an integer-tick division with
+both operands non-negative.  (Measured fact: Spark ``div`` AND DuckDB
+integer ``//`` BOTH truncate toward zero — DuckDB floors only on
+floats — so the engines agree even on negatives; the non-negative
+rule + explicit sign splits are kept anyway, because the naive-Python
+``//`` replicas in the brute-force gate DO floor, and a published
+tick should mean floor-of-abs regardless of reader.)  The iterative
+query ships both the chained-CTE oracle (driver contract) and a
+materialized-staging twin.
 
 Scale notes are per-query; the common theme is that every window in
 this module sits ABOVE a bucket- or calendar-keyed aggregate (score
@@ -37,7 +41,8 @@ from .core import query, t
 # floor(x*100)+128: embeddings are unit-ish floats (observed range
 # [-0.58, 0.52] at sf0.1), so the +128 shift keeps every coordinate,
 # coordinate sum, and rounded mean strictly non-negative — the domain
-# where Spark's truncating `div` and DuckDB's flooring `//` agree.
+# where every division convention (Spark `div`, DuckDB `//`, and the
+# flooring Python `//` in the brute-force replicas) agrees.
 _KM_K = 4
 _KM_T = 3
 
@@ -408,8 +413,10 @@ def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     backtest (seasonal_naive_backtest): ρ_k = Σ d_t·d_{t+k} / Σ d_t²
     with d_t = x_t − x̄ and x̄ the INTEGER mean (S div n), published in
     e4 ticks.  Negative numerators are routed through an explicit
-    sign split so both engines floor identically; the denominator is
-    shared across lags (the standard ACF estimator), so no sqrt.
+    sign split so the tick means sign·floor(|num|·1e4/den) under ANY
+    division convention (see the module-header note on truncation);
+    the denominator is shared across lags (the standard ACF
+    estimator), so no sqrt.
 
     Headroom (memory: integer-tick audit): x is daily cents div 1e4
     ($100 units) — at the 100× replica x ≈ 9·10⁴, so Σd² ≲ 2·10¹³ and
