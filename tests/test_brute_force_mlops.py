@@ -308,3 +308,43 @@ def test_isotonic_brute_force(rows):
         for i in range(n)
     )
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(vecs_strategy)
+def test_coreset_brute_force(vecs):
+    got = sorted(
+        _oracle_tables(
+            "coreset_centroid_topk", {"embeddings": _emb_df(vecs)}
+        )
+    )
+    # replay the shared trainer, then rank (dist, vec_id) per cluster
+    q = _quant(vecs)
+    cents = {j: list(q[j]) for j in range(_KM_K)}
+
+    def code_of(v):
+        return min(
+            sum((a - b) * (a - b) for a, b in zip(v, m)) * _KM_K + j
+            for j, m in cents.items()
+        )
+
+    for _ in range(_KM_T):
+        members = defaultdict(list)
+        for v in q:
+            members[code_of(v) % _KM_K].append(v)
+        cents = {
+            j: [
+                (2 * sum(col) + len(vs)) // (2 * len(vs))
+                for col in zip(*vs)
+            ]
+            for j, vs in members.items()
+        }
+    per = defaultdict(list)
+    for vid, v in enumerate(q):
+        c = code_of(v)
+        per[c % _KM_K].append((c // _KM_K, vid))
+    exp = []
+    for cl, rows in per.items():
+        for rnk, (dist, vid) in enumerate(sorted(rows)[:3], start=1):
+            exp.append((cl, rnk, vid, dist))
+    assert got == sorted(exp)
