@@ -265,3 +265,49 @@ def stream_ohlc_candles(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
+
+
+def _kmv_users_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("skmv", "user_id")
+    return f"""
+    WITH ks AS (SELECT DISTINCT user_id FROM events),
+    hs AS (SELECT {h} AS h, user_id FROM ks),
+    tk AS (SELECT h, user_id FROM hs ORDER BY h, user_id LIMIT 32)
+    SELECT CAST(32 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS got,
+           CAST(coalesce(max(h), 0) AS BIGINT) AS kth_h
+    FROM tk
+    """
+
+
+@query("stream_kmv_distinct_users", oracle=_kmv_users_oracle())
+def stream_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING KMV distinct-user sketch
+    (streaming/windows.py::kmv_distinct_stateful): the K=32 smallest
+    (md5-u32 hash, user_id) pairs over the distinct users of the
+    events table, published as pure sketch state (size + kth hash) so
+    both engines — and the incremental streaming fold — agree
+    bit-for-bit.  Pairs (not bare hashes) make the boundary total-
+    ordered, which is what lets the streaming state prove its
+    re-delivery-safety by pair membership.  The 9th stream==batch
+    parity (tests/test_streaming.py) pins that folding micro-batches
+    through bounded K-pair state reaches exactly this scan's answer —
+    the mergeable-sketch property in executable form."""
+    from .llm3 import _md5_u32
+
+    hs = (
+        t(spark, sf, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            _md5_u32("skmv", F.col("user_id")).alias("h"), "user_id"
+        )
+    )
+    tk = hs.orderBy("h", "user_id").limit(32)
+    return tk.agg(
+        F.lit(32).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("got"),
+        F.coalesce(F.max("h"), F.lit(0)).cast("long").alias("kth_h"),
+    )

@@ -249,3 +249,64 @@ def rolling_spend_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_SCHEMA = "k long, got long, kth_h long"
+_KMV_STATE_SCHEMA = "hs array<long>, us array<long>"
+_KMV_K = 32
+
+
+def _kmv_fn(key, pdfs, state: GroupState):
+    """Streaming K-minimum-values sketch: state is the <=K smallest
+    (hash, user) pairs seen so far, ordered by (h, user) — KMV union
+    is "K smallest of the union", so merging a micro-batch is just
+    insert + trim.  Per-user dedup is pair membership: a user's hash
+    is a pure function of the user, so a LIVE duplicate is caught by
+    membership and an EVICTED user's pair is >= the current kth pair
+    by construction (it was evicted because K better pairs exist) and
+    trims itself back out — `got` stays the size of the live set, so
+    re-deliveries can never double-count.  Bounded state: exactly K
+    pairs, whatever the stream's cardinality.  At production scale
+    the same sketch runs two-level (per-partition KMV then a K-merge)
+    to avoid the single-key funnel; this operator is the semantic
+    twin the batch query pins."""
+    if state.exists:
+        hs, us = (list(x) for x in state.get)
+    else:
+        hs, us = [], []
+    pairs = set(zip(hs, us))
+    for pdf in pdfs:
+        for h, u in zip(pdf["h"], pdf["user_id"]):
+            pairs.add((int(h), int(u)))
+    top = sorted(pairs)[:_KMV_K]
+    state.update(([h for h, _ in top], [u for _, u in top]))
+    yield pd.DataFrame(
+        {
+            "k": [_KMV_K],
+            "got": [len(top)],
+            "kth_h": [top[-1][0] if top else 0],
+        }
+    )
+
+
+def kmv_distinct_stateful(events: DataFrame) -> DataFrame:
+    """STREAMING twin of plans/streamq.py::stream_kmv_distinct_users —
+    the mergeable distinct-count sketch maintained incrementally
+    (applyInPandasWithState, update mode): each micro-batch folds its
+    users' portable md5-u32 hashes into the K-smallest state and
+    re-emits the sketch row.  Parity with the batch K-smallest scan
+    is pinned in tests/test_streaming.py."""
+    from ..plans.llm3 import _md5_u32
+
+    h = events.select(
+        F.lit(1).alias("g"),
+        "user_id",
+        _md5_u32("skmv", F.col("user_id")).alias("h"),
+    )
+    return h.groupBy("g").applyInPandasWithState(
+        _kmv_fn,
+        outputStructType=KMV_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

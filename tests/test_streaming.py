@@ -195,3 +195,16 @@ def test_rolling_spend_fn_corrects_across_batches():
     out2 = next(_rolling_spend_fn((7,), [b2], st))
     got = dict(zip(out2.event_id, out2.spend_7d_c))
     assert got == {1: 7, 2: 107, 3: 157, 4: 20}
+
+
+def test_stream_kmv_matches_batch(spark):
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.kmv_distinct_stateful(stream), "t_kmv", "update"
+    )
+    batch = QUERIES["stream_kmv_distinct_users"](spark, SF)
+    cols = ["k", "got", "kth_h"]
+    # update mode re-emits the sketch row per micro-batch; the LAST
+    # emission is the final folded state
+    got = _rows(out, cols)[-1]
+    assert [got] == _rows(batch, cols)
