@@ -967,21 +967,46 @@ def dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     once per permutation, signatures via map-side-combinable min()s,
     pairs enumerated inside band buckets without a self-join of the
     signature subtree."""
+    grouped = _pmh_signatures(t(spark, sf, "documents"))
+    cand = _pmh_candidates(grouped)
+    sets = grouped.select("doc_id", "hs")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    return (
+        joined.select(
+            "doc_a", "doc_b", _pmh_jac_e6().alias("jac_e6")
+        ).filter(F.col("jac_e6") >= _PMH_TAU_E6)
+    )
+
+
+def _pmh_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: hashed shingle set, m0..m7 minhash signature) —
+    the shared signature stage of the portable MinHash family
+    (dedup_minhash_portable + minhash_recall_audit)."""
     from .llm3 import _md5_u32
 
-    sh = (
-        t(spark, sf, "documents")
-        .select("doc_id", _shingles_col(3).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+    sh = docs.select("doc_id", _shingles_col(3).alias("shingles")).filter(
+        F.size("shingles") > 0
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    grouped = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         F.collect_set(_md5_u32("J", F.col("s"))).alias("hs"),
         *[
             F.min(_md5_u32(str(i), F.col("s"))).alias(f"m{i}")
             for i in range(_PMH_N)
         ],
     )
+
+
+def _pmh_jac_e6() -> F.Column:
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    return F.floor(inter / union.cast("double") * 1e6).cast("long")
+
+
+def _pmh_candidates(grouped: DataFrame) -> DataFrame:
+    """In-bucket LSH candidate pairs from the signature table."""
     bands = grouped.select(
         "doc_id",
         F.posexplode(
@@ -995,7 +1020,7 @@ def dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    cand = (
+    return (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
@@ -1018,17 +1043,6 @@ def dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("pair.doc_a", "pair.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sets = grouped.select("doc_id", "hs")
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
-    joined = cand.join(a, "doc_a").join(b, "doc_b")
-    inter = F.size(F.array_intersect("ha", "hb"))
-    union = F.size("ha") + F.size("hb") - inter
-    jac_e6 = F.floor(inter / union.cast("double") * 1e6).cast("long")
-    return (
-        joined.select("doc_a", "doc_b", jac_e6.alias("jac_e6"))
-        .filter(F.col("jac_e6") >= _PMH_TAU_E6)
     )
 
 
@@ -1349,4 +1363,317 @@ def ann_lsh_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PANN_K)
         .drop("rn")
+    )
+
+
+_AUDIT_SAMPLE = 128  # audit panel: constant size at any corpus scale
+_AUDIT_DF_CAP = 64  # posting-list cap for the exact panel-x-corpus join
+
+
+def _mh_audit_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    sig_cols = ",\n             ".join(
+        f"min({_md5_u32_sql(str(i), 's')}) AS m{i}" for i in range(_PMH_N)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(CAST(m{2 * b} AS VARCHAR), ':', "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(_PMH_BANDS)
+    )
+    jac = (
+        "CAST(floor(len(list_intersect(x.hs, y.hs))"
+        " / CAST(len(x.hs) + len(y.hs)"
+        " - len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " * 1e6) AS BIGINT)"
+    )
+    return f"""
+    WITH smp AS (
+      SELECT doc_id FROM documents
+      ORDER BY {_md5_u32_sql('audit', 'doc_id')}, doc_id
+      LIMIT {_AUDIT_SAMPLE}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i + 2], ' '))) AS s
+        FROM toks WHERE len(ws) >= 3)),
+    sig AS (
+      SELECT doc_id,
+             list(DISTINCT {_md5_u32_sql('J', 's')}) AS hs,
+             {sig_cols}
+      FROM sh GROUP BY doc_id),
+    psh AS (SELECT sh.doc_id, sh.s FROM sh JOIN smp USING (doc_id)),
+    dfc AS (SELECT s FROM sh GROUP BY s
+            HAVING count(*) <= {_AUDIT_DF_CAP}),
+    csh AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)),
+    tp0 AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM psh a JOIN csh b ON a.s = b.s AND a.doc_id <> b.doc_id),
+    truep AS (
+      SELECT t.doc_a, t.doc_b
+      FROM tp0 t
+      JOIN sig x ON x.doc_id = t.doc_a
+      JOIN sig y ON y.doc_id = t.doc_b
+      WHERE {jac} >= {_PMH_TAU_E6}),
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id),
+    candi AS (
+      SELECT DISTINCT c.doc_a, c.doc_b FROM (
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN smp p ON c.doc_a = p.doc_id
+        UNION ALL
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN smp p ON c.doc_b = p.doc_id) c),
+    ns AS (SELECT count(*) AS n_sample FROM sig JOIN smp USING (doc_id)),
+    tc AS (SELECT count(*) AS true_pairs FROM truep),
+    cc AS (SELECT count(*) AS cand_pairs FROM candi),
+    tpc AS (
+      SELECT count(*) AS tp
+      FROM truep t JOIN candi c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT CAST(ns.n_sample AS BIGINT) AS n_sample,
+           CAST(tc.true_pairs AS BIGINT) AS true_pairs,
+           CAST(cc.cand_pairs AS BIGINT) AS cand_pairs,
+           CAST(tpc.tp AS BIGINT) AS tp,
+           CAST(cc.cand_pairs - tpc.tp AS BIGINT) AS fp,
+           CAST(tc.true_pairs - tpc.tp AS BIGINT) AS fn,
+           CAST(CASE WHEN tc.true_pairs = 0 THEN 0
+                ELSE (tpc.tp * 1000000) // tc.true_pairs
+                END AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN cc.cand_pairs = 0 THEN 0
+                ELSE (tpc.tp * 1000000) // cc.cand_pairs
+                END AS BIGINT) AS precision_e6
+    FROM ns CROSS JOIN tc CROSS JOIN cc CROSS JOIN tpc
+    """
+
+
+def _mh_audit_oracle_staged() -> list[str]:
+    from .llm3 import _md5_u32_sql
+
+    sig_cols = ",\n             ".join(
+        f"min({_md5_u32_sql(str(i), 's')}) AS m{i}" for i in range(_PMH_N)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(CAST(m{2 * b} AS VARCHAR), ':', "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS bucket FROM mra_sig"
+        for b in range(_PMH_BANDS)
+    )
+    jac = (
+        "CAST(floor(len(list_intersect(x.hs, y.hs))"
+        " / CAST(len(x.hs) + len(y.hs)"
+        " - len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " * 1e6) AS BIGINT)"
+    )
+    return [
+        f"""CREATE OR REPLACE TEMP TABLE mra_sh AS
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents)
+    SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[i:i + 2], ' '))) AS s
+      FROM toks WHERE len(ws) >= 3)""",
+        f"""CREATE OR REPLACE TEMP TABLE mra_sig AS
+    SELECT doc_id,
+           list(DISTINCT {_md5_u32_sql('J', 's')}) AS hs,
+           {sig_cols}
+    FROM mra_sh GROUP BY doc_id""",
+        f"""CREATE OR REPLACE TEMP TABLE mra_smp AS
+    SELECT doc_id FROM documents
+    ORDER BY {_md5_u32_sql('audit', 'doc_id')}, doc_id
+    LIMIT {_AUDIT_SAMPLE}""",
+        f"""CREATE OR REPLACE TEMP TABLE mra_truep AS
+    WITH psh AS (SELECT sh.doc_id, sh.s FROM mra_sh sh
+                 JOIN mra_smp USING (doc_id)),
+    dfc AS (SELECT s FROM mra_sh GROUP BY s
+            HAVING count(*) <= {_AUDIT_DF_CAP}),
+    csh AS (SELECT sh.doc_id, sh.s FROM mra_sh sh JOIN dfc USING (s)),
+    tp0 AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM psh a JOIN csh b ON a.s = b.s AND a.doc_id <> b.doc_id)
+    SELECT t.doc_a, t.doc_b
+    FROM tp0 t
+    JOIN mra_sig x ON x.doc_id = t.doc_a
+    JOIN mra_sig y ON y.doc_id = t.doc_b
+    WHERE {jac} >= {_PMH_TAU_E6}""",
+        f"""CREATE OR REPLACE TEMP TABLE mra_candi AS
+    WITH bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id)
+    SELECT DISTINCT c.doc_a, c.doc_b FROM (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN mra_smp p ON c.doc_a = p.doc_id
+      UNION ALL
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN mra_smp p ON c.doc_b = p.doc_id) c""",
+        f"""
+    WITH ns AS (SELECT count(*) AS n_sample FROM mra_sig
+                JOIN mra_smp USING (doc_id)),
+    tc AS (SELECT count(*) AS true_pairs FROM mra_truep),
+    cc AS (SELECT count(*) AS cand_pairs FROM mra_candi),
+    tpc AS (
+      SELECT count(*) AS tp
+      FROM mra_truep t JOIN mra_candi c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT CAST(ns.n_sample AS BIGINT) AS n_sample,
+           CAST(tc.true_pairs AS BIGINT) AS true_pairs,
+           CAST(cc.cand_pairs AS BIGINT) AS cand_pairs,
+           CAST(tpc.tp AS BIGINT) AS tp,
+           CAST(cc.cand_pairs - tpc.tp AS BIGINT) AS fp,
+           CAST(tc.true_pairs - tpc.tp AS BIGINT) AS fn,
+           CAST(CASE WHEN tc.true_pairs = 0 THEN 0
+                ELSE (tpc.tp * 1000000) // tc.true_pairs
+                END AS BIGINT) AS recall_e6,
+           CAST(CASE WHEN cc.cand_pairs = 0 THEN 0
+                ELSE (tpc.tp * 1000000) // cc.cand_pairs
+                END AS BIGINT) AS precision_e6
+    FROM ns CROSS JOIN tc CROSS JOIN cc CROSS JOIN tpc
+    """,
+    ]
+
+
+@query(
+    "minhash_recall_audit",
+    oracle=_mh_audit_oracle(),
+    staged_oracle=_mh_audit_oracle_staged(),
+)
+def minhash_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality audit of the MinHash-LSH configuration: ground
+    truth is every near-dup pair with AT LEAST ONE endpoint in a
+    constant 128-document panel (the docs with the smallest
+    md5('audit') rank — a TakeOrdered, so the panel is deterministic
+    and audit cost is fixed at any corpus size), found EXACTLY via a
+    df-capped shingle posting-list join (panel shingles x corpus
+    posting lists — linear in corpus, never all-pairs; a pair whose
+    every shared shingle is hotter than the cap is unenumerable at
+    bounded cost on any engine, identically on both sides) and
+    verified with the same exact-Jaccard-over-hashed-sets test as
+    production.  Those truths are compared against the PRODUCTION
+    LSH band candidates (the exact `_pmh_candidates` helper the
+    dedup query ships) restricted to panel-incident pairs: tp, fp
+    (candidates that fail verification — wasted verify work), fn
+    (true pairs the banding missed — the recall loss), and recall /
+    precision in e6 ticks.  This is the measurement that justifies a
+    band/row configuration; a platform re-runs it whenever
+    _PMH_BANDS is retuned.
+
+    Scale: panel-incident truth discovery is panel-size x df-cap
+    bounded; the candidate restriction is two broadcast semi-joins
+    against the 128-row panel; signatures and banding are the one
+    production corpus pass."""
+    from .llm3 import _md5_u32
+
+    docs = t(spark, sf, "documents")
+    smp = (
+        docs.select(
+            "doc_id", _md5_u32("audit", F.col("doc_id")).alias("r")
+        )
+        .orderBy("r", "doc_id")
+        .limit(_AUDIT_SAMPLE)
+        .select("doc_id")
+    )
+    sh = (
+        docs.select("doc_id", _shingles_col(3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+        .persist()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        F.collect_set(_md5_u32("J", F.col("s"))).alias("hs"),
+        *[
+            F.min(_md5_u32(str(i), F.col("s"))).alias(f"m{i}")
+            for i in range(_PMH_N)
+        ],
+    ).persist()
+    psh = sh.join(F.broadcast(smp), "doc_id")
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") <= _AUDIT_DF_CAP
+    ).select("s")
+    csh = sh.join(dfc, "s").select("doc_id", "s")
+    tp0 = (
+        psh.select(F.col("doc_id").alias("da"), "s")
+        .join(
+            csh.select(F.col("doc_id").alias("db"), "s"), "s"
+        )
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    truep = (
+        tp0.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(_pmh_jac_e6() >= _PMH_TAU_E6)
+        .select("doc_a", "doc_b")
+    )
+    cand = _pmh_candidates(sig)
+    candi = (
+        cand.join(
+            F.broadcast(smp.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+        )
+        .select("doc_a", "doc_b")
+        .unionByName(
+            cand.join(
+                F.broadcast(smp.select(F.col("doc_id").alias("doc_b"))),
+                "doc_b",
+            ).select("doc_a", "doc_b")
+        )
+        .distinct()
+    )
+    ns = sig.join(F.broadcast(smp), "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample")
+    )
+    tc = truep.agg(F.count(F.lit(1)).cast("long").alias("true_pairs"))
+    cc = candi.agg(F.count(F.lit(1)).cast("long").alias("cand_pairs"))
+    tpc = truep.join(candi, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    out = (
+        ns.crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(tpc))
+    )
+    return out.select(
+        "n_sample",
+        "true_pairs",
+        "cand_pairs",
+        "tp",
+        (F.col("cand_pairs") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("true_pairs") - F.col("tp")).cast("long").alias("fn"),
+        F.when(F.col("true_pairs") == 0, F.lit(0))
+        .otherwise(F.expr("(tp * 1000000) div true_pairs"))
+        .cast("long")
+        .alias("recall_e6"),
+        F.when(F.col("cand_pairs") == 0, F.lit(0))
+        .otherwise(F.expr("(tp * 1000000) div cand_pairs"))
+        .cast("long")
+        .alias("precision_e6"),
     )

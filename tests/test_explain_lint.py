@@ -61,6 +61,7 @@ BNLJ_BY_DESIGN = {
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "knn_classify",
+    "minhash_recall_audit",  # confusion-count scalars: 1-row broadcasts
     "negative_sampling_pairs",  # (mn, mx) id-ring bounds: scalar broadcast
     "pagerank_event_types",
     "pmi_bigram_scores",
