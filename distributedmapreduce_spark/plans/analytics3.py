@@ -436,33 +436,42 @@ def kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     converged; at convergence the result IS the 3-core.
 
     Scale: the corpus-sized work is the one blocked edge-list build
-    (persisted, degree-bounded per rare part — never all-pairs); each
-    round is two semi-join-shaped reductions against the shrinking
-    alive set plus a map-side-combinable degree count, all on tables
-    orders of magnitude smaller than the corpus.  The chained oracle
-    re-inlines the edge CTE per round, hence the staged twin
+    (persisted, degree-bounded per rare part — never all-pairs) plus
+    ONE full degree count; every later round is DELTA PEELING — only
+    edges INTO the nodes that died last round are counted and
+    subtracted from the surviving degrees, so per-round work is
+    proportional to the shrinking frontier, not the graph (the
+    at-scale formulation of k-core; the naive
+    recompute-degrees-per-round form does two full edge joins every
+    round).  Death sets are disjoint across rounds, so each removed
+    edge is subtracted exactly once; a survivor whose last neighbor
+    died ends at degree 0 and emits no row, matching the join
+    formulation the oracle uses.  The chained oracle re-inlines the
+    edge CTE per round, hence the staged twin
     (ORACLE_PORTABILITY.md CTE discipline)."""
     ed = copurchase_edges(spark, sf)
-    alive = ed.select(F.col("u").alias("node")).distinct().persist()
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).persist()
     for _ in range(_KCORE_T):
-        deg = (
-            ed.join(alive.select(F.col("node").alias("u")), "u")
-            .join(alive.select(F.col("node").alias("v")), "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("dg"))
+        deaths = deg.filter(F.col("dg") < _KCORE_K).select(
+            F.col("u").alias("v")
         )
-        alive = (
+        loss = (
+            ed.join(deaths, "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        deg = (
             deg.filter(F.col("dg") >= _KCORE_K)
-            .select(F.col("u").alias("node"))
+            .join(loss, "u", "left")
+            .select(
+                "u",
+                (
+                    F.col("dg") - F.coalesce(F.col("lost"), F.lit(0))
+                ).alias("dg"),
+            )
             .persist()
         )
-    return (
-        ed.join(alive.select(F.col("node").alias("u")), "u")
-        .join(alive.select(F.col("node").alias("v")), "v")
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("dg"))
-        .select(
-            F.col("u").cast("long").alias("node"),
-            F.col("dg").cast("long").alias("core_deg"),
-        )
+    return deg.filter(F.col("dg") > 0).select(
+        F.col("u").cast("long").alias("node"),
+        F.col("dg").cast("long").alias("core_deg"),
     )
