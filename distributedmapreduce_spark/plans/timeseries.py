@@ -663,3 +663,105 @@ def ewma_pow2_user_spend(spark: SparkSession, sf: str) -> DataFrame:
         F.col("day").cast("long"),
         F.col("e").cast("long").alias("ewma_c"),
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x_c
+      FROM orders GROUP BY 1),
+    ma AS (
+      SELECT day, x_c,
+             sum(x_c) OVER w AS s7, count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)),
+    tr AS (
+      SELECT day, x_c,
+             CASE WHEN c7 = 7 THEN (2 * s7 + 7) // 14 END AS trend_c,
+             CAST(datediff('day', DATE '1970-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM ma),
+    de AS (SELECT *, x_c - trend_c AS detr FROM tr),
+    sea AS (
+      SELECT dow,
+             CASE WHEN sum(detr) < 0
+                  THEN -((2 * (-sum(detr)) + count(detr))
+                         // (2 * count(detr)))
+                  ELSE (2 * sum(detr) + count(detr))
+                       // (2 * count(detr)) END AS seas_c
+      FROM de WHERE detr IS NOT NULL GROUP BY dow)
+    SELECT de.day, CAST(de.x_c AS BIGINT) AS x_c,
+           CAST(de.trend_c AS BIGINT) AS trend_c,
+           CAST(sea.seas_c AS BIGINT) AS seas_c,
+           CAST(de.detr - sea.seas_c AS BIGINT) AS resid_c
+    FROM de JOIN sea ON de.dow = sea.dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series — x = trend + seasonal + residual — entirely in exact
+    integer cents: trend is the centered 7-observation moving average
+    (round-half-up, emitted only where the full window exists, NULL
+    at the series edges), seasonal is the per-day-of-week
+    round-half-away-from-zero mean of the detrended values (the sign
+    split keeps every division's operands non-negative, so any
+    division convention agrees), residual is what remains.  The
+    companion to seasonal_naive_backtest (which forecasts) and
+    acf_daily_revenue (which measures residual structure): this is
+    the decomposition a forecasting pipeline inspects first.
+
+    Scale: one orders scan to the day-keyed aggregate; the moving
+    average is a bounded window over that tiny series; the seasonal
+    table is 7 rows broadcast back.  NULL trend/residual rows at the
+    edges are part of the contract (both engines emit them
+    identically)."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("x_c")
+        )
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "x_c",
+        F.sum("x_c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    tr = ma.select(
+        "day",
+        "x_c",
+        F.when(F.col("c7") == 7, F.expr("(2 * s7 + 7) div 14")).alias(
+            "trend_c"
+        ),
+        (F.datediff(F.col("day"), F.lit("1970-01-01")) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    de = tr.withColumn("detr", F.col("x_c") - F.col("trend_c"))
+    sea = (
+        de.filter(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                "CASE WHEN sum(detr) < 0"
+                " THEN -((2 * (-sum(detr)) + count(detr))"
+                " div (2 * count(detr)))"
+                " ELSE (2 * sum(detr) + count(detr))"
+                " div (2 * count(detr)) END"
+            ).alias("seas_c")
+        )
+    )
+    return de.join(F.broadcast(sea), "dow").select(
+        "day",
+        F.col("x_c").cast("long"),
+        F.col("trend_c").cast("long"),
+        F.col("seas_c").cast("long"),
+        (F.col("detr") - F.col("seas_c")).cast("long").alias("resid_c"),
+    )

@@ -348,3 +348,65 @@ def test_coreset_brute_force(vecs):
         for rnk, (dist, vid) in enumerate(sorted(rows)[:3], start=1):
             exp.append((cl, rnk, vid, dist))
     assert got == sorted(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders_strategy)
+def test_seasonal_decompose_brute_force(rows):
+    base = date(2024, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(rows) + 1)),
+            "o_orderdate": [base + timedelta(days=d) for d, _ in rows],
+            "o_totalprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    got = sorted(
+        (r[0].toordinal() if hasattr(r[0], "toordinal") else r[0],)
+        + tuple(r[1:])
+        for r in _oracle_tables(
+            "seasonal_decompose_daily", {"orders": orders}
+        )
+    )
+    daily = defaultdict(int)
+    for d, c in rows:
+        daily[d] += c
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(days)
+    trend = []
+    for i in range(n):
+        lo, hi = i - 3, i + 3
+        if lo >= 0 and hi < n:
+            s7 = sum(xs[lo : hi + 1])
+            trend.append((2 * s7 + 7) // 14)
+        else:
+            trend.append(None)
+    epoch = date(1970, 1, 1)
+    dows = [((base + timedelta(days=d)) - epoch).days % 7 for d in days]
+    per = defaultdict(list)
+    for i in range(n):
+        if trend[i] is not None:
+            per[dows[i]].append(xs[i] - trend[i])
+    sea = {}
+    for dw, vs in per.items():
+        s = sum(vs)
+        c = len(vs)
+        sea[dw] = (
+            -((2 * (-s) + c) // (2 * c)) if s < 0 else (2 * s + c) // (2 * c)
+        )
+    exp = []
+    for i in range(n):
+        if dows[i] not in sea:
+            continue  # no seasonal estimate for this dow -> inner join drops
+        tr = trend[i]
+        exp.append(
+            (
+                (base + timedelta(days=days[i])).toordinal(),
+                xs[i],
+                tr,
+                sea[dows[i]],
+                None if tr is None else xs[i] - tr - sea[dows[i]],
+            )
+        )
+    assert got == sorted(exp)
