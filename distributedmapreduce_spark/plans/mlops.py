@@ -671,3 +671,108 @@ def coreset_centroid_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= _CORESET_TOPK)
         .select("cluster", "rnk", "vec_id", "dist")
     )
+
+
+_DAY_US = 86_400_000_000
+_CHURN_LABEL_D = 14  # label window: purchase within 14d after cutoff
+_CHURN_HOLDOUT_D = 28  # cutoff = last purchase instant - 28d
+
+from .core import EVENTS_US  # noqa: E402  (module-local oracle relation)
+
+
+@query(
+    "churn_training_set",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'),
+    cut AS (
+      SELECT max(us) - {_CHURN_HOLDOUT_D} * {_DAY_US} AS cutoff
+      FROM p),
+    feat AS (
+      SELECT p.user_id,
+             (cut.cutoff - max(p.us)) // {_DAY_US} AS recency_d,
+             count(*) AS frequency,
+             sum(p.cents) AS monetary_c
+      FROM p CROSS JOIN cut
+      WHERE p.us <= cut.cutoff
+      GROUP BY p.user_id, cut.cutoff),
+    lab AS (
+      SELECT DISTINCT p.user_id
+      FROM p CROSS JOIN cut
+      WHERE p.us > cut.cutoff
+        AND p.us <= cut.cutoff + {_CHURN_LABEL_D} * {_DAY_US})
+    SELECT f.user_id,
+           CAST(f.recency_d AS BIGINT) AS recency_d,
+           CAST(f.frequency AS BIGINT) AS frequency,
+           CAST(f.monetary_c AS BIGINT) AS monetary_c,
+           CAST(lab.user_id IS NOT NULL AS BIGINT) AS label
+    FROM feat f LEFT JOIN lab ON f.user_id = lab.user_id
+    """,
+)
+def churn_training_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe churn training set: point-in-time-correct features
+    and a forward-window label from ONE cutoff instant (the last
+    purchase minus 28 days, a data-derived scalar, so the fixture
+    needs no wall clock).  Features see ONLY events at or before the
+    cutoff — recency in whole days, purchase frequency, monetary
+    cents — and the binary label is "purchased within the 14 days
+    AFTER the cutoff"; a user with no pre-cutoff purchase has no
+    feature row (they cannot be scored), and label-window activity
+    can never leak into a feature because the predicates partition
+    time at the cutoff exactly.  This is the dataset-construction
+    discipline (time-travel correctness) that separates a trainable
+    snapshot from a leaky one.
+
+    Scale: the cutoff is a 1-row scalar broadcast (the
+    rfm_user_segments pattern — events scanned once for the scalar,
+    once for the build, audited {{events: 2}}); features and labels
+    are both per-user aggregates on the purchase stream, joined
+    per-user.  At 100 TB the same plan holds with the cutoff supplied
+    by the orchestrator instead of max(ts)."""
+    p = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cut = p.agg(
+        (
+            F.max("us") - F.lit(_CHURN_HOLDOUT_D * _DAY_US)
+        ).alias("cutoff")
+    )
+    pc = p.crossJoin(F.broadcast(cut))
+    feat = (
+        pc.filter(F.col("us") <= F.col("cutoff"))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            F.expr(f"(cutoff - max(us)) div {_DAY_US}").alias(
+                "recency_d"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_c"),
+        )
+    )
+    lab = (
+        pc.filter(
+            (F.col("us") > F.col("cutoff"))
+            & (
+                F.col("us")
+                <= F.col("cutoff") + _CHURN_LABEL_D * _DAY_US
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("lbl", F.lit(1))
+    )
+    return feat.join(lab, "user_id", "left").select(
+        "user_id",
+        F.col("recency_d").cast("long"),
+        F.col("frequency").cast("long"),
+        F.col("monetary_c").cast("long"),
+        F.coalesce(F.col("lbl"), F.lit(0)).cast("long").alias("label"),
+    )

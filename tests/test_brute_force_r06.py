@@ -484,3 +484,32 @@ def test_keyness_brute_force(docs):
         exp.append((w, c_en[w], c_ot[w], r_en - r_ot))
     exp.sort(key=lambda r: (-abs(r[3]), r[0]))
     assert got == exp[:50]
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_churn_training_set_brute_force(rows):
+    got = sorted(
+        _oracle_tables("churn_training_set", {"events": _events_df(rows)})
+    )
+    ps = _purchases(rows)
+    if not ps:
+        assert got == []
+        return
+    cutoff = max(us for _, _, us, _ in ps) - 28 * _DAY_US
+    feat = {}
+    for u, _eid, us, cents in ps:
+        if us <= cutoff:
+            mx, n, m = feat.get(u, (None, 0, 0))
+            mx = us if mx is None else max(mx, us)
+            feat[u] = (mx, n + 1, m + cents)
+    lab = {
+        u
+        for u, _eid, us, _c in ps
+        if cutoff < us <= cutoff + 14 * _DAY_US
+    }
+    exp = sorted(
+        (u, (cutoff - mx) // _DAY_US, n, m, 1 if u in lab else 0)
+        for u, (mx, n, m) in feat.items()
+    )
+    assert got == exp

@@ -52,6 +52,7 @@ BNLJ_BY_DESIGN = {
     "approx_distinct_linear_portable",
     "benford_first_digit_audit",  # digit-total row: scalar broadcast
     "bloom_semi_join_audit",
+    "churn_training_set",  # cutoff instant: scalar broadcast
     "bm25_search",
     "cosine_topk_bruteforce",
     "curation_pipeline_v3",
@@ -90,6 +91,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "asof_join_purchase_click": {"events": 2},
     "benford_first_digit_audit": {"orders": 2},  # digit-total branch
     "bloom_semi_join_audit": {"customer": 4},
+    "churn_training_set": {"events": 3},  # cutoff scalar + feat + label
     "bm25_search": {"documents": 4},
     "boilerplate_shingle_score": {"documents": 2},
     "cosine_topk_bruteforce": {"embeddings": 2},
