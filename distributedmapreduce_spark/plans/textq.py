@@ -839,3 +839,131 @@ def pii_detect_redact(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+_EVAL_QUERIES = [
+    (1, ["scan", "fast"]),
+    (2, ["merge", "batch"]),
+    (3, ["hash", "value"]),
+    (4, ["slow", "table"]),
+]
+
+
+@query(
+    "retrieval_eval_first_rank",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {", ".join(
+          f"({qid}, '{w}', {len(ws)})"
+          for qid, ws in _EVAL_QUERIES for w in ws)})
+      AS t(qid, w, n_terms)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+               str_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents),
+    sc AS (
+      SELECT q.qid, toks.doc_id, q.n_terms,
+             count(*) AS score, count(DISTINCT toks.w) AS hit_terms
+      FROM toks JOIN q ON toks.w = q.w
+      GROUP BY 1, 2, 3),
+    best AS (
+      SELECT qid, min(struct_pack(ns := -score, bd := doc_id)) AS b
+      FROM sc WHERE hit_terms = n_terms GROUP BY qid),
+    agg AS (
+      SELECT sc.qid,
+             count(*) AS n_candidates,
+             count(*) FILTER (WHERE sc.hit_terms = sc.n_terms)
+               AS n_relevant,
+             count(*) FILTER (WHERE best.b IS NOT NULL AND (
+               sc.score > -(best.b).ns OR
+               (sc.score = -(best.b).ns AND sc.doc_id < (best.b).bd)))
+               AS n_above
+      FROM sc LEFT JOIN best ON sc.qid = best.qid
+      GROUP BY sc.qid)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_relevant AS BIGINT) AS n_relevant,
+           CAST(CASE WHEN n_relevant = 0 THEN 0
+                ELSE n_above + 1 END AS BIGINT) AS first_rel_rank
+    FROM agg
+    """,
+)
+def retrieval_eval_first_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval evaluation without a rank window: for each of 4
+    fixed two-term queries, rank every candidate document (>= 1 term
+    hit) by exact integer relevance (total query-term frequency,
+    doc_id tiebreak) and report the rank of the first RELEVANT
+    document (relevant = contains ALL query terms — the conjunctive
+    ground truth), plus candidate/relevant counts — the
+    rank-of-first-relevant table MRR is computed from, as exact
+    integers (MRR itself is Σ 1/rank, a rational the caller derives).
+
+    The rank is computed WITHOUT ordering anything: the best relevant
+    document per query is the lexicographic min of (-score, doc_id) —
+    an aggregate — and its rank is 1 + the count of candidates
+    strictly above it in that order.  No per-query window ever sees
+    the corpus-scaled candidate list (a rank window partitioned by
+    the 4-value qid would funnel each query's candidates through one
+    task — exactly the shape the window-funnel lint exists to kill).
+
+    Scale: one corpus token scan joined to a broadcast 8-row query-
+    term table; everything after is per-(query, doc) aggregates and a
+    4-row broadcast of the best-relevant tuples."""
+    q_rows = [
+        (qid, w, len(ws)) for qid, ws in _EVAL_QUERIES for w in ws
+    ]
+    q = spark.createDataFrame(q_rows, "qid long, w string, n_terms long")
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.explode(_tokens_col_lower()).alias("w")
+    )
+    sc = (
+        toks.join(F.broadcast(q), "w")
+        .groupBy("qid", "doc_id", "n_terms")
+        .agg(
+            F.count(F.lit(1)).alias("score"),
+            F.countDistinct("w").alias("hit_terms"),
+        )
+    ).persist()  # term-matching docs only; feeds best + the rank count
+    best = (
+        sc.filter(F.col("hit_terms") == F.col("n_terms"))
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("doc_id").alias("bd"),
+                )
+            ).alias("b")
+        )
+    )
+    agg = (
+        sc.join(F.broadcast(best), "qid", "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                (F.col("hit_terms") == F.col("n_terms")).cast("long")
+            ).alias("n_relevant"),
+            F.sum(
+                (
+                    F.col("b").isNotNull()
+                    & (
+                        (F.col("score") > -F.col("b.ns"))
+                        | (
+                            (F.col("score") == -F.col("b.ns"))
+                            & (F.col("doc_id") < F.col("b.bd"))
+                        )
+                    )
+                ).cast("long")
+            ).alias("n_above"),
+        )
+    )
+    return agg.select(
+        F.col("qid").cast("long"),
+        F.col("n_candidates").cast("long"),
+        F.col("n_relevant").cast("long"),
+        F.when(F.col("n_relevant") == 0, F.lit(0))
+        .otherwise(F.col("n_above") + 1)
+        .cast("long")
+        .alias("first_rel_rank"),
+    )

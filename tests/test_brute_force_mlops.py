@@ -410,3 +410,60 @@ def test_seasonal_decompose_brute_force(rows):
             )
         )
     assert got == sorted(exp)
+
+
+docs_eval_strategy = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["scan", "fast", "merge", "batch", "hash", "value",
+             "slow", "table", "other", ""]
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs_eval_strategy)
+def test_retrieval_eval_brute_force(docs):
+    from distributedmapreduce_spark.plans.textq import _EVAL_QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(docs) + 1)),
+            "text": [" ".join(ws) for ws in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(" ".join(ws)) for ws in docs],
+        }
+    )
+    got = sorted(
+        _oracle_tables("retrieval_eval_first_rank", {"documents": pdf})
+    )
+    exp = []
+    for qid, terms in _EVAL_QUERIES:
+        cand = []  # (doc_id, score, relevant)
+        for did, ws in enumerate(docs, start=1):
+            ws = [w for w in ws if w]
+            score = sum(1 for w in ws if w in terms)
+            if score:
+                hit = {w for w in ws if w in terms}
+                cand.append((did, score, len(hit) == len(terms)))
+        if not cand:
+            continue  # no candidate docs -> query absent from output
+        rel = [(s, d) for d, s, r in cand if r]
+        if not rel:
+            exp.append((qid, len(cand), 0, 0))
+            continue
+        bs, bd = max((s, -d) for s, d in rel)
+        bd = -bd
+        above = sum(
+            1
+            for d, s, _ in cand
+            if s > bs or (s == bs and d < bd)
+        )
+        exp.append((qid, len(cand), len(rel), above + 1))
+    assert got == sorted(exp)
