@@ -433,3 +433,68 @@ def ann_ivf_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _PIVF_TOPK)
         .drop("rn")
     )
+
+
+_FH_BUCKETS = 256
+
+
+def _fh_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               str_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents),
+    h AS (
+      SELECT w, count(*) AS cnt,
+             {_md5_u32_sql('fh', 'w')} % {_FH_BUCKETS} AS bucket
+      FROM toks GROUP BY w)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS total_count,
+           CAST(max(cnt) AS BIGINT) AS max_word_count
+    FROM h GROUP BY bucket
+    """
+
+
+@query(
+    "feature_hash_stats",
+    oracle=_fh_oracle(),
+)
+def feature_hash_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick featurizer audit: hash every vocabulary word into
+    one of 256 feature buckets (the portable md5-u32 family, same as
+    every other hash in the repo) and report, per bucket, how many
+    DISTINCT words collided into it, their total corpus count, and
+    the dominant word's count — the collision profile that tells a
+    feature-hashing pipeline whether its dimensionality is losing
+    signal (a bucket where max_word_count ≪ total_count is averaging
+    unrelated features).
+
+    Scale: one corpus scan → vocab-sized word counts (map-side
+    combinable) → a 256-row report; no joins, no windows."""
+    from .llm3 import _md5_u32
+
+    toks = t(spark, sf, "documents").select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w")
+    )
+    h = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select(
+        (_md5_u32("fh", F.col("w")) % _FH_BUCKETS).alias("bucket"),
+        "cnt",
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("cnt").cast("long").alias("total_count"),
+        F.max("cnt").cast("long").alias("max_word_count"),
+    ).select(
+        F.col("bucket").cast("long"),
+        "n_words",
+        "total_count",
+        "max_word_count",
+    )

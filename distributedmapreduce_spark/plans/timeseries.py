@@ -718,6 +718,21 @@ def seasonal_decompose_daily(spark: SparkSession, sf: str) -> DataFrame:
     table is 7 rows broadcast back.  NULL trend/residual rows at the
     edges are part of the contract (both engines emit them
     identically)."""
+    de, sea = _daily_detrended(spark, sf)
+    return de.join(F.broadcast(sea), "dow").select(
+        "day",
+        F.col("x_c").cast("long"),
+        F.col("trend_c").cast("long"),
+        F.col("seas_c").cast("long"),
+        (F.col("detr") - F.col("seas_c")).cast("long").alias("resid_c"),
+    )
+
+
+def _daily_detrended(spark: SparkSession, sf: str):
+    """(de, sea): the detrended daily revenue table (day, x_c,
+    trend_c, dow, detr) and the per-day-of-week seasonal means —
+    the shared core of seasonal_decompose_daily and
+    forecast_conformal_intervals (one formulation, two reports)."""
     daily = (
         t(spark, sf, "orders")
         .groupBy(F.col("o_orderdate").alias("day"))
@@ -758,10 +773,97 @@ def seasonal_decompose_daily(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("seas_c")
         )
     )
-    return de.join(F.broadcast(sea), "dow").select(
-        "day",
-        F.col("x_c").cast("long"),
-        F.col("trend_c").cast("long"),
+    return de, sea
+
+
+@query(
+    "forecast_conformal_intervals",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x_c
+      FROM orders GROUP BY 1),
+    ma AS (
+      SELECT day, x_c,
+             sum(x_c) OVER w AS s7, count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)),
+    tr AS (
+      SELECT day, x_c,
+             CASE WHEN c7 = 7 THEN (2 * s7 + 7) // 14 END AS trend_c,
+             CAST(datediff('day', DATE '1970-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM ma),
+    de AS (SELECT *, x_c - trend_c AS detr FROM tr
+           WHERE trend_c IS NOT NULL),
+    sea AS (
+      SELECT dow,
+             CASE WHEN sum(detr) < 0
+                  THEN -((2 * (-sum(detr)) + count(detr))
+                         // (2 * count(detr)))
+                  ELSE (2 * sum(detr) + count(detr))
+                       // (2 * count(detr)) END AS seas_c
+      FROM de GROUP BY dow),
+    r AS (
+      SELECT de.dow, de.day, sea.seas_c,
+             abs(de.detr - sea.seas_c) AS absr
+      FROM de JOIN sea ON de.dow = sea.dow),
+    rk AS (
+      SELECT dow, seas_c, absr,
+             row_number() OVER (PARTITION BY dow
+                                ORDER BY absr, day) AS rn,
+             count(*) OVER (PARTITION BY dow) AS n_obs
+      FROM r)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(seas_c AS BIGINT) AS seas_c,
+           CAST(absr AS BIGINT) AS p90_abs_resid_c,
+           CAST(seas_c - absr AS BIGINT) AS lo_c,
+           CAST(seas_c + absr AS BIGINT) AS hi_c
+    FROM rk WHERE rn = (9 * n_obs + 9) // 10
+    """,
+)
+def forecast_conformal_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal-style forecast intervals per day-of-week: the
+    exact 90th-percentile order statistic of |residual| around the
+    seasonal component (k = ceil(0.9·n), selected by rank over the
+    (|resid|, day) total order — no interpolation, so the answer is
+    an observed integer), published as seasonal ± p90 bounds.  The
+    decomposition core is the SAME `_daily_detrended` helper
+    seasonal_decompose_daily uses, so the interval is calibrated on
+    exactly the shipped residuals.
+
+    Scale: everything after the day-keyed aggregate is bounded
+    (days × 1 row); the rank window partitions the tiny day table by
+    dow — its input subtree is the day aggregate, which is what the
+    window-funnel lint structurally verifies."""
+    de, sea = _daily_detrended(spark, sf)
+    r = (
+        de.filter(F.col("trend_c").isNotNull())
+        .join(F.broadcast(sea), "dow")
+        .select(
+            "dow",
+            "day",
+            "seas_c",
+            F.abs(F.col("detr") - F.col("seas_c")).alias("absr"),
+        )
+    )
+    wp = W.partitionBy("dow")
+    rk = r.select(
+        "dow",
+        "seas_c",
+        "absr",
+        F.row_number().over(wp.orderBy("absr", "day")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_obs"),
+    )
+    return rk.filter(
+        F.col("rn") == F.expr("(9 * n_obs + 9) div 10")
+    ).select(
+        F.col("dow").cast("long"),
+        F.col("n_obs").cast("long"),
         F.col("seas_c").cast("long"),
-        (F.col("detr") - F.col("seas_c")).cast("long").alias("resid_c"),
+        F.col("absr").cast("long").alias("p90_abs_resid_c"),
+        (F.col("seas_c") - F.col("absr")).cast("long").alias("lo_c"),
+        (F.col("seas_c") + F.col("absr")).cast("long").alias("hi_c"),
     )

@@ -467,3 +467,56 @@ def test_retrieval_eval_brute_force(docs):
         )
         exp.append((qid, len(cand), len(rel), above + 1))
     assert got == sorted(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders_strategy)
+def test_conformal_intervals_brute_force(rows):
+    base = date(2024, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(rows) + 1)),
+            "o_orderdate": [base + timedelta(days=d) for d, _ in rows],
+            "o_totalprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    got = sorted(
+        _oracle_tables(
+            "forecast_conformal_intervals", {"orders": orders}
+        )
+    )
+    daily = defaultdict(int)
+    for d, c in rows:
+        daily[d] += c
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(days)
+    epoch = date(1970, 1, 1)
+    per = defaultdict(list)  # dow -> [(absr, day_ordinal)]
+    sea_in = defaultdict(list)
+    detr = {}
+    for i in range(n):
+        lo, hi = i - 3, i + 3
+        if lo >= 0 and hi < n:
+            s7 = sum(xs[lo : hi + 1])
+            tr = (2 * s7 + 7) // 14
+            dw = ((base + timedelta(days=days[i])) - epoch).days % 7
+            detr[i] = (dw, xs[i] - tr)
+            sea_in[dw].append(xs[i] - tr)
+    sea = {}
+    for dw, vs in sea_in.items():
+        s, c = sum(vs), len(vs)
+        sea[dw] = (
+            -((2 * (-s) + c) // (2 * c)) if s < 0 else (2 * s + c) // (2 * c)
+        )
+    for i, (dw, dv) in detr.items():
+        per[dw].append((abs(dv - sea[dw]), days[i]))
+    exp = []
+    for dw, vs in per.items():
+        vs.sort()
+        k = (9 * len(vs) + 9) // 10
+        p90 = vs[k - 1][0]
+        exp.append(
+            (dw, len(vs), sea[dw], p90, sea[dw] - p90, sea[dw] + p90)
+        )
+    assert got == sorted(exp)
