@@ -399,3 +399,79 @@ def bpe_encode_token_counts(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.length("word").cast("long")).alias("n_chars"),
         )
     )
+
+
+def _bpe_fertility_final(vocab_tbl: str) -> str:
+    return f"""
+    wlen AS (SELECT word, len(toks) AS n_toks FROM {vocab_tbl}),
+    dw AS (
+      SELECT lang, word
+      FROM (SELECT lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$'))
+    SELECT dw.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wlen.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(strlen(dw.word)) AS BIGINT) AS n_chars,
+           CAST((sum(strlen(dw.word)) * 10000) // sum(wlen.n_toks)
+                AS BIGINT) AS chars_per_token_e4
+    FROM dw JOIN wlen USING (word)
+    GROUP BY dw.lang
+    """
+
+
+def _bpe_fertility_oracle(k_steps: int) -> str:
+    base = _bpe_oracle(k_steps)
+    head = base[: base.index(",\n    mm_final AS")]
+    return head + "," + _bpe_fertility_final(f"v{k_steps}")
+
+
+def _bpe_fertility_oracle_staged(k_steps: int) -> list[str]:
+    return _bpe_stages(k_steps) + [
+        "WITH " + _bpe_fertility_final(f"bpe_v{k_steps}").lstrip()
+    ]
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(_BPE_K),
+    staged_oracle=_bpe_fertility_oracle_staged(_BPE_K),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: after the SAME K=6 BPE
+    training (one `_train_merges` helper, no duplicated loop), the
+    per-language compression report — words, post-merge BPE tokens,
+    characters, and chars-per-token in e4 ticks.  This is the
+    multilingual-coverage check a tokenizer-training pipeline runs
+    before freezing a vocabulary: a language whose chars/token sits
+    near 1.0 is being spelled out letter-by-letter (under-merged) and
+    will pay a context-length tax at training time.
+
+    Scale: identical to bpe_encode_token_counts (one corpus pass
+    against the broadcast word -> token-count map); the report is
+    language-cardinality."""
+    docs = t(spark, sf, "documents")
+    dw = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    vocab = _char_vocab(dw.select("word"))
+    _merges, cur = _train_merges(vocab, _BPE_K)
+    wlen = cur.select("word", F.size("toks").cast("long").alias("n_toks"))
+    return (
+        dw.join(F.broadcast(wlen), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(F.length("word").cast("long")).alias("n_chars"),
+            F.expr(
+                "(sum(CAST(length(word) AS BIGINT)) * 10000)"
+                " div sum(n_toks)"
+            ).cast("long").alias("chars_per_token_e4"),
+        )
+    )
