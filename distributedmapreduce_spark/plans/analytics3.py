@@ -475,3 +475,260 @@ def kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         F.col("u").cast("long").alias("node"),
         F.col("dg").cast("long").alias("core_deg"),
     )
+
+
+_BFS_T = 4
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    for i in range(1, _BFS_T + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM l{i - 1}
+        UNION ALL
+        SELECT ed.u AS node, c.h + 1 AS h
+        FROM ed JOIN l{i - 1} c ON ed.v = c.node)
+      GROUP BY node)""")
+    return f"""
+    WITH {_LPA_EDGES_SQL},
+    dg AS (SELECT u, count(*) AS dg FROM ed GROUP BY u),
+    hub AS (SELECT u AS node FROM dg ORDER BY dg DESC, u LIMIT 1),
+    l0 AS (SELECT node, 0 AS h FROM hub),{",".join(steps)}
+    SELECT CAST(h AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM l{_BFS_T} GROUP BY 1
+    """
+
+
+def _bfs_oracle_staged() -> list[str]:
+    stages = [
+        f"CREATE OR REPLACE TEMP TABLE bfs_ed AS WITH {_LPA_EDGES_SQL} "
+        "SELECT u, v FROM ed",
+        """CREATE OR REPLACE TEMP TABLE bfs_l0 AS
+    SELECT u AS node, 0 AS h FROM (
+      SELECT u, count(*) AS dg FROM bfs_ed GROUP BY u
+      ORDER BY dg DESC, u LIMIT 1)""",
+    ]
+    for i in range(1, _BFS_T + 1):
+        stages.append(
+            f"""CREATE OR REPLACE TEMP TABLE bfs_l{i} AS
+    SELECT node, min(h) AS h FROM (
+      SELECT node, h FROM bfs_l{i - 1}
+      UNION ALL
+      SELECT ed.u AS node, c.h + 1 AS h
+      FROM bfs_ed ed JOIN bfs_l{i - 1} c ON ed.v = c.node)
+    GROUP BY node"""
+        )
+    stages.append(
+        f"""SELECT CAST(h AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM bfs_l{_BFS_T} GROUP BY 1"""
+    )
+    return stages
+
+
+@query(
+    "bfs_hop_census",
+    oracle=_bfs_oracle(),
+    staged_oracle=_bfs_oracle_staged(),
+)
+def bfs_hop_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Breadth-first search from the highest-degree hub of the
+    co-purchase graph (T=4 rounds): per hop level, how many customers
+    are first reachable at that distance — the reachability/diameter
+    probe that completes the graph family (triangles, LPA, hash-min
+    CC, k-core, PageRank) with the single-source shortest-hops
+    operator.  The hub is deterministic: max degree, ties broken by
+    min node id (ORDER BY dg DESC, u LIMIT 1 in both engines).
+
+    Scale: the corpus-sized work is the shared blocked edge-list
+    build; each round is FRONTIER-DELTA expansion — edges are joined
+    against only the nodes first discovered last round (left-anti
+    against the reached set keeps rounds monotone), so per-round work
+    is proportional to the expanding wavefront, never the graph (the
+    delta-peeling discipline of kcore_copurchase, mirrored for
+    reachability).  First discovery at round i IS the min-hop level,
+    so the frontier form is value-identical to the oracle's min-
+    relaxation form (l_i(node) = min hops over <= i steps); the
+    chained oracle re-inlines the edge CTE 2^T times, hence the
+    staged twin (ORACLE_PORTABILITY.md CTE discipline)."""
+    ed = copurchase_edges(spark, sf)
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    hub = (
+        deg.orderBy(F.desc("dg"), "u")
+        .limit(1)
+        .select(F.col("u").alias("node"), F.lit(0).alias("h"))
+    )
+    reached = hub.persist()
+    frontier = hub
+    for i in range(1, _BFS_T + 1):
+        nbr = (
+            ed.join(frontier, ed["v"] == frontier["node"])
+            .select(ed["u"].alias("node"))
+            .distinct()
+        )
+        frontier = (
+            nbr.join(reached.select("node"), "node", "left_anti")
+            .withColumn("h", F.lit(i))
+            .persist()
+        )
+        reached = reached.unionByName(frontier).persist()
+    return reached.groupBy(F.col("h").cast("long").alias("hops")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+# |S|!(k-1-|S|)!/k! * k!  for k=4, as exact integers (x24 scaling):
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_terms_rows() -> list[tuple[str, int, int, int, int]]:
+    """(channel, bit, s, s_with, w24) for every coalition S not
+    containing the channel — 4 x 8 = 32 constant rows, precomputed
+    driver-side (pure arithmetic on the fixed channel universe)."""
+    rows = []
+    for name, bit in _SHAP_CHANNELS:
+        for s in range(16):
+            if s & bit:
+                continue
+            rows.append((name, bit, s, s | bit, _SHAP_W24[bin(s).count("1")]))
+    return rows
+
+
+@query(
+    "shapley_channel_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM {EVENTS_US} events),
+    pe AS (
+      SELECT user_id, event_type, us,
+             min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id) AS pus
+      FROM ev),
+    tm AS (
+      SELECT user_id,
+             bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)
+               AS mask
+      FROM pe
+      WHERE pus IS NOT NULL AND us < pus AND event_type <> 'purchase'
+      GROUP BY user_id),
+    cv AS (SELECT mask, count(*) AS c FROM tm WHERE mask > 0
+           GROUP BY mask),
+    ss AS (SELECT CAST(range AS INT) AS s FROM range(16)),
+    v AS (
+      SELECT ss.s, coalesce(sum(cv.c), 0) AS v
+      FROM ss LEFT JOIN cv ON (cv.mask & ss.s) = cv.mask
+      GROUP BY ss.s),
+    phi AS (
+      SELECT ch.name AS channel,
+             sum((CASE bit_count(ss.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                  WHEN 2 THEN 2 ELSE 6 END) * (vi.v - vs.v)) AS x24
+      FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                   ('view', 8)) ch(name, bit)
+      JOIN ss ON (ss.s & ch.bit) = 0
+      JOIN v vs ON vs.s = ss.s
+      JOIN v vi ON vi.s = (ss.s | ch.bit)
+      GROUP BY 1)
+    SELECT channel, CAST(x24 AS BIGINT) AS shapley_x24,
+           round(x24 / 24.0, 6) AS shapley
+    FROM phi
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over the fixed 4-channel
+    universe (click/error/signup/view; purchase = conversion) — the
+    game-theoretic member of the attribution family (linear-touch in
+    analytics2, completing coverage of the two standard MTA models).
+    The coalition game: v(S) = number of converting users whose
+    pre-first-purchase channel set is contained in S (users whose whole
+    path survives when only coalition S runs).  phi_i is the exact
+    Shapley sum over all 2^(k-1) coalitions; with k=4 the factorial
+    weights |S|!(k-1-|S|)!/k! become sixths-of-24, so the entire
+    computation is INTEGER in x24 ticks (shapley_x24) until the final
+    published round — bit-for-bit portable, no float accumulation
+    order in play.  Efficiency axiom makes a built-in invariant:
+    sum(shapley_x24) = 24 * v(full), checked by the brute-force
+    property test.
+
+    Scale: ONE events scan -> per-user first-purchase timestamp as a
+    conditional window min (no self-join), pre-purchase touches fold
+    to a 4-bit mask via bit_or (map-side combinable), masks reduce to
+    <= 15 (mask, count) rows.  Everything after is on 2^k-bounded
+    constants: v(S) via superset EXPLODE of the mask census (an
+    equi-shape, no theta join), and the 32-row precomputed
+    (channel, S) term table joins v twice broadcast-style.  At 100 TB
+    the only data-sized stages are the user-partition window and the
+    mask groupBy — both single-shuffle."""
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    pe = ev.withColumn(
+        "pus",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(W.partitionBy("user_id")),
+    )
+    tm = (
+        pe.filter(
+            F.col("pus").isNotNull()
+            & (F.col("us") < F.col("pus"))
+            & (F.col("event_type") != "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or(bit).alias("mask"))
+    )
+    cv = (
+        tm.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # v(S) = sum of counts over masks contained in S: explode each
+    # mask census row into its supersets (<= 16 constants) — an
+    # equi-aggregate, deliberately not a (mask & S) = mask theta join.
+    all16 = F.array(*[F.lit(i) for i in range(16)])
+    sup = F.filter(
+        all16,
+        lambda s: s.bitwiseAND(F.col("mask")) == F.col("mask"),
+    )
+    v = (
+        cv.select(F.explode(sup).alias("s"), "c")
+        .groupBy("s")
+        .agg(F.sum("c").alias("v"))
+    )
+    terms = spark.createDataFrame(
+        _shap_terms_rows(), "channel string, bit int, s int, s_with int, w24 int"
+    )
+    vs = v.select(F.col("s"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("s").alias("s_with"), F.col("v").alias("v_i"))
+    phi = (
+        terms.join(vs, "s", "left")
+        .join(vi, "s_with", "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("w24")
+                * (
+                    F.coalesce(F.col("v_i"), F.lit(0))
+                    - F.coalesce(F.col("v_s"), F.lit(0))
+                )
+            ).alias("x24")
+        )
+    )
+    return phi.select(
+        "channel",
+        F.col("x24").cast("long").alias("shapley_x24"),
+        F.round(F.col("x24") / 24.0, 6).alias("shapley"),
+    )

@@ -272,6 +272,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("pair.doc_a", "pair.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        # persisted like `sets` below: the pair table feeds the main
+        # verification branch AND the touched-docs prune, so as pure
+        # lineage the band-agg + pair-explode subtree would execute
+        # twice per run (verified in the executed plan).  Size is the
+        # candidate count (near-dup-density-sized, MEMORY_AND_DISK
+        # spillable), never corpus-sized — the same build/search
+        # discipline as the signature index itself.
+        .persist()
     )
     # Verification reads the fat shingle-set column ONCE, for
     # candidate-touched docs only: a broadcast semi-join prunes the

@@ -967,3 +967,167 @@ def retrieval_eval_first_rank(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("first_rel_rank"),
     )
+
+
+_NDCG_K = 10
+# round(1e6 / log2(r + 1)) for r = 1..10 — the discount table as exact
+# integer e6 ticks, precomputed once so NEITHER engine evaluates a
+# transcendental (cross-engine log() ULP drift never enters the hash).
+_NDCG_DISC_E6 = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_NDCG_DISC_VALUES = ", ".join(
+    f"({r + 1}, {d})" for r, d in enumerate(_NDCG_DISC_E6)
+)
+
+
+def _bounded_top10(df: DataFrame, st) -> DataFrame:
+    """Two-phase bounded top-10 per qid WITHOUT a rank window: phase 1
+    keeps each shuffle partition's 10 best structs (partial, bounded
+    state), phase 2 merges the <= 10 * partitions survivors per qid.
+    The struct's leading fields are the ascending sort key, so the
+    final array is the global top-10 regardless of partitioning."""
+    p1 = (
+        df.withColumn("st", st)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("qid", "pid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("st")), 1, _NDCG_K
+            ).alias("arr")
+        )
+        .select("qid", F.explode("arr").alias("st"))
+    )
+    return p1.groupBy("qid").agg(
+        F.slice(F.sort_array(F.collect_list("st")), 1, _NDCG_K).alias("arr")
+    )
+
+
+@query(
+    "ndcg_at_10",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {", ".join(
+          f"({qid}, '{w}', {len(ws)})"
+          for qid, ws in _EVAL_QUERIES for w in ws)})
+      AS t(qid, w, n_terms)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+               str_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents),
+    sc AS (
+      SELECT q.qid, toks.doc_id,
+             count(*) AS score, count(DISTINCT toks.w) AS gain
+      FROM toks JOIN q ON toks.w = q.w
+      GROUP BY 1, 2),
+    disc AS (SELECT * FROM (VALUES {_NDCG_DISC_VALUES}) AS d(r, d_e6)),
+    rk AS (
+      SELECT qid, gain, row_number() OVER
+               (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+      FROM sc),
+    dcg AS (
+      SELECT qid, sum(gain * d_e6) AS dcg_e6
+      FROM rk JOIN disc ON rk.r = disc.r GROUP BY qid),
+    ik AS (
+      SELECT qid, gain, row_number() OVER
+               (PARTITION BY qid ORDER BY gain DESC, doc_id) AS r
+      FROM sc),
+    idcg AS (
+      SELECT qid, sum(gain * d_e6) AS idcg_e6
+      FROM ik JOIN disc ON ik.r = disc.r GROUP BY qid)
+    SELECT CAST(dcg.qid AS BIGINT) AS qid,
+           CAST(dcg_e6 AS BIGINT) AS dcg_e6,
+           CAST(idcg_e6 AS BIGINT) AS idcg_e6,
+           CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT) AS ndcg_e6
+    FROM dcg JOIN idcg ON dcg.qid = idcg.qid
+    """,
+)
+def ndcg_at_10(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@10 retrieval quality per evaluation query — the graded
+    companion to retrieval_eval_first_rank's binary MRR table.
+    Candidates are ranked by exact integer relevance (total query-term
+    frequency, doc_id tiebreak); graded gain = number of DISTINCT
+    query terms hit (2 = conjunctive match, 1 = partial).  DCG uses a
+    PRECOMPUTED integer discount table (round(1e6/log2(r+1)) ticks,
+    r = 1..10) so no engine evaluates a log; DCG/IDCG are exact
+    integer tick sums, and the published nDCG is the exact integer
+    quotient dcg_e6 * 1e6 div idcg_e6 — bit-portable, no float
+    rounding anywhere (both engines truncate positive integer
+    division identically).
+
+    Scale: one corpus token scan joined to the broadcast 8-row term
+    table, one (qid, doc) aggregate, then a TWO-PHASE BOUNDED top-10
+    (per-partition top-10, then merge of the <= 10 x partitions
+    survivors) — the distributed top-k shape; no rank window ever
+    partitions by the 4-value qid (the window-funnel lint class), so
+    no task sees more than 10 x partitions rows after the scan.  The
+    oracle uses plain rank windows — DuckDB has no funnel concern —
+    and the two formulations agree because the struct sort key
+    (-score, doc_id) is a total order."""
+    q_rows = [
+        (qid, w, len(ws)) for qid, ws in _EVAL_QUERIES for w in ws
+    ]
+    q = spark.createDataFrame(q_rows, "qid long, w string, n_terms long")
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.explode(_tokens_col_lower()).alias("w")
+    )
+    sc = (
+        toks.join(F.broadcast(q), "w")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("score"),
+            F.countDistinct("w").alias("gain"),
+        )
+        .persist()  # feeds both the ranked and the ideal top-10
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC_E6])
+    ranked = _bounded_top10(
+        sc,
+        F.struct(
+            (-F.col("score")).alias("ns"),
+            F.col("doc_id").alias("d"),
+            F.col("gain").alias("g"),
+        ),
+    )
+    dcg = (
+        ranked.select("qid", F.posexplode("arr").alias("pos", "st"))
+        .select(
+            "qid",
+            (F.col("st.g") * F.element_at(disc, F.col("pos") + 1)).alias(
+                "term"
+            ),
+        )
+        .groupBy("qid")
+        .agg(F.sum("term").alias("dcg_e6"))
+    )
+    ideal = _bounded_top10(
+        sc,
+        F.struct(
+            (-F.col("gain")).alias("ng"),
+            F.col("doc_id").alias("d"),
+            F.col("gain").alias("g"),
+        ),
+    )
+    idcg = (
+        ideal.select("qid", F.posexplode("arr").alias("pos", "st"))
+        .select(
+            "qid",
+            (F.col("st.g") * F.element_at(disc, F.col("pos") + 1)).alias(
+                "term"
+            ),
+        )
+        .groupBy("qid")
+        .agg(F.sum("term").alias("idcg_e6"))
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            F.col("qid").cast("long"),
+            F.col("dcg_e6").cast("long"),
+            F.col("idcg_e6").cast("long"),
+            F.expr("dcg_e6 * 1000000 div idcg_e6")
+            .cast("long")
+            .alias("ndcg_e6"),
+        )
+    )

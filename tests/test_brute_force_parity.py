@@ -614,3 +614,140 @@ def test_kcore_matches_brute_force(pairs):
         if u in alive and v in alive:
             fin[u] = fin.get(u, 0) + 1
     assert got == sorted(fin.items())
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # custkey
+            st.integers(min_value=1, max_value=6),  # partkey
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bfs_hop_census_matches_brute_force(pairs):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(pairs) + 1)),
+            "o_custkey": [c for c, _ in pairs],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": list(range(1, len(pairs) + 1)),
+            "l_partkey": [p for _, p in pairs],
+        }
+    )
+    got = sorted(
+        _oracle_tables(
+            "bfs_hop_census", {"orders": orders, "lineitem": lineitem}
+        )
+    )
+    # independent naive BFS on the same blocking
+    cp = set(pairs)
+    buyers = {}
+    for c, p in cp:
+        buyers.setdefault(p, set()).add(c)
+    nbrs: dict[int, set[int]] = {}
+    for p, cs in buyers.items():
+        if len(cs) <= 15:
+            for a in cs:
+                for b in cs:
+                    if a != b:
+                        nbrs.setdefault(a, set()).add(b)
+    if not nbrs:
+        assert got == []
+        return
+    hub = max(nbrs, key=lambda u: (len(nbrs[u]), -u))
+    level = {hub: 0}
+    frontier = [hub]
+    for h in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in nbrs[u]:
+                if v not in level:
+                    level[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    census: dict[int, tuple[int, int]] = {}
+    for node, h in level.items():
+        n, mn = census.get(h, (0, 1 << 60))
+        census[h] = (n + 1, min(mn, node))
+    assert got == sorted((h, n, mn) for h, (n, mn) in census.items())
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_shapley_matches_brute_force_permutations(rows):
+    from itertools import permutations
+
+    pdf = _events_df(rows)
+    got = {r[0]: r[1] for r in _oracle("shapley_channel_attribution", pdf)}
+    # independent definition: per-user pre-first-purchase channel
+    # masks, then the PERMUTATION form of the Shapley value (average
+    # marginal contribution over all 4! channel orderings) — a
+    # different formula from the oracle's coalition-weight sum.
+    base = 1_704_067_200_000_000
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, ty, sec, cents in rows:
+        by_user.setdefault(u + 1, []).append((base + sec * 1_000_000, ty))
+    masks = []
+    for u, evs in by_user.items():
+        pts = [us for us, ty in evs if ty == "purchase"]
+        if not pts:
+            continue
+        fp = min(pts)
+        m = 0
+        for us, ty in evs:
+            if us < fp and ty != "purchase":
+                m |= bits[ty]
+        if m:
+            masks.append(m)
+
+    def v(s: int) -> int:
+        return sum(1 for m in masks if (m & s) == m)
+
+    x24 = {name: 0 for name in bits}
+    for perm in permutations(bits.values()):
+        s = 0
+        for b in perm:
+            name = next(k for k, v_ in bits.items() if v_ == b)
+            x24[name] += v(s | b) - v(s)
+            s |= b
+    assert got == x24
+    # efficiency axiom: total attribution == 24 * v(full universe)
+    assert sum(x24.values()) == 24 * v(15)
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs_strategy)
+def test_ndcg_matches_brute_force(docs):
+    import math
+
+    pdf = _docs_df(docs)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle_tables("ndcg_at_10", {"documents": pdf})
+    }
+    disc = [round(1e6 / math.log2(r + 1)) for r in range(1, 11)]
+    queries = {1: ["scan", "fast"], 2: ["merge", "batch"],
+               3: ["hash", "value"], 4: ["slow", "table"]}
+    exp = {}
+    for qid, terms in queries.items():
+        cands = []
+        for doc_id, ws in enumerate(docs, start=1):
+            score = sum(1 for w in ws if w in terms)
+            gain = len({w for w in ws if w in terms})
+            if score > 0:
+                cands.append((doc_id, score, gain))
+        if not cands:
+            continue
+        by_score = sorted(cands, key=lambda c: (-c[1], c[0]))[:10]
+        dcg = sum(g * disc[r] for r, (_, _, g) in enumerate(by_score))
+        by_gain = sorted(cands, key=lambda c: (-c[2], c[0]))[:10]
+        idcg = sum(g * disc[r] for r, (_, _, g) in enumerate(by_gain))
+        exp[qid] = (dcg, idcg, dcg * 1_000_000 // idcg)
+    assert got == exp
