@@ -732,3 +732,279 @@ def shapley_channel_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.col("x24").cast("long").alias("shapley_x24"),
         F.round(F.col("x24") / 24.0, 6).alias("shapley"),
     )
+
+
+_MK_K = 8
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_STATES = _MK_CHANNELS + ["START"]
+_MK_SCN = [("full", None)] + [(f"rm_{c}", c) for c in _MK_CHANNELS]
+
+
+def _mk_paths_sql() -> str:
+    """Shared CTE block: journeys -> transition matrix -> row-
+    normalized probabilities, split into absorbing (pc) and transient
+    (pt) edges."""
+    return f"""
+    ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM {EVENTS_US} events),
+    pe AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id) AS pus
+      FROM ev),
+    tch AS (
+      SELECT user_id, event_type, us, event_id, pus
+      FROM pe
+      WHERE event_type <> 'purchase' AND (pus IS NULL OR us < pus)),
+    sq AS (
+      SELECT coalesce(lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY us, event_id), 'START')
+               AS src,
+             event_type AS dst
+      FROM tch),
+    lst AS (
+      SELECT user_id,
+             (max(struct_pack(us := us, eid := event_id,
+                              ty := event_type))).ty AS lt,
+             max(pus) AS pus
+      FROM tch GROUP BY user_id),
+    term AS (
+      SELECT lt AS src,
+             CASE WHEN pus IS NOT NULL THEN 'CONV' ELSE 'DROP' END AS dst
+      FROM lst),
+    drc AS (
+      SELECT 'START' AS src, 'CONV' AS dst
+      FROM (SELECT DISTINCT user_id FROM pe WHERE pus IS NOT NULL) cv
+      WHERE user_id NOT IN (SELECT DISTINCT user_id FROM tch)),
+    tr AS (
+      SELECT src, dst, count(*) AS n FROM (
+        SELECT src, dst FROM sq
+        UNION ALL SELECT src, dst FROM term
+        UNION ALL SELECT src, dst FROM drc)
+      GROUP BY 1, 2),
+    outd AS (SELECT src, sum(n) AS m FROM tr GROUP BY 1),
+    p AS (SELECT tr.src, tr.dst, CAST(n AS DOUBLE) / m AS p
+          FROM tr JOIN outd ON outd.src = tr.src),
+    pc AS (SELECT src, p FROM p WHERE dst = 'CONV'),
+    pt AS (SELECT src, dst, p FROM p
+           WHERE dst IN ('click', 'error', 'signup', 'view')),
+    scn AS (SELECT * FROM (VALUES
+      ('full', NULL), ('rm_click', 'click'), ('rm_error', 'error'),
+      ('rm_signup', 'signup'), ('rm_view', 'view')) s(sc, rm)),
+    sts AS (SELECT * FROM (VALUES
+      ('click'), ('error'), ('signup'), ('view'), ('START')) t(st)),
+    grid AS (SELECT sc, rm, st FROM scn CROSS JOIN sts)"""
+
+
+def _mk_iter_sql(i: int, grid: str, pc: str, pt: str, prev: str) -> str:
+    return f"""
+      SELECT b.sc, b.rm, b.st,
+             CASE WHEN b.st = b.rm THEN 0.0
+                  ELSE coalesce(pc.p, 0.0) + coalesce(agg.s, 0.0)
+             END AS x
+      FROM {grid} b
+      LEFT JOIN {pc} pc ON pc.src = b.st
+      LEFT JOIN (
+        SELECT xp.sc, pt.src AS st, sum(pt.p * xp.x) AS s
+        FROM {pt} pt JOIN {prev} xp ON xp.st = pt.dst
+        GROUP BY 1, 2) agg ON agg.sc = b.sc AND agg.st = b.st"""
+
+
+def _mk_final_sql(last: str) -> str:
+    return f"""
+    SELECT replace(fin.sc, 'rm_', '') AS channel,
+           round(pf.x, 6) AS p_full,
+           round(fin.x, 6) AS p_removed,
+           round(CASE WHEN pf.x > 0 THEN 1.0 - fin.x / pf.x
+                      ELSE 0.0 END, 6) AS removal_effect
+    FROM {last} fin
+    JOIN {last} pf ON pf.sc = 'full' AND pf.st = 'START'
+    WHERE fin.st = 'START' AND fin.sc <> 'full'"""
+
+
+def _mk_oracle() -> str:
+    steps = ["x0 AS (SELECT sc, rm, st, 0.0 AS x FROM grid)"]
+    for i in range(1, _MK_K + 1):
+        steps.append(
+            f"x{i} AS ({_mk_iter_sql(i, 'grid', 'pc', 'pt', f'x{i - 1}')})"
+        )
+    return f"""
+    WITH {_mk_paths_sql()},
+    {",".join(steps)}
+    {_mk_final_sql(f'x{_MK_K}')}
+    """
+
+
+def _mk_oracle_staged() -> list[str]:
+    stages = [
+        f"CREATE OR REPLACE TEMP TABLE mk_pc AS WITH {_mk_paths_sql()} "
+        "SELECT src, p FROM pc",
+        f"CREATE OR REPLACE TEMP TABLE mk_pt AS WITH {_mk_paths_sql()} "
+        "SELECT src, dst, p FROM pt",
+        f"CREATE OR REPLACE TEMP TABLE mk_grid AS WITH {_mk_paths_sql()} "
+        "SELECT sc, rm, st FROM grid",
+        "CREATE OR REPLACE TEMP TABLE mk_x0 AS "
+        "SELECT sc, rm, st, 0.0 AS x FROM mk_grid",
+    ]
+    for i in range(1, _MK_K + 1):
+        stages.append(
+            f"CREATE OR REPLACE TEMP TABLE mk_x{i} AS "
+            + _mk_iter_sql(i, "mk_grid", "mk_pc", "mk_pt", f"mk_x{i - 1}")
+        )
+    stages.append(_mk_final_sql(f"mk_x{_MK_K}"))
+    return stages
+
+
+@query(
+    "markov_attribution_removal",
+    oracle=_mk_oracle(),
+    staged_oracle=_mk_oracle_staged(),
+)
+def markov_attribution_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov (removal-effect) channel attribution — the
+    third member of the MTA family (linear-touch, exact Shapley, now
+    the absorbing-chain model).  Journeys: each user's pre-first-
+    purchase touches ordered by (ts, event_id), wrapped START -> ... ->
+    CONV (converted) / DROP (never purchased); converting users with
+    no touches contribute the direct START -> CONV edge.  Transition
+    probabilities are row-normalized counts; conversion probability is
+    absorption into CONV from START, computed by K=8 FIXED value-
+    iteration steps (x_{{i+1}}(s) = p(s,CONV) + sum_t p(s,t) x_i(t)) —
+    deterministic in both engines whether or not the chain has mixed,
+    the pagerank fixed-K discipline.  Channel c's removal effect uses
+    the SAME matrix with x(c) forced to 0 (transitions into a removed
+    channel lose their mass — exactly the redirect-to-NULL semantics,
+    no per-scenario matrix rebuild), so all 5 scenarios iterate as one
+    25-row (scenario x state) table.  Published at 6dp: every sum has
+    <= 5 terms of magnitude <= 1, so accumulation-order noise
+    (~1e-15) sits 9 orders below the round.
+
+    Scale: corpus-sized work is ONE user-partition window pass (first-
+    purchase min + lag sequencing) and the k^2-bounded transition
+    aggregate; the iteration runs on broadcast-sized constants.  The
+    chained oracle re-inlines the corpus CTE once per iteration, hence
+    the staged twin (ORACLE_PORTABILITY.md CTE discipline)."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+    )
+    pe = ev.withColumn(
+        "pus",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(W.partitionBy("user_id")),
+    )
+    tch = pe.filter(
+        (F.col("event_type") != "purchase")
+        & (F.col("pus").isNull() | (F.col("us") < F.col("pus")))
+    ).persist()  # feeds sq, lst, and the direct-conversion anti-join
+    w_ord = W.partitionBy("user_id").orderBy("us", "event_id")
+    sq = tch.select(
+        F.coalesce(
+            F.lag("event_type").over(w_ord), F.lit("START")
+        ).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    lst = tch.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("ty"),
+            )
+        ).alias("l"),
+        F.max("pus").alias("pus"),
+    )
+    term = lst.select(
+        F.col("l.ty").alias("src"),
+        F.when(F.col("pus").isNotNull(), F.lit("CONV"))
+        .otherwise(F.lit("DROP"))
+        .alias("dst"),
+    )
+    cvu = (
+        pe.filter(F.col("pus").isNotNull()).select("user_id").distinct()
+    )
+    drc = (
+        cvu.join(tch.select("user_id").distinct(), "user_id", "left_anti")
+        .select(
+            F.lit("START").alias("src"), F.lit("CONV").alias("dst")
+        )
+    )
+    tr = (
+        sq.unionByName(term)
+        .unionByName(drc)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outd = tr.groupBy("src").agg(F.sum("n").alias("m"))
+    p = tr.join(outd, "src").select(
+        "src", "dst", (F.col("n").cast("double") / F.col("m")).alias("p")
+    ).persist()  # k^2-bounded; read by every iteration
+    pc = p.filter(F.col("dst") == "CONV").select(
+        F.col("src").alias("pc_src"), F.col("p").alias("pc_p")
+    )
+    pt = p.filter(F.col("dst").isin(_MK_CHANNELS)).select(
+        F.col("src").alias("pt_src"),
+        F.col("dst").alias("pt_dst"),
+        F.col("p").alias("pt_p"),
+    )
+    grid = spark.createDataFrame(
+        [(sc, rm, st) for sc, rm in _MK_SCN for st in _MK_STATES],
+        "sc string, rm string, st string",
+    )
+    x = grid.withColumn("x", F.lit(0.0))
+    for _ in range(_MK_K):
+        agg = (
+            pt.join(
+                x.select(
+                    F.col("sc").alias("a_sc"),
+                    F.col("st").alias("a_st"),
+                    "x",
+                ),
+                F.col("a_st") == F.col("pt_dst"),
+            )
+            .groupBy(F.col("a_sc").alias("g_sc"), F.col("pt_src").alias("g_st"))
+            .agg(F.sum(F.col("pt_p") * F.col("x")).alias("s"))
+        )
+        x = (
+            grid.join(pc, grid["st"] == F.col("pc_src"), "left")
+            .join(
+                agg,
+                (grid["sc"] == F.col("g_sc"))
+                & (grid["st"] == F.col("g_st")),
+                "left",
+            )
+            .select(
+                "sc",
+                "rm",
+                "st",
+                F.when(F.col("st") == F.col("rm"), F.lit(0.0))
+                .otherwise(
+                    F.coalesce(F.col("pc_p"), F.lit(0.0))
+                    + F.coalesce(F.col("s"), F.lit(0.0))
+                )
+                .alias("x"),
+            )
+        )
+    fin = x.filter(F.col("st") == "START")
+    pf = fin.filter(F.col("sc") == "full").select(
+        F.col("x").alias("p_full_raw")
+    )
+    return (
+        fin.filter(F.col("sc") != "full")
+        .join(F.broadcast(pf))
+        .select(
+            F.regexp_replace("sc", "^rm_", "").alias("channel"),
+            F.round("p_full_raw", 6).alias("p_full"),
+            F.round("x", 6).alias("p_removed"),
+            F.round(
+                F.when(
+                    F.col("p_full_raw") > 0,
+                    F.lit(1.0) - F.col("x") / F.col("p_full_raw"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("removal_effect"),
+        )
+    )

@@ -776,3 +776,215 @@ def churn_training_set(spark: SparkSession, sf: str) -> DataFrame:
         F.col("monetary_c").cast("long"),
         F.coalesce(F.col("lbl"), F.lit(0)).cast("long").alias("label"),
     )
+
+
+_TE_SAMPLE_MOD = 199  # deterministic ~0.5% output sample
+
+
+@query(
+    "target_encode_loo",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, c_nationkey AS nation,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey),
+    g AS (SELECT nation, sum(cents) AS s, count(*) AS n
+          FROM o GROUP BY nation),
+    a AS (SELECT sum(cents) AS sa, count(*) AS na FROM o)
+    SELECT o.o_orderkey, CAST(o.nation AS BIGINT) AS nation,
+           o.cents,
+           CAST(CASE WHEN g.n > 1 THEN (g.s - o.cents) // (g.n - 1)
+                     ELSE (a.sa - o.cents) // (a.na - 1)
+                END AS BIGINT) AS enc_cents
+    FROM o JOIN g ON g.nation = o.nation CROSS JOIN a
+    WHERE o.o_orderkey % {_TE_SAMPLE_MOD} = 0 AND a.na > 1
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer-nation
+    categorical against order value — the leakage-safe categorical
+    feature encoder every tabular training pipeline needs (naive
+    per-category means leak each row's own label; LOO subtracts the
+    row before dividing).  enc = (sum(category) - own) div (n - 1),
+    falling back to the leave-one-out GLOBAL mean for singleton
+    categories — all BIGINT cents with truncating integer division,
+    bit-portable.  The published rows are a deterministic modulus
+    sample (o_orderkey % {_TE_SAMPLE_MOD} = 0) so the output stays
+    bounded at any replica scale while the encoder's sums still cover
+    every row.
+
+    Scale: one orders-x-customer broadcast-dim join (customer
+    nationkey is the dim side at TPC-H shape; at 100 TB the join key
+    is the pre-bucketed custkey), one 25-row category aggregate, one
+    scalar-total broadcast; the encode itself is a map-side broadcast
+    join back — no second shuffle of the fact table."""
+    o = (
+        t(spark, sf, "orders")
+        .join(
+            F.broadcast(
+                t(spark, sf, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_nationkey").alias("nation"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    ).persist()  # feeds the category sums, the global row, and the encode
+    g = o.groupBy("nation").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = o.agg(
+        F.sum("cents").alias("sa"), F.count(F.lit(1)).alias("na")
+    ).select(F.lit(1).alias("k"), "sa", "na")
+    return (
+        o.filter(F.col("o_orderkey") % _TE_SAMPLE_MOD == 0)
+        .join(F.broadcast(g), "nation")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(a), "k")
+        .filter(F.col("na") > 1)
+        .select(
+            "o_orderkey",
+            F.col("nation").cast("long").alias("nation"),
+            "cents",
+            F.when(
+                F.col("n") > 1,
+                F.expr("(s - cents) div (n - 1)"),
+            )
+            .otherwise(F.expr("(sa - cents) div (na - 1)"))
+            .cast("long")
+            .alias("enc_cents"),
+        )
+    )
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM {EVENTS_US} events),
+    u AS (
+      SELECT user_id,
+             min(us) AS first_us,
+             max(us) AS last_us,
+             min(CASE WHEN event_type = 'purchase' THEN us END) AS pus
+      FROM ev GROUP BY user_id),
+    d AS (
+      SELECT CASE WHEN pus IS NOT NULL
+                  THEN (pus - first_us) // {86_400_000_000}
+                  ELSE (last_us - first_us) // {86_400_000_000}
+             END AS dur,
+             CASE WHEN pus IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+    byday AS (
+      SELECT dur AS day, sum(ev) AS d_events, count(*) AS n_ending
+      FROM d GROUP BY dur),
+    risk AS (
+      SELECT day, d_events,
+             sum(n_ending) OVER
+               (ORDER BY day DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_risk
+      FROM byday),
+    km AS (
+      SELECT day, d_events, n_risk,
+             sum(CASE WHEN d_events > 0 AND n_risk > d_events
+                      THEN ln(CAST(n_risk - d_events AS DOUBLE))
+                           - ln(CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END) OVER
+               (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lsum,
+             max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END) OVER
+               (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead
+      FROM risk)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+             AS survival
+    FROM km WHERE d_events > 0
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-purchase with
+    right censoring — the survival-analysis estimator behind churn /
+    conversion-latency studies.  Subjects enter at their first event;
+    the event is first purchase (duration in whole days); users who
+    never purchase are censored at their last event.  S(t) =
+    prod_{{t_j <= t}} (n_j - d_j) / n_j over event days, computed as
+    exp of an ORDERED cumulative sum of ln(n_j - d_j) - ln(n_j) —
+    logs of IDENTICAL INTEGERS accumulated in the same day order by
+    both engines (the ordered-frame sum pins the float summation
+    order), so exp() sees a bit-identical argument; a cumulative-max
+    zero-crossing flag handles the n_j = d_j everyone-dies day
+    without either engine evaluating ln(0) (Spark returns NULL there,
+    DuckDB -inf — the guard keeps BOTH out of the sum).
+
+    Scale: one events scan -> per-user (first, last, first-purchase)
+    aggregate (single shuffle), then a day-bounded table (<= a few
+    thousand rows) through suffix-sum and cumulative windows — the
+    windows run over AGGREGATED input, never the corpus (window-
+    funnel lint discipline)."""
+    day_us = 86_400_000_000
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("pus"),
+    )
+    d = u.select(
+        F.when(
+            F.col("pus").isNotNull(),
+            F.expr(f"(pus - first_us) div {day_us}"),
+        )
+        .otherwise(F.expr(f"(last_us - first_us) div {day_us}"))
+        .alias("dur"),
+        F.when(F.col("pus").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    byday = d.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("ev").alias("d_events"),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    w_desc = (
+        W.orderBy(F.desc("day"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = byday.withColumn("n_risk", F.sum("n_ending").over(w_desc))
+    w_asc = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    term = F.when(
+        (F.col("d_events") > 0) & (F.col("n_risk") > F.col("d_events")),
+        F.log((F.col("n_risk") - F.col("d_events")).cast("double"))
+        - F.log(F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    km = risk.withColumn("lsum", F.sum(term).over(w_asc)).withColumn(
+        "dead",
+        F.max(
+            F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(w_asc),
+    )
+    return km.filter(F.col("d_events") > 0).select(
+        F.col("day").cast("long"),
+        F.col("n_risk").cast("long"),
+        F.col("d_events").cast("long"),
+        F.round(
+            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+                F.exp("lsum")
+            ),
+            6,
+        ).alias("survival"),
+    )

@@ -276,3 +276,174 @@ def keyness_lang_drift(spark: SparkSession, sf: str) -> DataFrame:
     return r.orderBy(
         F.abs(F.col("drift_e6")).desc(), "word"
     ).limit(_KEYNESS_TOPK)
+
+
+_PSI_BAND_CENTS = 5_000_000  # $50k price bands
+_PSI_NBANDS = 10
+_PSI_SPLIT = "1998-01-01"
+
+
+@query(
+    "psi_feature_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(round(o_totalprice * 100) AS BIGINT)
+                   // {_PSI_BAND_CENTS}, {_PSI_NBANDS - 1}) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM orders),
+    c AS (
+      SELECT bucket, sum(is_ref) AS nr, sum(1 - is_ref) AS nc
+      FROM b GROUP BY bucket),
+    g AS (
+      SELECT CAST(range AS BIGINT) AS bucket
+      FROM range({_PSI_NBANDS})),
+    f AS (
+      SELECT g.bucket,
+             coalesce(nr, 0) + 1 AS na, coalesce(nc, 0) + 1 AS ma
+      FROM g LEFT JOIN c ON c.bucket = g.bucket),
+    tot AS (SELECT sum(na) AS sna, sum(ma) AS sma FROM f)
+    SELECT f.bucket,
+           CAST(f.na - 1 AS BIGINT) AS n_ref,
+           CAST(f.ma - 1 AS BIGINT) AS n_cur,
+           round((CAST(f.na * tot.sma - f.ma * tot.sna AS DOUBLE)
+                  / (CAST(tot.sna AS DOUBLE) * CAST(tot.sma AS DOUBLE)))
+                 * (ln(CAST(f.na * tot.sma AS DOUBLE))
+                    - ln(CAST(f.ma * tot.sna AS DOUBLE))), 6)
+             AS psi_term
+    FROM f CROSS JOIN tot
+    """,
+)
+def psi_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    reference period (pre-{_PSI_SPLIT}) vs current — THE standard
+    model-monitoring drift score, per price band so the drifting
+    bucket is visible (total PSI = sum of psi_term; > 0.2 is the
+    conventional retrain trigger).  Bands are fixed $50k cent-integer
+    edges (clamped top band) with add-one smoothing so empty buckets
+    stay defined.  Portability: counts are exact integers; each log
+    argument is an IDENTICAL INTEGER PRODUCT in both engines
+    (ln(na * sma) - ln(ma * sna) == ln(p/q), the lm_bigram_surprisal
+    log-of-integers discipline), so the 6dp round sits far above any
+    libm noise.  Scale: one orders scan, one 10-row aggregate, one
+    scalar-total broadcast — nothing data-sized after the scan."""
+    b = t(spark, sf, "orders").select(
+        F.least(
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT)"
+                f" div {_PSI_BAND_CENTS}"
+            ),
+            F.lit(_PSI_NBANDS - 1).cast("long"),
+        ).alias("bucket"),
+        F.when(F.col("o_orderdate") < _PSI_SPLIT, 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_ref").alias("nr"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("nc"),
+    )
+    g = spark.range(_PSI_NBANDS).select(F.col("id").alias("bucket"))
+    f = g.join(c, "bucket", "left").select(
+        "bucket",
+        (F.coalesce("nr", F.lit(0)) + 1).alias("na"),
+        (F.coalesce("nc", F.lit(0)) + 1).alias("ma"),
+    )
+    tot = f.agg(
+        F.sum("na").alias("sna"), F.sum("ma").alias("sma")
+    ).select(F.lit(1).alias("k"), "sna", "sma")
+    return (
+        f.withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "bucket",
+            (F.col("na") - 1).cast("long").alias("n_ref"),
+            (F.col("ma") - 1).cast("long").alias("n_cur"),
+            F.round(
+                (
+                    (
+                        F.col("na") * F.col("sma")
+                        - F.col("ma") * F.col("sna")
+                    ).cast("double")
+                    / (
+                        F.col("sna").cast("double")
+                        * F.col("sma").cast("double")
+                    )
+                )
+                * (
+                    F.log((F.col("na") * F.col("sma")).cast("double"))
+                    - F.log((F.col("ma") * F.col("sna")).cast("double"))
+                ),
+                6,
+            ).alias("psi_term"),
+        )
+    )
+
+
+@query(
+    "chi2_independence_audit",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             count(*) AS obs
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT prio, sum(obs) AS rt FROM o GROUP BY prio),
+    c AS (SELECT status, sum(obs) AS ct FROM o GROUP BY status),
+    n AS (SELECT sum(obs) AS nt FROM o)
+    SELECT o.prio, o.status, CAST(o.obs AS BIGINT) AS obs,
+           round((CAST(o.obs * n.nt - r.rt * c.ct AS DOUBLE)
+                  * CAST(o.obs * n.nt - r.rt * c.ct AS DOUBLE))
+                 / (CAST(n.nt AS DOUBLE) * CAST(r.rt AS DOUBLE)
+                    * CAST(c.ct AS DOUBLE)), 6) AS chi2_term
+    FROM o JOIN r ON r.prio = o.prio
+    JOIN c ON c.status = o.status
+    CROSS JOIN n
+    """,
+)
+def chi2_independence_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence audit of the (order priority x order
+    status) contingency table — the categorical-correlation check a
+    data-quality suite runs to catch pipeline mix shifts (chi2 = sum
+    of chi2_term over cells; large = the two fields are not
+    independent).  The expected count enters as the EXACT integer
+    cross product (obs * N - rowtot * coltot stays inside int64 up to
+    ~3e9-row tables; the published term divides as doubles with a
+    fixed left-associative expression so both engines evaluate
+    bit-identically).  Scale: one orders scan to a k1 x k2-bounded
+    cell table; margins and the grand total are broadcast-sized."""
+    o = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    ).persist()  # cell table feeds margins AND the final join
+    r = o.groupBy("prio").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("status").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("nt")).select(
+        F.lit(1).alias("k"), "nt"
+    )
+    d = (
+        F.col("obs") * F.col("nt") - F.col("rt") * F.col("ct")
+    ).cast("double")
+    return (
+        o.join(F.broadcast(r), "prio")
+        .join(F.broadcast(c), "status")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(n), "k")
+        .select(
+            "prio",
+            "status",
+            F.col("obs").cast("long").alias("obs"),
+            F.round(
+                (d * d)
+                / (
+                    F.col("nt").cast("double")
+                    * F.col("rt").cast("double")
+                    * F.col("ct").cast("double")
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

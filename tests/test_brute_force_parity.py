@@ -751,3 +751,265 @@ def test_ndcg_matches_brute_force(docs):
         idcg = sum(g * disc[r] for r, (_, _, g) in enumerate(by_gain))
         exp[qid] = (dcg, idcg, dcg * 1_000_000 // idcg)
     assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_markov_removal_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle_tables("markov_attribution_removal",
+                                {"events": pdf})
+    }
+    # independent absorbing-chain replay: build journeys, count
+    # transitions, run the SAME K=8 value iteration in pure Python
+    # (removal = forcing x(channel) to 0 each step).
+    base = 1_704_067_200_000_000
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, ty, sec, cents) in enumerate(rows):
+        by_user.setdefault(u + 1, []).append(
+            (base + sec * 1_000_000, i + 1, ty)
+        )
+    from collections import Counter
+
+    tr: Counter = Counter()
+    for u, evs in by_user.items():
+        pts = [us for us, eid, ty in evs if ty == "purchase"]
+        fp = min(pts) if pts else None
+        touches = sorted(
+            (us, eid, ty)
+            for us, eid, ty in evs
+            if ty != "purchase" and (fp is None or us < fp)
+        )
+        if not touches:
+            if fp is not None:
+                tr[("START", "CONV")] += 1
+            continue
+        prev = "START"
+        for _, _, ty in touches:
+            tr[(prev, ty)] += 1
+            prev = ty
+        tr[(prev, "CONV" if fp is not None else "DROP")] += 1
+    if not tr:
+        assert got == {}
+        return
+    out: Counter = Counter()
+    for (s, _), n in tr.items():
+        out[s] += n
+    p = {(s, d): n / out[s] for (s, d), n in tr.items()}
+    channels = ["click", "error", "signup", "view"]
+    states = channels + ["START"]
+
+    def iterate(removed):
+        x = {s: 0.0 for s in states}
+        for _ in range(8):
+            nx = {}
+            for s in states:
+                if s == removed:
+                    nx[s] = 0.0
+                    continue
+                nx[s] = p.get((s, "CONV"), 0.0) + sum(
+                    p.get((s, t), 0.0) * x[t] for t in channels
+                )
+            x = nx
+        return x["START"]
+
+    p_full = iterate(None)
+    exp = {}
+    for c in channels:
+        p_rm = iterate(c)
+        re_ = 1.0 - p_rm / p_full if p_full > 0 else 0.0
+        exp[c] = (round(p_full, 6), round(p_rm, 6), round(re_, 6))
+    # float tie noise: compare at 1e-9 after the published 6dp round
+    assert set(got) == set(exp)
+    for c in exp:
+        for a, b in zip(got[c], exp[c]):
+            assert abs(a - b) < 1e-9, (c, got[c], exp[c])
+
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # customer bucket
+        st.integers(min_value=1, max_value=5_000_000),  # cents
+        st.integers(min_value=0, max_value=2000),  # days after 1995-01-01
+        st.integers(min_value=0, max_value=2),  # priority idx
+        st.integers(min_value=0, max_value=1),  # status idx
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+_STATS = ["O", "F"]
+
+
+def _orders_df(rows):
+    return pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [c + 1 for c, *_ in rows],
+            "o_orderstatus": [_STATS[s] for *_, s in rows],
+            "o_totalprice": [cents / 100.0 for _, cents, *_ in rows],
+            "o_orderdate": [
+                pd.Timestamp("1995-01-01") + pd.Timedelta(days=d)
+                for _, _, d, _, _ in rows
+            ],
+            "o_orderpriority": [_PRIOS[p] for *_, p, _ in rows],
+        }
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders_strategy)
+def test_psi_matches_brute_force(rows):
+    import math
+
+    pdf = _orders_df(rows)
+    got = {r[0]: (r[1], r[2], r[3])
+           for r in _oracle_tables("psi_feature_drift", {"orders": pdf})}
+    split = pd.Timestamp("1998-01-01")
+    nr = [0] * 10
+    nc = [0] * 10
+    for _, cents, d, _, _ in rows:
+        b = min(cents // 5_000_000, 9)
+        if pd.Timestamp("1995-01-01") + pd.Timedelta(days=d) < split:
+            nr[b] += 1
+        else:
+            nc[b] += 1
+    sna = sum(nr) + 10
+    sma = sum(nc) + 10
+    exp = {}
+    for b in range(10):
+        na, ma = nr[b] + 1, nc[b] + 1
+        term = ((na * sma - ma * sna) / (sna * sma)) * (
+            math.log(na * sma) - math.log(ma * sna)
+        )
+        exp[b] = (nr[b], nc[b], round(term, 6))
+    assert set(got) == set(exp)
+    for b in exp:
+        assert got[b][:2] == exp[b][:2]
+        assert abs(got[b][2] - exp[b][2]) < 1e-9, (b, got[b], exp[b])
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders_strategy)
+def test_chi2_matches_brute_force(rows):
+    from collections import Counter
+
+    pdf = _orders_df(rows)
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _oracle_tables("chi2_independence_audit", {"orders": pdf})
+    }
+    cells = Counter((_PRIOS[p], _STATS[s]) for *_, p, s in rows)
+    rt = Counter()
+    ct = Counter()
+    for (p, s), n in cells.items():
+        rt[p] += n
+        ct[s] += n
+    n_tot = sum(cells.values())
+    exp = {}
+    for (p, s), obs in cells.items():
+        d = obs * n_tot - rt[p] * ct[s]
+        exp[(p, s)] = (obs, round((d * d) / (n_tot * rt[p] * ct[s]), 6))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-9, (k, got[k], exp[k])
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders_strategy)
+def test_target_encode_loo_matches_brute_force(rows):
+    pdf = _orders_df(rows)
+    # keys 1..40 never hit the % 199 output sample; stretch half of
+    # them onto the sampled lattice so the property exercises both
+    # published and unpublished rows
+    pdf["o_orderkey"] = [
+        k * 199 if k % 2 == 0 else k for k in pdf["o_orderkey"]
+    ]
+    customer = pd.DataFrame(
+        {
+            "c_custkey": range(1, 7),
+            "c_name": [f"c{i}" for i in range(6)],
+            "c_nationkey": [i % 3 for i in range(6)],
+            "c_acctbal": [0.0] * 6,
+            "c_mktsegment": ["B"] * 6,
+        }
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle_tables(
+            "target_encode_loo", {"orders": pdf, "customer": customer}
+        )
+    }
+    nation_of = {i + 1: i % 3 for i in range(6)}
+    recs = [
+        (int(pdf["o_orderkey"][ok]), nation_of[c + 1], cents)
+        for ok, (c, cents, *_rest) in enumerate(rows)
+    ]
+    from collections import defaultdict
+
+    gs = defaultdict(int)
+    gn = defaultdict(int)
+    for _, nat, cents in recs:
+        gs[nat] += cents
+        gn[nat] += 1
+    sa = sum(cents for *_, cents in recs)
+    na = len(recs)
+    exp = {}
+    for ok, nat, cents in recs:
+        if ok % 199 != 0 or na <= 1:
+            continue
+        if gn[nat] > 1:
+            enc = (gs[nat] - cents) // (gn[nat] - 1)
+        else:
+            enc = (sa - cents) // (na - 1)
+        exp[ok] = (nat, cents, enc)
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy)
+def test_kaplan_meier_matches_brute_force(rows):
+    import math
+
+    pdf = _events_df(rows)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle("kaplan_meier_survival", pdf)
+    }
+    base = 1_704_067_200_000_000
+    day_us = 86_400_000_000
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, ty, sec, cents in rows:
+        by_user.setdefault(u + 1, []).append((base + sec * 1_000_000, ty))
+    durs = []
+    for u, evs in by_user.items():
+        first = min(us for us, _ in evs)
+        last = max(us for us, _ in evs)
+        pts = [us for us, ty in evs if ty == "purchase"]
+        if pts:
+            durs.append(((min(pts) - first) // day_us, 1))
+        else:
+            durs.append(((last - first) // day_us, 0))
+    days = sorted({d for d, _ in durs})
+    exp = {}
+    s = 1.0
+    lsum = 0.0
+    dead = False
+    for day in days:
+        d_ev = sum(1 for d, e in durs if d == day and e == 1)
+        n_risk = sum(1 for d, _ in durs if d >= day)
+        if d_ev > 0 and n_risk > d_ev:
+            lsum += math.log(n_risk - d_ev) - math.log(n_risk)
+        if d_ev >= n_risk:
+            dead = True
+        if d_ev > 0:
+            s = 0.0 if dead else math.exp(lsum)
+            exp[day] = (n_risk, d_ev, round(s, 6))
+    assert set(got) == set(exp)
+    for day in exp:
+        assert got[day][:2] == exp[day][:2]
+        assert abs(got[day][2] - exp[day][2]) < 1e-9, (day, got[day], exp[day])

@@ -52,6 +52,7 @@ BNLJ_BY_DESIGN = {
     "approx_distinct_linear_portable",
     "benford_first_digit_audit",  # digit-total row: scalar broadcast
     "bloom_semi_join_audit",
+    "chi2_independence_audit",  # grand-total row: scalar broadcast
     "churn_training_set",  # cutoff instant: scalar broadcast
     "bm25_search",
     "cosine_topk_bruteforce",
@@ -62,12 +63,15 @@ BNLJ_BY_DESIGN = {
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "knn_classify",
+    "markov_attribution_removal",  # p_full scalar: 1-row x 4 broadcast
     "minhash_recall_audit",  # confusion-count scalars: 1-row broadcasts
     "negative_sampling_pairs",  # (mn, mx) id-ring bounds: scalar broadcast
     "pagerank_event_types",
     "pmi_bigram_scores",
     "price_decile_assign",
     "price_histogram",
+    "psi_feature_drift",  # period-totals row: scalar broadcast
+    "target_encode_loo",  # global-mean fallback row: scalar broadcast
     "source_mixture_balance",
     "time_bucket_gapfill",
     "time_bucket_interpolate",
