@@ -73,6 +73,9 @@ TIER2 = [
     "kmeans_int8_lloyd",
     "kcore_copurchase",
     "bucketed_join_lineitem_orders",
+    # round-6 second wave: graph reachability + absorbing-chain MTA
+    "bfs_hop_census",
+    "markov_attribution_removal",
 ]
 
 
