@@ -1018,3 +1018,67 @@ def markov_attribution_removal(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("removal_effect"),
         )
     )
+
+
+_T7_DAY_US = 86_400_000_000
+
+
+@query(
+    "trailing_7d_distinct_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // {_T7_DAY_US} AS day, user_id
+      FROM {EVENTS_US} events),
+    days AS (SELECT DISTINCT day FROM du),
+    tw AS (
+      SELECT DISTINCT d.day AS rd, du.user_id
+      FROM days d JOIN du
+        ON du.day BETWEEN d.day - 6 AND d.day),
+    t7 AS (SELECT rd, count(*) AS d7_users FROM tw GROUP BY rd),
+    t1 AS (SELECT day, count(*) AS d1_users FROM du GROUP BY day)
+    SELECT CAST(t1.day AS BIGINT) AS day,
+           CAST(t1.d1_users AS BIGINT) AS d1_users,
+           CAST(t7.d7_users AS BIGINT) AS d7_users
+    FROM t1 JOIN t7 ON t7.rd = t1.day
+    """,
+)
+def trailing_7d_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active users with an EXACT trailing-7-day distinct count
+    — the DAU/WAU pair every engagement dashboard is built on, and
+    the exact companion to the mergeable-sketch path
+    (hll_merge_daily_users): distinct counts do NOT sum across days,
+    so the trailing union is materialized explicitly.  Each (day,
+    user) activity pair is exploded to the <= 7 report days it keeps
+    the user active for (sequence + explode — a bounded 7x fanout of
+    the DEDUPLICATED pair table, not the raw events), then a plain
+    distinct-count per report day.  The oracle states the same thing
+    declaratively as a day-range band join.  All integers.
+
+    Scale: one events scan reduces to (day, user) pairs; the 7x
+    explode shuffles pairs, never events, and at 100 TB this is the
+    standard exact-WAU shape (the sketch twin is the cheaper
+    alternative when approximation is acceptable)."""
+    du = (
+        t(spark, sf, "events")
+        .select(
+            F.expr(f"unix_micros(ts) div {_T7_DAY_US}").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    ).persist()  # feeds the explode, the day census, and the day grid
+    tw = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("rd"),
+            "user_id",
+        )
+        .distinct()
+    )
+    t7 = tw.groupBy("rd").agg(F.count(F.lit(1)).alias("d7_users"))
+    t1 = du.groupBy("day").agg(F.count(F.lit(1)).alias("d1_users"))
+    return t1.join(t7, t1["day"] == t7["rd"]).select(
+        F.col("day").cast("long"),
+        F.col("d1_users").cast("long"),
+        F.col("d7_users").cast("long"),
+    )

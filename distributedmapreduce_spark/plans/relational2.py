@@ -969,3 +969,242 @@ def bucketed_join_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("revenue_c"),
         )
     )
+
+
+_DAY_US_HLL = 86_400_000_000
+
+
+def _hll_daily_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("hlld", "user_id")
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // {_DAY_US_HLL} AS day, user_id
+      FROM {EVENTS_US} events),
+    hw AS (
+      SELECT day, {h} % {_HLL_M} AS bkt, {h} // {_HLL_M} AS w FROM du),
+    rd AS (
+      SELECT day, bkt,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE strpos(lpad(bin(w), {_HLL_WBITS}, '0'), '1')
+                 END) AS m_j
+      FROM hw GROUP BY day, bkt),
+    days AS (SELECT DISTINCT day FROM du),
+    grid AS (
+      SELECT days.day, CAST(range AS BIGINT) AS bkt
+      FROM days CROSS JOIN range({_HLL_M})),
+    cum AS (
+      SELECT g.day, g.bkt,
+             max(rd.m_j) OVER
+               (PARTITION BY g.bkt ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cm
+      FROM grid g LEFT JOIN rd ON rd.day = g.day AND rd.bkt = g.bkt),
+    sd AS (
+      SELECT day,
+             CAST(coalesce(sum(CASE WHEN cm IS NOT NULL THEN
+                    CAST(power(2, {_HLL_WBITS + 1} - cm) AS BIGINT)
+                  END), 0)
+                  + count(CASE WHEN cm IS NULL THEN 1 END)
+                    * CAST(power(2, {_HLL_WBITS + 1}) AS BIGINT)
+                  AS BIGINT) AS s_pow,
+             CAST(count(CASE WHEN cm IS NULL THEN 1 END) AS BIGINT)
+               AS v_zero
+      FROM cum GROUP BY day),
+    fu AS (SELECT user_id, min(day) AS fd FROM du GROUP BY user_id),
+    fc AS (SELECT fd, count(*) AS n FROM fu GROUP BY fd),
+    ex AS (
+      SELECT days.day,
+             CAST(sum(coalesce(fc.n, 0)) OVER
+               (ORDER BY days.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS exact_cum_nd
+      FROM days LEFT JOIN fc ON fc.fd = days.day)
+    SELECT CAST(sd.day AS BIGINT) AS day, sd.s_pow, sd.v_zero,
+           ex.exact_cum_nd
+    FROM sd JOIN ex ON ex.day = sd.day
+    """
+
+
+@query("hll_merge_daily_users", oracle=_hll_daily_oracle())
+def hll_merge_daily_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative daily distinct-user curve via HLL SKETCH MERGE — the
+    operational proof of the property the static HLL twin only
+    documents: union = register-wise max.  Each day's 64-register
+    sketch is built independently (map-side-combinable max of the
+    portable md5 rho), then the day-d cumulative sketch is the
+    running register-wise max over day order — exactly how a 100 TB
+    deployment maintains daily/rolling distinct counts without ever
+    re-scanning history (merge sketches, never data).  The published
+    state is the same pure-integer contract as
+    approx_distinct_hll_portable (sum of 2^(27-M_j) + empty-register
+    count, order-independent, bit-exact), per day, alongside the
+    exact cumulative distinct (first-seen-day cumulative sum) the
+    unit test evaluates the estimator against.
+
+    Scale: ONE events scan reduces to (day, user) pairs, then (day x
+    64) registers; the cumulative max window runs over the
+    register-bounded grid (days x 64 rows, aggregate below — lint-
+    safe low-cardinality partition), and the exact twin is a
+    first-touch aggregate plus a days-bounded running sum."""
+    from .llm3 import _md5_u32
+
+    du = (
+        t(spark, sf, "events")
+        .select(
+            F.expr(f"unix_micros(ts) div {_DAY_US_HLL}").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    ).persist()  # feeds the sketch build AND the exact first-touch twin
+    h = _md5_u32("hlld", F.col("user_id"))
+    hw = du.select("day", h.alias("h")).select(
+        "day",
+        (F.col("h") % _HLL_M).alias("bkt"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    rd = hw.groupBy("day", "bkt").agg(
+        F.expr(
+            f"max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}"
+            f" ELSE instr(lpad(bin(w), {_HLL_WBITS}, '0'), '1') END)"
+        ).alias("m_j")
+    )
+    days = du.select("day").distinct()
+    grid = days.select(
+        "day",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(_HLL_M - 1).cast("long")
+            )
+        ).alias("bkt"),
+    )
+    wb = (
+        W.partitionBy("bkt")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.join(rd, ["day", "bkt"], "left").withColumn(
+        "cm", F.max("m_j").over(wb)
+    )
+    sd = cum.groupBy("day").agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cm").isNotNull(),
+                        F.expr(
+                            f"CAST(power(2, {_HLL_WBITS + 1} - cm)"
+                            " AS BIGINT)"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
+            + F.sum(
+                F.when(F.col("cm").isNull(), 1).otherwise(0)
+            ) * F.lit(2 ** (_HLL_WBITS + 1))
+        ).cast("long").alias("s_pow"),
+        F.sum(F.when(F.col("cm").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+    )
+    fu = du.groupBy("user_id").agg(F.min("day").alias("fd"))
+    fc = fu.groupBy("fd").agg(F.count(F.lit(1)).alias("n"))
+    wd = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ex = (
+        days.join(fc, days["day"] == fc["fd"], "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("exact_cum_nd", F.sum("n").over(wd))
+    )
+    return sd.join(ex.select("day", "exact_cum_nd"), "day").select(
+        F.col("day").cast("long"),
+        "s_pow",
+        "v_zero",
+        F.col("exact_cum_nd").cast("long"),
+    )
+
+
+_AMS_R = 16
+
+
+def _ams_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    z_cols = ", ".join(
+        f"sum((1 - 2 * ({_md5_u32_sql(f'ams{r}', 'l_partkey')} % 2))"
+        f" * cnt) AS z{r}"
+        for r in range(_AMS_R)
+    )
+    z2 = " + ".join(f"z{r} * z{r}" for r in range(_AMS_R))
+    return f"""
+    WITH c AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT count(*) AS n_keys, sum(cnt * cnt) AS f2_exact, {z_cols}
+      FROM c)
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(f2_exact AS BIGINT) AS f2_exact,
+           CAST({z2} AS BIGINT) AS sum_z2,
+           CAST(({z2}) // {_AMS_R} AS BIGINT) AS est_f2
+    FROM s
+    """
+
+
+@query("ams_f2_selfjoin_size", oracle=_ams_oracle())
+def ams_f2_selfjoin_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Alon-Matias-Szegedy F2 sketch estimating the lineitem
+    SELF-JOIN SIZE on l_partkey (F2 = sum of squared key frequencies
+    — what a cost-based optimizer wants before planning a many-many
+    join, and the second frequency moment the AMS paper introduced).
+    Sixteen independent {{-1,+1}} sign functions (one md5 tag per
+    replicate) fold the whole frequency vector into 16 integers
+    Z_r = sum s_r(k) c(k); E[Z_r^2] = F2, and the published estimate
+    is the exact integer mean sum(Z_r^2) div 16 next to the exact F2
+    for calibration.  Everything is int64 (|Z| <= total rows;
+    Z^2 <= ~4e17 at the 100x replica — inside the audit margin), so
+    the sketch state is bit-portable with zero float surface.
+
+    Scale: ONE aggregate pass over the key-frequency table computes
+    all 16 replicates as parallel sum() columns — map-side
+    combinable, no explode, no join; the sketch is O(R) state per
+    partition, the textbook streaming shape.  (The exact F2 column is
+    the same single pass; at 100 TB you would publish only the
+    sketch.)"""
+    from .llm3 import _md5_u32
+
+    c = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2_exact"),
+    ] + [
+        F.sum(
+            (
+                F.lit(1)
+                - F.lit(2) * (_md5_u32(f"ams{r}", F.col("l_partkey")) % 2)
+            )
+            * F.col("cnt")
+        ).cast("long").alias(f"z{r}")
+        for r in range(_AMS_R)
+    ]
+    s = c.agg(*aggs)
+    z2 = None
+    for r in range(_AMS_R):
+        term = F.col(f"z{r}") * F.col(f"z{r}")
+        z2 = term if z2 is None else z2 + term
+    return s.select(
+        "n_keys",
+        "f2_exact",
+        z2.cast("long").alias("sum_z2"),
+        F.expr(
+            "CAST(("
+            + " + ".join(f"z{r} * z{r}" for r in range(_AMS_R))
+            + f") div {_AMS_R} AS BIGINT)"
+        ).alias("est_f2"),
+    )

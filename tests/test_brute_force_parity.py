@@ -1013,3 +1013,98 @@ def test_kaplan_meier_matches_brute_force(rows):
     for day in exp:
         assert got[day][:2] == exp[day][:2]
         assert abs(got[day][2] - exp[day][2]) < 1e-9, (day, got[day], exp[day])
+
+
+# wide-span event strategy: second offsets up to ~18 days so the
+# trailing-7d window and the day-ordered HLL merge see real day
+# boundaries (the shared events_strategy only spans ~5 days)
+wide_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user bucket
+        st.integers(min_value=0, max_value=1_600_000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_BASE_US = 1_704_067_200_000_000
+_DAY_US = 86_400_000_000
+
+
+def _wide_events_df(rows):
+    recs = []
+    for i, (u, sec) in enumerate(rows):
+        recs.append(
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(_BASE_US + sec * 1_000_000, unit="us"),
+                "user_id": u + 1,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+    return pd.DataFrame(recs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(wide_events_strategy)
+def test_trailing_7d_matches_brute_force(rows):
+    pdf = _wide_events_df(rows)
+    got = {r[0]: (r[1], r[2]) for r in _oracle("trailing_7d_distinct_users", pdf)}
+    du = {( (_BASE_US + sec * 1_000_000) // _DAY_US, u + 1) for u, sec in rows}
+    days = sorted({d for d, _ in du})
+    exp = {}
+    for d in days:
+        d1 = len({u for dd, u in du if dd == d})
+        d7 = len({u for dd, u in du if d - 6 <= dd <= d})
+        exp[d] = (d1, d7)
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(wide_events_strategy)
+def test_hll_merge_daily_matches_brute_force(rows):
+    pdf = _wide_events_df(rows)
+    got = {r[0]: (r[1], r[2], r[3]) for r in _oracle("hll_merge_daily_users", pdf)}
+    du = {((_BASE_US + sec * 1_000_000) // _DAY_US, u + 1) for u, sec in rows}
+    days = sorted({d for d, _ in du})
+    exp = {}
+    for d in days:
+        seen = {u for dd, u in du if dd <= d}
+        regs: dict[int, int] = {}
+        for u in seen:
+            h = _md5_u32_py("hlld", str(u))
+            bkt, w = h % 64, h // 64
+            rho = 27 if w == 0 else (27 - w.bit_length())
+            regs[bkt] = max(regs.get(bkt, 0), rho)
+        s_pow = sum(2 ** (27 - m) for m in regs.values()) + (
+            64 - len(regs)
+        ) * 2**27
+        exp[d] = (s_pow, 64 - len(regs), len(seen))
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=30),  # l_partkey
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_ams_f2_matches_brute_force(keys):
+    from collections import Counter
+
+    pdf = pd.DataFrame({"l_partkey": keys})
+    got = _oracle_tables("ams_f2_selfjoin_size", {"lineitem": pdf})[0]
+    cnt = Counter(keys)
+    f2 = sum(n * n for n in cnt.values())
+    sum_z2 = 0
+    for r in range(16):
+        z = sum(
+            (1 - 2 * (_md5_u32_py(f"ams{r}", str(k)) % 2)) * n
+            for k, n in cnt.items()
+        )
+        sum_z2 += z * z
+    assert got == (len(cnt), f2, sum_z2, sum_z2 // 16)
