@@ -1,0 +1,545 @@
+"""Round-6 analytics battery #4: mergeable quantile sketches, sketch
+set-algebra, item-item collaborative filtering, storage compaction
+planning, and rank fusion.
+
+Same portability discipline as the earlier batteries: money is BIGINT
+cents, every published ratio is an integer tick division, hashes are
+the shared md5-u32 primitive (identical in DuckDB via _md5_u32_sql),
+and no float enters a published column.  Reference parity note: the
+reference engine (ParitoshSabade/DistributedMapReduce) exposes only
+map/reduce word-count-style jobs (mapper_word_count.py:11-35); these
+queries are the extension surface SURVEY.md §2.2 declares for a
+training-data / analytics deployment at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .core import EVENTS_US, query, t
+
+_DD_QS = (50, 90, 99)
+_KMVI_K = 32
+_TWO32 = 4_294_967_296
+
+
+@query(
+    "ddsketch_pow2_quantiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT length(bin(CAST(round(o_totalprice * 100) AS BIGINT)))
+               AS bkt,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT bkt, CAST(sum(cnt) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM c),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+    qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct),
+    r AS (SELECT q_pct, n, (q_pct * n + 99) // 100 AS rk
+          FROM qs CROSS JOIN tot),
+    sel AS (
+      SELECT r.q_pct, r.n, r.rk, min(cum.bkt) AS bucket
+      FROM r JOIN cum ON cum.cum >= r.rk GROUP BY 1, 2, 3)
+    SELECT q_pct, n, CAST(rk AS BIGINT) AS rank_1based,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(1::BIGINT << (bucket - 1) AS BIGINT) AS lo_cents,
+           CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS hi_cents,
+           CAST(((1::BIGINT << (bucket - 1))
+                 + (1::BIGINT << bucket) - 1) // 2 AS BIGINT)
+             AS est_mid_cents
+    FROM sel
+    """,
+)
+def ddsketch_pow2_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (a base-2 DDSketch): each
+    order total collapses to its cents bit-length, the per-bucket
+    histogram IS the sketch (union = bucket-wise add — the mergeable
+    property), and a quantile readout walks the cumulative bucket
+    counts to the bucket holding the target rank.  gamma = 2 gives a
+    guaranteed relative error <= 2x: the true q-quantile provably lies
+    in [2^(b-1), 2^b - 1] (the published lo/hi bounds — the
+    hypothesis brute-force property checks exactly this containment
+    against a naive Python quantile).  Everything is int64: bucket
+    ids <= 41 for any cents value, shifts stay in range, rank uses
+    ceil(q*n/100) in pure integer arithmetic.
+
+    Scale: ONE orders scan reduces to <= 41 (bucket, count) rows — a
+    map-side-combinable aggregate whose state is O(log(max_value))
+    per partition regardless of corpus size; the cumulative walk and
+    the 3-row quantile panel join are driver-trivial.  This is the
+    quantile structure a 100 TB engine maintains per column where
+    percentile_approx's GK sketch is not externally checkable; a
+    production deployment narrows gamma (more buckets per octave) for
+    tighter error at the same O(log) state."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bc = (
+        t(spark, sf, "orders")
+        .select(F.length(F.bin(cents)).cast("long").alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).persist()  # <= 41 rows: feeds the cumulative walk AND the total
+    wc = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = bc.select("bkt", F.sum("cnt").over(wc).cast("long").alias("cum"))
+    tot = bc.agg(F.sum("cnt").cast("long").alias("n"))
+    panel = tot.select(
+        F.explode(
+            F.array(*[F.lit(q).cast("long") for q in _DD_QS])
+        ).alias("q_pct"),
+        "n",
+    ).withColumn("rk", F.expr("(q_pct * n + 99) div 100"))
+    sel = (
+        panel.join(F.broadcast(cum), F.col("cum") >= F.col("rk"))
+        .groupBy("q_pct", "n", "rk")
+        .agg(F.min("bkt").alias("bucket"))
+    )
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))")
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")
+    return sel.select(
+        "q_pct",
+        "n",
+        F.col("rk").cast("long").alias("rank_1based"),
+        F.col("bucket").cast("long"),
+        lo.cast("long").alias("lo_cents"),
+        hi.cast("long").alias("hi_cents"),
+        ((lo + hi) / F.lit(2)).cast("long").alias("est_mid_cents"),
+    )
+
+
+def _kmvi_oracle() -> str:
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("kmvi", "user_id")
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM {EVENTS_US} events
+      WHERE event_type IN ('click', 'purchase')),
+    ha AS (SELECT DISTINCT {h} AS h FROM du WHERE event_type = 'click'),
+    hb AS (SELECT DISTINCT {h} AS h FROM du
+           WHERE event_type = 'purchase'),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT {_KMVI_K}),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMVI_K}),
+    su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL
+                                   SELECT h FROM sb)
+           ORDER BY h LIMIT {_KMVI_K}),
+    u AS (SELECT CAST(max(h) AS BIGINT) AS kth_u,
+                 CAST(count(*) AS BIGINT) AS got_u FROM su),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+           FROM sa JOIN sb USING (h) CROSS JOIN u
+           WHERE sa.h <= u.kth_u),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT user_id FROM du GROUP BY user_id
+        HAVING count(DISTINCT event_type) = 2)),
+    est AS (
+      SELECT u.kth_u, u.got_u, nc.n_common,
+             CASE WHEN u.got_u < {_KMVI_K} THEN u.got_u
+                  WHEN u.kth_u = 0 THEN 0
+                  ELSE ({_KMVI_K - 1} * {_TWO32}) // u.kth_u
+             END AS est_union
+      FROM u CROSS JOIN nc)
+    SELECT CAST({_KMVI_K} AS BIGINT) AS k, got_u, kth_u, n_common,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(CASE WHEN got_u < {_KMVI_K} THEN n_common
+                ELSE (n_common * est_union) // {_KMVI_K}
+                END AS BIGINT) AS est_inter,
+           ex.exact_inter
+    FROM est CROSS JOIN ex
+    """
+
+
+@query("kmv_set_intersection", oracle=_kmvi_oracle())
+def kmv_set_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07): estimate the
+    distinct-user overlap between clickers and purchasers from two
+    32-value KMV sketches ALONE — the composable form of "how many
+    users did both X and Y" that a 100 TB engine answers from
+    per-segment sketches without re-scanning either side.  Both
+    sketches share one hash family; the union sketch is the bottom-K
+    of the merged hash sets (kth_u = its threshold), n_common counts
+    hashes present in BOTH sketches at or below that threshold, and
+    est_inter = (n_common/K) * est_union in pure integer arithmetic
+    (Jaccard-via-KMV).  Below K distinct values everything is exact
+    by definition.  The exact intersection rides along for the
+    accuracy check (the hypothesis property evaluates estimator
+    error; the unit contract is the bit-exact sketch state).
+
+    Scale: ONE events scan reduces to distinct (type, user) pairs
+    (persisted: sketch branches + the exact twin share it); each
+    bottom-K is Spark's TakeOrdered (per-partition top-K, K*P-row
+    driver merge); every join thereafter touches <= 32-row sketch
+    tables.  Sketch state is O(K) per segment — the structure unions,
+    intersects, and differences compose over."""
+    from .llm3 import _md5_u32
+
+    du = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    ).persist()
+    h = _md5_u32("kmvi", F.col("user_id"))
+    sa = (
+        du.filter(F.col("event_type") == "click")
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMVI_K)
+    )
+    sb = (
+        du.filter(F.col("event_type") == "purchase")
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMVI_K)
+    )
+    su = sa.union(sb).distinct().orderBy("h").limit(_KMVI_K)
+    u = su.agg(
+        F.max("h").cast("long").alias("kth_u"),
+        F.count(F.lit(1)).cast("long").alias("got_u"),
+    )
+    nc = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(u))
+        .filter(F.col("h") <= F.col("kth_u"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ex = (
+        du.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est_union = (
+        F.when(F.col("got_u") < _KMVI_K, F.col("got_u"))
+        .when(F.col("kth_u") == 0, F.lit(0))
+        .otherwise(F.expr(f"({_KMVI_K - 1} * {_TWO32}) div kth_u"))
+        .cast("long")
+    )
+    return (
+        u.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ex))
+        .withColumn("est_union", est_union)
+        .select(
+            F.lit(_KMVI_K).cast("long").alias("k"),
+            "got_u",
+            "kth_u",
+            "n_common",
+            "est_union",
+            F.when(F.col("got_u") < _KMVI_K, F.col("n_common"))
+            .otherwise(
+                F.expr(f"(n_common * est_union) div {_KMVI_K}")
+            )
+            .cast("long")
+            .alias("est_inter"),
+            "exact_inter",
+        )
+    )
+
+
+_CF_MIN_SUPPORT = 2
+_CF_TOPK = 5
+
+
+@query(
+    "item_cf_similarity_topk",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pc AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM cp GROUP BY p),
+    pr AS (
+      SELECT a.p AS item_a, b.p AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM cp a JOIN cp b ON a.o = b.o AND a.p <> b.p
+      GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_SUPPORT}),
+    sc AS (
+      SELECT pr.item_a, pr.item_b, pr.support,
+             (pr.support * pr.support * 1000000) // (ca.cnt * cb.cnt)
+               AS cos2_e6
+      FROM pr JOIN pc ca ON pr.item_a = ca.p
+              JOIN pc cb ON pr.item_b = cb.p),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY item_a
+               ORDER BY cos2_e6 DESC, support DESC, item_b) AS rnk
+      FROM sc)
+    SELECT item_a, item_b, support, cos2_e6, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {_CF_TOPK}
+    """,
+)
+def item_cf_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-5
+    most-similar parts by co-purchase cosine — the neighbor table an
+    item-to-item recommender (Amazon-style) serves from.  Similarity
+    is the SQUARED cosine of the order-incidence vectors,
+    support^2 / (cnt_a * cnt_b), published in exact 1e-6 integer
+    ticks so no sqrt/float enters the contract (monotone in cosine,
+    so the ranking is identical).  Ties break by support then item id
+    for a deterministic hash.
+
+    Scale: the same bounded basket self-join as frequent_itempairs —
+    pairs-per-order <= basket^2 (~49), so candidates are O(rows *
+    k^2), never all-pairs; per-part counts broadcast onto the pair
+    stream.  The per-item rank filters to rnk <= 5 directly above the
+    window, so Spark plans a Partial WindowGroupLimit (map-side top-5
+    per item per task) — the merge shape that survives a billion-item
+    catalog.  Int64 headroom: support <= per-part order count
+    (~3e3 at the 100x replica), support^2 * 1e6 <= ~9e12."""
+    cp = (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    pc = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a, b = cp.alias("a"), cp.alias("b")
+    pr = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("item_a"), F.col("b.p").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _CF_MIN_SUPPORT)
+    )
+    sc = (
+        pr.join(F.broadcast(pc.withColumnRenamed("cnt", "ca")), F.col("item_a") == F.col("p"))
+        .drop("p")
+        .join(F.broadcast(pc.withColumnRenamed("cnt", "cb")), F.col("item_b") == F.col("p"))
+        .drop("p")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("(support * support * 1000000) div (ca * cb)").alias("cos2_e6"),
+        )
+    )
+    wr = W.partitionBy("item_a").orderBy(
+        F.desc("cos2_e6"), F.desc("support"), "item_b"
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+_COMPACT_TARGET = 65_536  # bytes per compaction group
+_COMPACT_IDW = 1_024  # doc_id bucket width for the two-phase cumsum
+
+
+@query(
+    "file_compaction_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS b
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, b,
+             CAST(coalesce(sum(b) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS pre
+      FROM s)
+    SELECT source, CAST(pre // {_COMPACT_TARGET} AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b) AS BIGINT) AS grp_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM c GROUP BY 1, 2
+    """,
+)
+def file_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner — the storage-maintenance pass
+    every parquet lake runs: within each source partition, documents
+    are packed in doc_id order into ~64 KiB output groups, group id =
+    floor(running_bytes_before / target).  The emitted plan (source,
+    group, doc count, byte total, id range) is what a compactor turns
+    into one rewrite task per row; id-ordered packing keeps each
+    output file a contiguous id range, preserving min/max zone-map
+    prunability after the rewrite (the zone_map_stats discipline).
+
+    The oracle states the obvious per-source global-window cumsum;
+    the Spark plan is the scale-safe two-phase form (the
+    curation._budget_prefix / token_budget_select discipline):
+    doc_id-range buckets give a tiny per-(source, bucket) byte-total
+    table whose running sum is the bucket base, and the per-doc
+    window runs ONLY within (source, bucket) — bounded fan-in, no
+    full-partition funnel.  Bucket width is fixed in ID SPACE (1024
+    ids), so a 100 TB run tunes it to id density; the bucket-total
+    table stays dim-sized (ids/1024 rows) and broadcasts.
+
+    Scale: ONE documents scan; shuffle is the (source, bucket)
+    aggregate plus the final (source, grp) aggregate — both
+    key-bounded; no window ever sees more than one bucket of rows."""
+    s = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.octet_length("text").cast("long").alias("b"),
+        F.expr(f"doc_id div {_COMPACT_IDW}").alias("bkt"),
+    ).persist()  # 4 int columns/doc: bucket-total branch + per-doc join
+    btot = s.groupBy("source", "bkt").agg(F.sum("b").alias("btok"))
+    wb = W.partitionBy("source").orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bbase = btot.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
+    )
+    wd = W.partitionBy("source", "bkt").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    pre = (
+        s.join(F.broadcast(bbase), ["source", "bkt"])
+        .withColumn(
+            "pre",
+            F.col("base") + F.coalesce(F.sum("b").over(wd), F.lit(0)),
+        )
+    )
+    return (
+        pre.groupBy(
+            "source", F.expr(f"pre div {_COMPACT_TARGET}").alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("grp_bytes"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .withColumn("grp", F.col("grp").cast("long"))
+    )
+
+
+_RRF_K = 60  # standard RRF damping constant
+_RRF_DEPTH = 20  # per-ranker list depth
+_RRF_FINAL = 10
+
+
+def _rrf_oracle() -> str:
+    from .textq import _SEARCH_TERMS
+
+    terms = ", ".join(f"'{w}'" for w in _SEARCH_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    cand AS (
+      SELECT term, doc_id, tf, n_tok FROM (
+        SELECT u.term, d.doc_id,
+               CAST(len(list_filter(d.ws, x -> x = u.term)) AS BIGINT)
+                 AS tf,
+               CAST(len(d.ws) AS BIGINT) AS n_tok
+        FROM d CROSS JOIN (SELECT unnest([{terms}]) AS term) u)
+      WHERE tf > 0),
+    ra AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term
+               ORDER BY tf DESC, doc_id) AS r
+      FROM cand QUALIFY r <= {_RRF_DEPTH}),
+    rb AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term
+               ORDER BY (tf * 1000000) // n_tok DESC, doc_id) AS r
+      FROM cand QUALIFY r <= {_RRF_DEPTH}),
+    fused AS (
+      SELECT coalesce(ra.term, rb.term) AS term,
+             coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             coalesce(1000000 // ({_RRF_K} + ra.r), 0)
+               + coalesce(1000000 // ({_RRF_K} + rb.r), 0) AS rrf_e6
+      FROM ra FULL OUTER JOIN rb
+        ON ra.term = rb.term AND ra.doc_id = rb.doc_id),
+    fr AS (
+      SELECT term, doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+             row_number() OVER (PARTITION BY term
+               ORDER BY rrf_e6 DESC, doc_id) AS rnk
+      FROM fused QUALIFY rnk <= {_RRF_FINAL})
+    SELECT term, doc_id, rrf_e6, CAST(rnk AS BIGINT) AS rnk FROM fr
+    """
+
+
+@query("reciprocal_rank_fusion", oracle=_rrf_oracle())
+def reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    retrieval rankers over the shared 3-term query panel: ranker A
+    orders candidates by raw term frequency, ranker B by length-
+    normalized tf density — the classic lexical-vs-normalized
+    disagreement RRF was designed to reconcile.  Each ranker
+    contributes 1e6 // (60 + rank) integer ticks for its top-20;
+    the fused top-10 per term ships with deterministic (score desc,
+    doc_id) tie-breaks, so the whole contract is int64 with no float
+    surface (where real deployments fuse BM25 with embedding ANN —
+    both in-registry — the fusion arithmetic is exactly this).
+
+    Scale: ONE documents scan computes tf per panel term via array
+    HOFs (no explode shuffle — the candidate stream is docs x 3
+    terms, pre-filtered to tf > 0 and persisted for the two rank
+    branches); each ranker filters rank <= 20 directly above its
+    window, so Spark plans Partial WindowGroupLimits (map-side
+    per-term top-20), and the fusion join touches <= 40 rows per
+    term."""
+    from .textq import _SEARCH_TERMS, _tokens_col_lower
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", _tokens_col_lower().alias("ws")
+    )
+    def _tf(term: str):
+        # single-arg lambda: a 2-arg lambda would be read by F.filter
+        # as the (element, index) form and compare tokens to indices
+        return F.size(
+            F.filter(F.col("ws"), lambda x: x == F.lit(term))
+        ).cast("long")
+
+    per_term = [
+        F.struct(F.lit(w).alias("term"), _tf(w).alias("tf"))
+        for w in _SEARCH_TERMS
+    ]
+    cand = (
+        d.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tok"),
+            F.explode(F.array(*per_term)).alias("s"),
+        )
+        .select("doc_id", "n_tok", F.col("s.term").alias("term"), F.col("s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    ).persist()
+    wa = W.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    ra = (
+        cand.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("term", "doc_id", "r")
+    )
+    wb = W.partitionBy("term").orderBy(
+        F.desc(F.expr("(tf * 1000000) div n_tok")), "doc_id"
+    )
+    rb = (
+        cand.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("term", "doc_id", "r")
+    )
+    fused = (
+        ra.withColumnRenamed("r", "ra")
+        .join(
+            rb.withColumnRenamed("r", "rb"),
+            ["term", "doc_id"],
+            "full_outer",
+        )
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + ra)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + rb)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_e6"),
+        )
+    )
+    wf = W.partitionBy("term").orderBy(F.desc("rrf_e6"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _RRF_FINAL)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )

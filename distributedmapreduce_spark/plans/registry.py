@@ -34,6 +34,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     curation,
     llm,
     llm2,

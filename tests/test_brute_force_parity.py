@@ -1108,3 +1108,204 @@ def test_ams_f2_matches_brute_force(keys):
         )
         sum_z2 += z * z
     assert got == (len(cnt), f2, sum_z2, sum_z2 // 16)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40_000_000),  # cents
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_ddsketch_matches_brute_force(cents):
+    pdf = pd.DataFrame({"o_totalprice": [c / 100.0 for c in cents]})
+    got = {r[0]: r[1:] for r in _oracle_tables("ddsketch_pow2_quantiles", {"orders": pdf})}
+    n = len(cents)
+    sv = sorted(cents)
+    exp = {}
+    for q in (50, 90, 99):
+        rk = (q * n + 99) // 100
+        # sketch readout: bucket of the rank-rk value
+        b = sv[rk - 1].bit_length()
+        lo, hi = 1 << (b - 1), (1 << b) - 1
+        exp[q] = (n, rk, b, lo, hi, (lo + hi) // 2)
+        # the DDSketch guarantee: true quantile inside [lo, hi]
+        assert lo <= sv[rk - 1] <= hi
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=120),  # user
+            st.sampled_from(["click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_kmv_intersection_matches_brute_force(rows):
+    recs = [
+        {
+            "event_id": i + 1,
+            "ts": pd.Timestamp(1_704_067_200_000_000 + i * 1_000_000, unit="us"),
+            "user_id": u,
+            "event_type": ty,
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, (u, ty) in enumerate(rows)
+    ]
+    got = _oracle_tables("kmv_set_intersection", {"events": pd.DataFrame(recs)})[0]
+    K, TWO32 = 32, 4_294_967_296
+    ua = {u for u, ty in rows if ty == "click"}
+    ub = {u for u, ty in rows if ty == "purchase"}
+    sa = sorted({_md5_u32_py("kmvi", str(u)) for u in ua})[:K]
+    sb = sorted({_md5_u32_py("kmvi", str(u)) for u in ub})[:K]
+    su = sorted(set(sa) | set(sb))[:K]
+    kth_u, got_u = (max(su), len(su)) if su else (None, 0)
+    n_common = len({h for h in set(sa) & set(sb) if h <= kth_u}) if su else 0
+    if got_u < K:
+        est_union = got_u
+    elif kth_u == 0:
+        est_union = 0
+    else:
+        est_union = (K - 1) * TWO32 // kth_u
+    est_inter = n_common if got_u < K else (n_common * est_union) // K
+    exact = len(ua & ub)
+    assert got == (K, got_u, kth_u, n_common, est_union, est_inter, exact)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),  # order
+            st.integers(min_value=1, max_value=8),  # part
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_item_cf_matches_brute_force(pairs):
+    from collections import Counter
+    from itertools import permutations
+
+    pdf = pd.DataFrame(
+        {"l_orderkey": [o for o, _ in pairs], "l_partkey": [p for _, p in pairs]}
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in _oracle_tables("item_cf_similarity_topk", {"lineitem": pdf})
+    }
+    cp = set(pairs)
+    pc = Counter(p for _, p in cp)
+    baskets = {}
+    for o, p in cp:
+        baskets.setdefault(o, set()).add(p)
+    sup = Counter()
+    for items in baskets.values():
+        for a, b in permutations(sorted(items), 2):
+            sup[(a, b)] += 1
+    exp = {}
+    per_item = {}
+    for (a, b), s in sup.items():
+        if s < 2:
+            continue
+        cos2 = (s * s * 1_000_000) // (pc[a] * pc[b])
+        per_item.setdefault(a, []).append((-cos2, -s, b))
+    for a, lst in per_item.items():
+        for rnk, (negc, negs, b) in enumerate(sorted(lst)[:5], start=1):
+            exp[(a, b)] = (-negs, -negc, rnk)
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["src0", "src1"]),
+            st.text(
+                alphabet=["a", "é", "語", " "], min_size=0, max_size=40
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_file_compaction_matches_brute_force(rows):
+    recs = [
+        {"doc_id": i * 7, "text": txt, "lang": "en", "source": src,
+         "n_chars": len(txt)}
+        for i, (src, txt) in enumerate(rows)
+    ]
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in _oracle_tables("file_compaction_plan", {"documents": pd.DataFrame(recs)})
+    }
+    TARGET = 65_536
+    by_src = {}
+    for r in recs:
+        by_src.setdefault(r["source"], []).append(r)
+    exp = {}
+    for src, docs in by_src.items():
+        pre = 0
+        for d in sorted(docs, key=lambda d: d["doc_id"]):
+            b = len(d["text"].encode("utf-8"))
+            grp = pre // TARGET
+            key = (src, grp)
+            n, tot, mn, mx = exp.get(key, (0, 0, d["doc_id"], d["doc_id"]))
+            exp[key] = (n + 1, tot + b, min(mn, d["doc_id"]), max(mx, d["doc_id"]))
+            pre += b
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["join", "filter", "window", "the", "a"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rrf_matches_brute_force(docs):
+    recs = [
+        {"doc_id": i + 1, "text": " ".join(ws), "lang": "en",
+         "source": "src0", "n_chars": len(" ".join(ws))}
+        for i, ws in enumerate(docs)
+    ]
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _oracle_tables("reciprocal_rank_fusion", {"documents": pd.DataFrame(recs)})
+    }
+    exp = {}
+    for term in ("join", "filter", "window"):
+        cand = []
+        for i, ws in enumerate(docs):
+            tf = sum(1 for w in ws if w == term)
+            if tf > 0:
+                cand.append((i + 1, tf, len(ws)))
+        ra = {d: r for r, (d, _, _) in enumerate(
+            sorted(cand, key=lambda c: (-c[1], c[0]))[:20], start=1)}
+        rb = {d: r for r, (d, _, _) in enumerate(
+            sorted(cand, key=lambda c: (-((c[1] * 1_000_000) // c[2]), c[0]))[:20],
+            start=1)}
+        fused = []
+        for d in set(ra) | set(rb):
+            s = 0
+            if d in ra:
+                s += 1_000_000 // (60 + ra[d])
+            if d in rb:
+                s += 1_000_000 // (60 + rb[d])
+            fused.append((d, s))
+        for rnk, (d, s) in enumerate(
+            sorted(fused, key=lambda x: (-x[1], x[0]))[:10], start=1
+        ):
+            exp[(term, d)] = (s, rnk)
+    assert got == exp

@@ -58,10 +58,12 @@ BNLJ_BY_DESIGN = {
     "cosine_topk_bruteforce",
     "curation_pipeline_v3",
     "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
+    "ddsketch_pow2_quantiles",  # 3-row quantile panel x <=41 buckets
     "event_rate_deviation",
     "isotonic_calibration",  # bins² minimax triangle: bounded panel
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
+    "kmv_set_intersection",  # <=32-row sketch tables x 1-row scalars
     "knn_classify",
     "markov_attribution_removal",  # p_full scalar: 1-row x 4 broadcast
     "minhash_recall_audit",  # confusion-count scalars: 1-row broadcasts
