@@ -543,3 +543,366 @@ def reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= _RRF_FINAL)
         .withColumn("rnk", F.col("rnk").cast("long"))
     )
+
+
+_IVM_CUT = "2001-01-01"
+
+
+@query(
+    "ivm_join_delta",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_orderdate >= TIMESTAMP '{_IVM_CUT}' AS isd
+      FROM orders),
+    l AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rc,
+             l_shipdate >= TIMESTAMP '{_IVM_CUT}' AS isd
+      FROM lineitem),
+    j AS (
+      SELECT o.o_orderstatus, o.isd AS od, l.isd AS ld,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(l.rc) AS BIGINT) AS r
+      FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, 3)
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN NOT od AND NOT ld THEN r END) AS BIGINT)
+             AS rev_base_base_c,
+           CAST(coalesce(sum(CASE WHEN NOT od AND ld THEN r END), 0)
+                AS BIGINT) AS rev_base_delta_c,
+           CAST(coalesce(sum(CASE WHEN od AND NOT ld THEN r END), 0)
+                AS BIGINT) AS rev_delta_base_c,
+           CAST(coalesce(sum(CASE WHEN od AND ld THEN r END), 0)
+                AS BIGINT) AS rev_delta_delta_c,
+           CAST(sum(r) AS BIGINT) AS revenue_c,
+           CAST(sum(n) AS BIGINT) AS n_lines
+    FROM j GROUP BY 1
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view: the revenue-per-
+    status join aggregate is maintained from a base snapshot plus
+    deltas using the standard bilinear decomposition
+    (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB) = A0⋈B0 + A0⋈ΔB + ΔA⋈B0 + ΔA⋈ΔB —
+    what a 100 TB pipeline runs NIGHTLY so view refresh costs
+    O(Δ ⋈ base), never a full recompute (the join twin of
+    mv_incremental_refresh's aggregate IVM).  Rows on or after the
+    cutoff date are the delta on each side; the published row carries
+    the four term totals NEXT TO the full-view total, so the
+    decomposition identity (sum of terms == direct join) is hash-
+    checked against the oracle's direct-join computation, per status.
+
+    Scale: each side is scanned ONCE with a delta flag and persisted;
+    the four joins reuse the cached splits.  In production the three
+    delta terms are the refresh work — ΔA⋈ΔB is delta-sized and
+    A0⋈ΔB / ΔA⋈B0 are partition-pruned index lookups on the
+    co-located base (the bucketed_join_lineitem_orders layout) — and
+    A0⋈B0 is the stored view, not recomputed; here all four are
+    evaluated to prove the identity at every scale."""
+    o = (
+        t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderdate") >= F.lit(_IVM_CUT).cast("timestamp"))
+            .alias("isd"),
+        )
+        .persist()
+    )
+    li = (
+        t(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("rc"),
+            (F.col("l_shipdate") >= F.lit(_IVM_CUT).cast("timestamp"))
+            .alias("isd"),
+        )
+        .persist()
+    )
+    o0, od = o.filter(~F.col("isd")), o.filter(F.col("isd"))
+    l0, ld = li.filter(~F.col("isd")), li.filter(F.col("isd"))
+
+    def term(oside: DataFrame, lside: DataFrame, label: str) -> DataFrame:
+        return (
+            oside.join(lside, oside["o_orderkey"] == lside["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("rc").cast("long").alias(label),
+                F.count(F.lit(1)).cast("long").alias(f"n_{label}"),
+            )
+        )
+
+    parts = (
+        term(o0, l0, "bb")
+        .join(term(o0, ld, "bd"), "o_orderstatus", "full_outer")
+        .join(term(od, l0, "db"), "o_orderstatus", "full_outer")
+        .join(term(od, ld, "dd"), "o_orderstatus", "full_outer")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return parts.select(
+        "o_orderstatus",
+        F.col("bb").cast("long").alias("rev_base_base_c"),
+        z("bd").cast("long").alias("rev_base_delta_c"),
+        z("db").cast("long").alias("rev_delta_base_c"),
+        z("dd").cast("long").alias("rev_delta_delta_c"),
+        (z("bb") + z("bd") + z("db") + z("dd"))
+        .cast("long")
+        .alias("revenue_c"),
+        (z("n_bb") + z("n_bd") + z("n_db") + z("n_dd"))
+        .cast("long")
+        .alias("n_lines"),
+    )
+
+
+_WEEK_US_TS = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH wk AS (
+      SELECT p.p_brand,
+             datediff('day', TIMESTAMP '1995-01-01', l.l_shipdate) // 7
+               AS w,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    sl AS (
+      SELECT a.p_brand,
+             ((b.rev_c - a.rev_c) * 1000000) // (b.w - a.w) AS s
+      FROM wk a JOIN wk b ON a.p_brand = b.p_brand AND a.w < b.w),
+    st AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs FROM sl
+           GROUP BY 1),
+    rk AS (
+      SELECT p_brand, CAST(s AS BIGINT) AS s,
+             row_number() OVER (PARTITION BY p_brand ORDER BY s) AS rn
+      FROM sl),
+    nw AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_weeks FROM wk
+           GROUP BY 1)
+    SELECT rk.p_brand, nw.n_weeks, st.n_pairs,
+           rk.s AS median_slope_e6
+    FROM rk JOIN st ON rk.p_brand = st.p_brand
+            JOIN nw ON rk.p_brand = nw.p_brand
+    WHERE rk.rn = (st.n_pairs + 1) // 2
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend estimation of weekly revenue per brand:
+    the median of all pairwise slopes — the breakdown-resistant trend
+    line (tolerates up to ~29% outlier weeks) an anomaly-prone
+    revenue series needs where OLS (groupwise_ols_price_qty) would
+    chase a single spike.  Slopes are published in exact 1e-6 ticks
+    (integer division by the week gap — both engines truncate toward
+    zero identically for the cents magnitudes here, and the brute-
+    force property replicates truncation); the lower median
+    (rank (m+1)//2) keeps the published value an ACTUAL slope from
+    the set, never an average of two.
+
+    Scale: the pair space is bounded by the CALENDAR, not the corpus
+    — weekly aggregation first (one fact scan, brand dims broadcast),
+    then the slope self-join is brands x C(weeks, 2) ~ 1.6M rows at
+    ANY corpus size; the per-brand median rank runs over that bounded
+    set.  Int64 headroom: |Δrev_c| x 1e6 <= ~2e15 at the 100x
+    replica (audited; documented margin to 9.2e18)."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        # l_shipdate is TIMESTAMP_NTZ: day arithmetic from a fixed
+        # epoch date is the TZ-free week bucket both engines share
+        F.expr(
+            "datediff(l_shipdate, DATE '1995-01-01') div 7"
+        ).cast("long").alias("w"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("rc"),
+    )
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    wk = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "w")
+        .agg(F.sum("rc").cast("long").alias("rev_c"))
+    ).persist()  # brands x weeks rows: slope join + week census
+    a, b = wk.alias("a"), wk.alias("b")
+    sl = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.w") < F.col("b.w")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        F.expr(
+            "((b.rev_c - a.rev_c) * 1000000) div (b.w - a.w)"
+        ).alias("s"),
+    )
+    st = sl.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    nw = wk.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks")
+    )
+    wr = W.partitionBy("p_brand").orderBy("s")
+    rk = sl.withColumn("rn", F.row_number().over(wr))
+    return (
+        rk.join(F.broadcast(st), "p_brand")
+        .join(F.broadcast(nw), "p_brand")
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "p_brand",
+            "n_weeks",
+            "n_pairs",
+            F.col("s").cast("long").alias("median_slope_e6"),
+        )
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // {_WEEK_US_TS} AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {EVENTS_US} events WHERE event_type = 'purchase'),
+    fw AS (SELECT user_id, min(wk) AS cw FROM p GROUP BY user_id),
+    cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_users FROM fw
+           GROUP BY cw),
+    ra AS (
+      SELECT fw.cw, p.wk - fw.cw AS age, CAST(sum(p.cents) AS BIGINT)
+               AS rev_c
+      FROM p JOIN fw ON p.user_id = fw.user_id GROUP BY 1, 2),
+    cum AS (
+      SELECT cw, age, rev_c,
+             CAST(sum(rev_c) OVER (PARTITION BY cw ORDER BY age
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_rev_c
+      FROM ra)
+    SELECT CAST(cum.cw AS BIGINT) AS cohort_week,
+           CAST(cum.age AS BIGINT) AS age_weeks,
+           cs.cohort_users, cum.rev_c, cum.cum_rev_c,
+           CAST(cum.cum_rev_c // cs.cohort_users AS BIGINT)
+             AS cum_ltv_per_user_c
+    FROM cum JOIN cs ON cum.cw = cs.cw
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-purchase
+    week, cumulative revenue per cohort tracked by cohort age — the
+    LTV table growth finance reads next to retention_cohorts_weekly's
+    activity counts (same cohort keys, revenue-weighted).  Cumulative
+    cents stay exact int64; per-user LTV is the integer-cents floor
+    division by the FIXED cohort size (denominator = cohort members,
+    not actives, so curves are monotone and comparable across ages).
+
+    Scale: one events scan reduces to (user, week, cents) purchase
+    rows; first-week is a per-user aggregate joined back on the
+    shuffle key; the cumulative window runs per cohort over <= weeks
+    rows (calendar-bounded, the hll_merge_daily_users grid shape) on
+    the cohort-week-keyed aggregate, never over raw purchases."""
+    p = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_WEEK_US_TS}").alias("wk"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    ).persist()  # feeds first-week aggregate AND the revenue join
+    fw = p.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    cs = fw.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    ra = (
+        p.join(fw, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("rev_c"))
+    )
+    wc = (
+        W.partitionBy("cw")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = ra.withColumn(
+        "cum_rev_c", F.sum("rev_c").over(wc).cast("long")
+    )
+    return cum.join(F.broadcast(cs), "cw").select(
+        F.col("cw").cast("long").alias("cohort_week"),
+        F.col("age").cast("long").alias("age_weeks"),
+        "cohort_users",
+        "rev_c",
+        "cum_rev_c",
+        F.expr("cum_rev_c div cohort_users").cast("long")
+        .alias("cum_ltv_per_user_c"),
+    )
+
+
+@query(
+    "pct_of_parent_rollup",
+    oracle="""
+    WITH nr AS (
+      SELECT r.r_name, n.n_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    rr AS (SELECT r_name, CAST(sum(rev_c) AS BIGINT) AS region_rev_c
+           FROM nr GROUP BY 1),
+    gg AS (SELECT CAST(sum(region_rev_c) AS BIGINT) AS global_rev_c
+           FROM rr)
+    SELECT nr.r_name, nr.n_name, nr.rev_c, rr.region_rev_c,
+           CAST((nr.rev_c * 10000) // rr.region_rev_c AS BIGINT)
+             AS share_of_region_e4,
+           CAST((rr.region_rev_c * 10000) // gg.global_rev_c AS BIGINT)
+             AS region_share_global_e4
+    FROM nr JOIN rr ON nr.r_name = rr.r_name CROSS JOIN gg
+    """,
+)
+def pct_of_parent_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-parent hierarchical rollup: nation revenue as a
+    share of its region, region as a share of global — the classic
+    OLAP "% of parent row" measure.  Shares are exact 1e-4 (basis
+    point) integer ticks: the e4 scale is the audited headroom choice
+    (global cents ~2e14 at the 100x replica; x1e4 = 2e18 stays inside
+    int64 where the e6 tick family would overflow — the
+    revenue_contribution_topk lesson applied at design time).
+
+    Scale: one orders scan aggregates straight to nation grain
+    (customer is the only data-sized join side; nation/region
+    broadcast); parent totals re-aggregate the 25-row nation table,
+    so every share join is dim-bounded."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rc"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = t(spark, sf, "region").select("r_regionkey", "r_name")
+    nr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rc").cast("long").alias("rev_c"))
+    ).persist()  # 25 rows: leaf grain + both parent rollups
+    rr = nr.groupBy("r_name").agg(
+        F.sum("rev_c").cast("long").alias("region_rev_c")
+    )
+    gg = rr.agg(F.sum("region_rev_c").cast("long").alias("global_rev_c"))
+    return (
+        nr.join(F.broadcast(rr), "r_name")
+        .crossJoin(F.broadcast(gg))
+        .select(
+            "r_name",
+            "n_name",
+            "rev_c",
+            "region_rev_c",
+            F.expr("(rev_c * 10000) div region_rev_c")
+            .cast("long")
+            .alias("share_of_region_e4"),
+            F.expr("(region_rev_c * 10000) div global_rev_c")
+            .cast("long")
+            .alias("region_share_global_e4"),
+        )
+    )

@@ -1309,3 +1309,234 @@ def test_rrf_matches_brute_force(docs):
         ):
             exp[(term, d)] = (s, rnk)
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # orderkey
+            st.sampled_from(["O", "F", "P"]),
+            st.integers(min_value=0, max_value=400),  # order day offset
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # orderkey ref
+            st.integers(min_value=1, max_value=900_000),  # cents
+            st.integers(min_value=0, max_value=400),  # ship day offset
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_ivm_join_delta_matches_brute_force(orders, lines):
+    base = pd.Timestamp("2000-06-01")
+    opdf = pd.DataFrame(
+        [
+            {"o_orderkey": k, "o_orderstatus": s,
+             "o_orderdate": base + pd.Timedelta(days=d)}
+            for k, s, d in orders
+        ]
+    )
+    lpdf = pd.DataFrame(
+        [
+            {"l_orderkey": k, "l_extendedprice": c / 100.0,
+             "l_shipdate": base + pd.Timedelta(days=d)}
+            for k, c, d in lines
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables(
+            "ivm_join_delta", {"orders": opdf, "lineitem": lpdf}
+        )
+    }
+    cut = pd.Timestamp("2001-01-01")
+    okeys = {k: (s, base + pd.Timedelta(days=d) >= cut) for k, s, d in orders}
+    exp = {}
+    for k, c, d in lines:
+        if k not in okeys:
+            continue
+        s, od = okeys[k]
+        ld = base + pd.Timedelta(days=d) >= cut
+        bb, bd, db, dd, tot, n = exp.get(k_s := s, (None, 0, 0, 0, 0, 0))
+        term = (
+            "bb" if not od and not ld
+            else "bd" if not od
+            else "db" if not ld
+            else "dd"
+        )
+        # terms: bb may be NULL (None) when absent, others coalesce 0
+        vals = {"bb": bb, "bd": bd, "db": db, "dd": dd}
+        vals[term] = (vals[term] or 0) + c
+        exp[k_s] = (vals["bb"], vals["bd"], vals["db"], vals["dd"],
+                    tot + c, n + 1)
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["Brand#1", "Brand#2"]),
+            st.integers(min_value=0, max_value=20),  # week
+            st.integers(min_value=1, max_value=500_000),  # cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_theil_sen_matches_brute_force(rows):
+    parts, lines = {}, []
+    for i, (brand, w, c) in enumerate(rows):
+        parts[i + 1] = brand
+        lines.append(
+            {"l_partkey": i + 1, "l_extendedprice": c / 100.0,
+             "l_shipdate": pd.Timestamp("1995-01-01")
+             + pd.Timedelta(days=7 * w)}
+        )
+    ppdf = pd.DataFrame(
+        [{"p_partkey": k, "p_brand": b} for k, b in parts.items()]
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle_tables(
+            "theil_sen_trend",
+            {"lineitem": pd.DataFrame(lines), "part": ppdf},
+        )
+    }
+    wk = {}
+    for i, (brand, w, c) in enumerate(rows):
+        wk[(brand, w)] = wk.get((brand, w), 0) + c
+    exp = {}
+    by_brand = {}
+    for (brand, w), rev in wk.items():
+        by_brand.setdefault(brand, []).append((w, rev))
+    for brand, pts in by_brand.items():
+        slopes = []
+        for wi, yi in pts:
+            for wj, yj in pts:
+                if wi < wj:
+                    num = (yj - yi) * 1_000_000
+                    gap = wj - wi
+                    q = abs(num) // gap * (1 if num >= 0 else -1)
+                    slopes.append(q)
+        if not slopes:
+            continue
+        slopes.sort()
+        exp[brand] = (
+            len(pts),
+            len(slopes),
+            slopes[(len(slopes) + 1) // 2 - 1],
+        )
+    # brands with a single week produce no pairs and no output row
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(wide_events_strategy)
+def test_cohort_ltv_matches_brute_force(rows):
+    recs = [
+        {
+            "event_id": i + 1,
+            "ts": pd.Timestamp(_BASE_US + sec * 1_000_000, unit="us"),
+            "user_id": u + 1,
+            "event_type": "purchase",
+            "value": ((i * 37) % 5000 + 1) / 100.0,
+            "props": "{}",
+        }
+        for i, (u, sec) in enumerate(rows)
+    ]
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _oracle_tables("cohort_ltv_curve", {"events": pd.DataFrame(recs)})
+    }
+    WEEK = 7 * 86_400 * 1_000_000
+    per_user = {}
+    for i, (u, sec) in enumerate(rows):
+        wkn = (_BASE_US + sec * 1_000_000) // WEEK
+        cents = (i * 37) % 5000 + 1
+        per_user.setdefault(u + 1, []).append((wkn, cents))
+    cohorts = {u: min(w for w, _ in evs) for u, evs in per_user.items()}
+    csize = {}
+    for u, cw in cohorts.items():
+        csize[cw] = csize.get(cw, 0) + 1
+    rev = {}
+    for u, evs in per_user.items():
+        cw = cohorts[u]
+        for w, c in evs:
+            key = (cw, w - cw)
+            rev[key] = rev.get(key, 0) + c
+    exp = {}
+    for cw in {k[0] for k in rev}:
+        cum = 0
+        for age in sorted(a for c, a in rev if c == cw):
+            cum += rev[(cw, age)]
+            exp[(cw, age)] = (
+                csize[cw],
+                rev[(cw, age)],
+                cum,
+                cum // csize[cw],
+            )
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # custkey
+            st.integers(min_value=1, max_value=3_000_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pct_of_parent_matches_brute_force(orders):
+    cust = pd.DataFrame(
+        [{"c_custkey": c, "c_nationkey": c % 4} for c in range(1, 9)]
+    )
+    nat = pd.DataFrame(
+        [
+            {"n_nationkey": n, "n_name": f"N{n}", "n_regionkey": n % 2}
+            for n in range(4)
+        ]
+    )
+    reg = pd.DataFrame(
+        [{"r_regionkey": r, "r_name": f"R{r}"} for r in range(2)]
+    )
+    opdf = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_custkey": c, "o_totalprice": cents / 100.0}
+            for i, (c, cents) in enumerate(orders)
+        ]
+    )
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _oracle_tables(
+            "pct_of_parent_rollup",
+            {"orders": opdf, "customer": cust, "nation": nat, "region": reg},
+        )
+    }
+    nrev = {}
+    for c, cents in orders:
+        n = c % 4
+        nrev[n] = nrev.get(n, 0) + cents
+    rrev = {}
+    for n, v in nrev.items():
+        rrev[n % 2] = rrev.get(n % 2, 0) + v
+    g = sum(rrev.values())
+    exp = {}
+    for n, v in nrev.items():
+        r = n % 2
+        exp[(f"R{r}", f"N{n}")] = (
+            v,
+            rrev[r],
+            v * 10000 // rrev[r],
+            rrev[r] * 10000 // g,
+        )
+    assert got == exp

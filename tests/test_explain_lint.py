@@ -69,6 +69,7 @@ BNLJ_BY_DESIGN = {
     "minhash_recall_audit",  # confusion-count scalars: 1-row broadcasts
     "negative_sampling_pairs",  # (mn, mx) id-ring bounds: scalar broadcast
     "pagerank_event_types",
+    "pct_of_parent_rollup",  # global-revenue row: scalar broadcast
     "pmi_bigram_scores",
     "price_decile_assign",
     "price_histogram",
