@@ -311,3 +311,53 @@ def stream_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("got"),
         F.coalesce(F.max("h"), F.lit(0)).cast("long").alias("kth_h"),
     )
+
+
+@query(
+    "stream_ddsketch_value_hist",
+    oracle=f"""
+    WITH c AS (
+      SELECT length(bin(CAST(round(value * 100) AS BIGINT))) AS bkt,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {EVENTS_US} events GROUP BY 1)
+    SELECT list(CAST(bkt AS BIGINT) ORDER BY bkt) AS bkts,
+           list(cnt ORDER BY bkt) AS cnts,
+           CAST(sum(cnt) AS BIGINT) AS n
+    FROM c
+    """,
+)
+def stream_ddsketch_value_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING base-2 DDSketch
+    (streaming/windows.py::ddsketch_value_stateful): the bucket
+    histogram of event value cents by bit-length — the same mergeable
+    quantile-sketch state ddsketch_pow2_quantiles reads quantiles
+    from, published as sorted parallel arrays so the driver hash pins
+    the ENTIRE sketch, not a summary.  The 10th stream==batch parity
+    (tests/test_streaming.py) pins that folding micro-batches through
+    the bucket-sum state reaches exactly this one-shot scan's answer
+    — sum-sketch mergeability in executable form.
+
+    Scale: one events scan to <= 41 (bucket, count) rows,
+    map-side combinable; the array packing is a 1-row collect of a
+    bounded set."""
+    c = (
+        t(spark, sf, "events")
+        .select(
+            F.length(
+                F.bin(F.round(F.col("value") * 100).cast("long"))
+            ).cast("long").alias("bkt")
+        )
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s = c.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bkt", "cnt"))
+        ).alias("ps"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    return s.select(
+        F.expr("transform(ps, p -> p.bkt)").alias("bkts"),
+        F.expr("transform(ps, p -> p.cnt)").alias("cnts"),
+        "n",
+    )

@@ -310,3 +310,53 @@ def kmv_distinct_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DDS_SCHEMA = "bkts array<long>, cnts array<long>, n long"
+_DDS_STATE_SCHEMA = "bkts array<long>, cnts array<long>"
+
+
+def _dds_fn(key, pdfs, state: GroupState):
+    """Streaming base-2 DDSketch of the value column (cents
+    bit-length buckets): state is the bucket->count map — a PURE SUM
+    sketch, so micro-batch merge is bucket-wise addition and the
+    result is arrival-order independent (the property that makes the
+    parity with the one-shot batch histogram exact).  Bounded state:
+    <= 41 buckets for any int64 cents, whatever the stream length."""
+    if state.exists:
+        bkts, cnts = (list(x) for x in state.get)
+        counts = dict(zip(bkts, cnts))
+    else:
+        counts = {}
+    for pdf in pdfs:
+        cents = pdf["value"].mul(100).round().astype("int64")
+        for c in cents:
+            b = int(c).bit_length()
+            counts[b] = counts.get(b, 0) + 1
+    ordered = sorted(counts.items())
+    state.update(([b for b, _ in ordered], [c for _, c in ordered]))
+    yield pd.DataFrame(
+        {
+            "bkts": [[b for b, _ in ordered]],
+            "cnts": [[c for _, c in ordered]],
+            "n": [sum(counts.values())],
+        }
+    )
+
+
+def ddsketch_value_stateful(events: DataFrame) -> DataFrame:
+    """STREAMING twin of plans/streamq.py::stream_ddsketch_value_hist
+    — the mergeable quantile sketch maintained incrementally
+    (applyInPandasWithState, update mode); see
+    plans/analytics4.py::ddsketch_pow2_quantiles for the batch
+    readout math.  At production scale the same sketch runs
+    per-partition then bucket-sums (it is a counter matrix); the
+    single-key form here is the semantic twin the batch query pins."""
+    ev = events.select(F.lit(1).alias("g"), "value")
+    return ev.groupBy("g").applyInPandasWithState(
+        _dds_fn,
+        outputStructType=DDS_SCHEMA,
+        stateStructType=_DDS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1540,3 +1540,37 @@ def test_pct_of_parent_matches_brute_force(orders):
             rrev[r] * 10000 // g,
         )
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=49_002),  # cents
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_stream_ddsketch_hist_matches_brute_force(cents):
+    recs = [
+        {
+            "event_id": i + 1,
+            "ts": pd.Timestamp(1_704_067_200_000_000 + i, unit="us"),
+            "user_id": 1,
+            "event_type": "view",
+            "value": c / 100.0,
+            "props": "{}",
+        }
+        for i, c in enumerate(cents)
+    ]
+    got = _oracle_tables(
+        "stream_ddsketch_value_hist", {"events": pd.DataFrame(recs)}
+    )[0]
+    from collections import Counter
+
+    hist = Counter(c.bit_length() for c in cents)
+    bkts = sorted(hist)
+    assert (list(got[0]), list(got[1]), got[2]) == (
+        bkts,
+        [hist[b] for b in bkts],
+        len(cents),
+    )

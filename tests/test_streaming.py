@@ -208,3 +208,19 @@ def test_stream_kmv_matches_batch(spark):
     # emission is the final folded state
     got = _rows(out, cols)[-1]
     assert [got] == _rows(batch, cols)
+
+
+def test_stream_ddsketch_matches_batch(spark):
+    """10th stream==batch parity: the base-2 DDSketch bucket histogram
+    folded through applyInPandasWithState bucket-sum state equals the
+    one-shot batch scan — sum-sketch mergeability, executably."""
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.ddsketch_value_stateful(stream), "t_dds", "update"
+    )
+    batch = QUERIES["stream_ddsketch_value_hist"](spark, SF)
+    cols = ["bkts", "cnts", "n"]
+    # update mode re-emits the sketch per micro-batch; the emission
+    # with the largest n is the final folded state
+    got = max(_rows(out, cols), key=lambda r: r[2])
+    assert [got] == _rows(batch, cols)
