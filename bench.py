@@ -76,6 +76,10 @@ TIER2 = [
     # round-6 second wave: graph reachability + absorbing-chain MTA
     "bfs_hop_census",
     "markov_attribution_removal",
+    # round-6 fourth wave: the basket self-join CF neighbor table and
+    # the calendar-bounded pairwise-slope robust trend
+    "item_cf_similarity_topk",
+    "theil_sen_trend",
 ]
 
 

@@ -906,3 +906,519 @@ def pct_of_parent_rollup(spark: SparkSession, sf: str) -> DataFrame:
             .alias("region_share_global_e4"),
         )
     )
+
+
+_LP_TOPK = 50
+
+
+def _linkpred_oracle() -> str:
+    from .analytics2 import _LPA_EDGES_SQL
+
+    return f"""
+    WITH {_LPA_EDGES_SQL},
+    nd AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM ed
+           GROUP BY u),
+    p2 AS (
+      SELECT a.u AS x, b.v AS z, CAST(count(*) AS BIGINT) AS cn
+      FROM ed a JOIN ed b ON a.v = b.u AND a.u < b.v
+      GROUP BY 1, 2),
+    ne AS (
+      SELECT p2.x, p2.z, p2.cn FROM p2
+      WHERE NOT EXISTS (SELECT 1 FROM e0
+                        WHERE e0.u = p2.x AND e0.v = p2.z)),
+    sc AS (
+      SELECT ne.x AS u, ne.z AS v, ne.cn,
+             CAST((ne.cn * 1000000) // (dx.d + dz.d - ne.cn) AS BIGINT)
+               AS jaccard_e6
+      FROM ne JOIN nd dx ON ne.x = dx.node
+              JOIN nd dz ON ne.z = dz.node)
+    SELECT u, v, cn AS common_neighbors, jaccard_e6
+    FROM sc ORDER BY jaccard_e6 DESC, cn DESC, u, v LIMIT {_LP_TOPK}
+    """
+
+
+def _linkpred_oracle_staged() -> list[str]:
+    # the chained form re-inlines the edge CTE (a lineitem-orders
+    # self-join) once per reference; at the 100x replica DuckDB dies
+    # of spill building it twice for the two-hop join — the staged
+    # twin materializes each stage ONCE (the LPA/CC/BFS discipline)
+    from .analytics2 import _LPA_EDGES_SQL
+
+    return [
+        f"CREATE OR REPLACE TEMP TABLE lp_ed AS WITH {_LPA_EDGES_SQL} "
+        "SELECT u, v FROM ed",
+        "CREATE OR REPLACE TEMP TABLE lp_e0 AS "
+        "SELECT u, v FROM lp_ed WHERE u < v",
+        "CREATE OR REPLACE TEMP TABLE lp_nd AS "
+        "SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM lp_ed "
+        "GROUP BY u",
+        """CREATE OR REPLACE TEMP TABLE lp_ne AS
+    SELECT p2.x, p2.z, p2.cn FROM (
+      SELECT a.u AS x, b.v AS z, CAST(count(*) AS BIGINT) AS cn
+      FROM lp_ed a JOIN lp_ed b ON a.v = b.u AND a.u < b.v
+      GROUP BY 1, 2) p2
+    WHERE NOT EXISTS (SELECT 1 FROM lp_e0
+                      WHERE lp_e0.u = p2.x AND lp_e0.v = p2.z)""",
+        f"""SELECT ne.x AS u, ne.z AS v, ne.cn AS common_neighbors,
+           CAST((ne.cn * 1000000) // (dx.d + dz.d - ne.cn) AS BIGINT)
+             AS jaccard_e6
+    FROM lp_ne ne JOIN lp_nd dx ON ne.x = dx.node
+                  JOIN lp_nd dz ON ne.z = dz.node
+    ORDER BY jaccard_e6 DESC, common_neighbors DESC, u, v
+    LIMIT {_LP_TOPK}""",
+    ]
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=_linkpred_oracle(),
+    staged_oracle=_linkpred_oracle_staged(),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction on the co-purchase graph by common-neighbor
+    Jaccard: for every NON-adjacent customer pair reachable in two
+    hops, score = |N(x) ∩ N(z)| / |N(x) ∪ N(z)| in exact 1e-6 ticks
+    (cn / (deg_x + deg_z − cn) — the neighborhood-overlap form, no
+    set materialization needed), top-50 published — the "customers
+    who should know each other" primitive of friend/product
+    recommendation, and the predictive counterpart of
+    triangle_count_copurchase's closed-triangle census.
+
+    Scale: candidates come from the TWO-HOP join on the
+    degree-bounded rare-part edge list (copurchase_edges — the same
+    blocked projection the triangle/LPA/k-core family shares), never
+    all-pairs; existing edges drop via an anti-join; degrees join on
+    the candidate's endpoints (shuffle joins — the degree table is
+    entity-sized, deliberately NOT broadcast); top-50 is TakeOrdered
+    (per-partition top-k + tiny merge)."""
+    from .analytics2 import copurchase_edges
+
+    ed = copurchase_edges(spark, sf)
+    e0 = ed.filter(F.col("u") < F.col("v"))
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = ed.alias("a"), ed.alias("b")
+    p2 = (
+        a.join(b, (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v")))
+        .groupBy(F.col("a.u").alias("x"), F.col("b.v").alias("z"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    ne = p2.join(
+        e0,
+        (p2["x"] == e0["u"]) & (p2["z"] == e0["v"]),
+        "left_anti",
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dz = deg.select(F.col("u").alias("z"), F.col("d").alias("dz"))
+    sc = (
+        ne.join(dx, "x")
+        .join(dz, "z")
+        .select(
+            F.col("x").alias("u"),
+            F.col("z").alias("v"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("(cn * 1000000) div (dx + dz - cn)")
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    return sc.orderBy(
+        F.desc("jaccard_e6"), F.desc("common_neighbors"), "u", "v"
+    ).limit(_LP_TOPK)
+
+
+_CNT_NUM, _CNT_DEN = 3, 4  # containment threshold 3/4
+
+
+def _containment_oracle() -> str:
+    from .llm5 import _SSJ_SHINGLES_SQL
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {_SSJ_SHINGLES_SQL} AS sh
+      FROM documents),
+    n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh
+          WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, na.n_sh AS n_a, shared AS n_inter,
+           CAST((shared * 10000) // na.n_sh AS BIGINT)
+             AS containment_e4
+    FROM inter JOIN n na ON na.doc_id = doc_a
+    WHERE shared * {_CNT_DEN} >= {_CNT_NUM} * na.n_sh
+    """
+
+
+@query("dedup_containment_prefix", oracle=_containment_oracle())
+def dedup_containment_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup detection: doc A is flagged
+    against doc B when |A ∩ B| / |A| >= 3/4 over 3-gram shingle sets
+    — the subset-inclusion duplication (quotation, wrapper pages,
+    doc-inside-doc) that symmetric Jaccard misses entirely (a tiny
+    doc fully contained in a huge one has Jaccard ~ |A|/|B| ~ 0 but
+    containment 1).  Directional pairs publish with the exact
+    1e-4-tick score.
+
+    Exactness: the prefix-filter lemma adapted to containment — if
+    |A∩B| >= t|A| then fewer than |A| − t|A| + 1 of A's tokens miss
+    B, so A's rarest-first prefix of length n_a − ceil(t·n_a) + 1
+    must hit B's FULL token set under any consistent global order;
+    side B is therefore fully indexed (the inverted-index posting
+    list) while only probes take the prefix, and verification on the
+    materialized sets keeps the output exactly the all-pairs answer.
+
+    Scale: blocked by (lang, source) like the Jaccard twin; the
+    posting-list join's fan-out is bounded by the block's
+    document frequency of A's RAREST shingles (the prefix tokens are
+    rarest-first by construction), and verification touches candidate
+    pairs only.  Shingle df reuses one (lang, source, shingle)
+    shuffle."""
+    from .llm5 import _shingles
+
+    docs = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_sort(_shingles("text", 3)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("n_sh", F.size("sh").cast("long"))
+    ).persist()  # probe prefixes, posting lists, and verification sets
+    ex = docs.select(
+        "lang", "source", "doc_id", "n_sh", F.explode("sh").alias("shingle")
+    )
+    rare = ex.withColumn(
+        "df",
+        F.count(F.lit(1)).over(W.partitionBy("lang", "source", "shingle")),
+    )
+    ordered = rare.groupBy("lang", "source", "doc_id", "n_sh").agg(
+        F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+    )
+    pref_len = (
+        F.col("n_sh")
+        - F.expr(f"(n_sh * {_CNT_NUM} + {_CNT_DEN} - 1) div {_CNT_DEN}")
+        + 1
+    )
+    prefix = ordered.select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.explode(F.slice("toks", F.lit(1), pref_len)).alias("ptok"),
+    ).select(
+        "lang", "source", "doc_a", "n_a",
+        F.col("ptok.shingle").alias("shingle"),
+    )
+    full_b = ex.select(
+        "lang", "source", "shingle", F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        prefix.join(full_b, ["lang", "source", "shingle"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a")
+        .distinct()
+    )
+    sets = docs.select("doc_id", "sh")
+    verified = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        )
+        .filter(F.col("n_inter") * _CNT_DEN >= _CNT_NUM * F.col("n_a"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_inter",
+        F.expr("(n_inter * 10000) div n_a").alias("containment_e4"),
+    )
+
+
+_WILSON_MIN_N = 5
+
+
+@query(
+    "ctr_wilson_ranking",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+               AS clicks,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS_US} events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY user_id
+      HAVING count(*) >= {_WILSON_MIN_N}),
+    w AS (
+      SELECT user_id, clicks, n,
+             ((CAST(clicks AS DOUBLE) / n) + (3.8416 / (2 * n))
+              - 1.96 * sqrt((((CAST(clicks AS DOUBLE) / n)
+                              * (1 - (CAST(clicks AS DOUBLE) / n)))
+                             + (3.8416 / (4 * n))) / n))
+             / (1 + (3.8416 / n)) AS lb
+      FROM s)
+    SELECT user_id, clicks, n, round(lb, 6) AS wilson_lb
+    FROM w ORDER BY lb DESC, user_id LIMIT 20
+    """,
+)
+def ctr_wilson_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank users by the WILSON SCORE lower bound of their
+    click-through rate (z = 1.96, z² = 3.8416) — the
+    small-sample-safe ranking every "best rated" / "highest CTR"
+    surface uses instead of the raw proportion (a 1/1 clicker must
+    not outrank a 95/100 one).  Both engines evaluate the identical
+    fully-parenthesized double expression — division, multiplication
+    and sqrt are correctly-rounded IEEE-754 ops, so the bits agree
+    (the bm25/kaplan float-with-round(6) precedent); inputs are exact
+    integer counts.
+
+    Scale: one events scan to per-user (clicks, n) — map-side
+    combinable; the score is a per-row expression and top-20 is
+    TakeOrdered, so nothing beyond the user aggregate ever
+    shuffles."""
+    s = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("long")
+            .alias("clicks"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= _WILSON_MIN_N)
+    )
+    lb = F.expr(
+        "((CAST(clicks AS DOUBLE) / n) + (3.8416 / (2 * n))"
+        " - 1.96 * sqrt((((CAST(clicks AS DOUBLE) / n)"
+        " * (1 - (CAST(clicks AS DOUBLE) / n)))"
+        " + (3.8416 / (4 * n))) / n))"
+        " / (1 + (3.8416 / n))"
+    )
+    w = s.withColumn("lb", lb)
+    return (
+        w.orderBy(F.desc("lb"), "user_id")
+        .limit(20)
+        .select(
+            "user_id", "clicks", "n", F.round("lb", 6).alias("wilson_lb")
+        )
+    )
+
+
+@query(
+    "clamped_running_balance",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS dc
+      FROM {EVENTS_US} events),
+    s0 AS (
+      SELECT user_id, us, event_id,
+             CAST(sum(dc) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS st
+      FROM d),
+    s AS (
+      SELECT user_id, us, event_id, st,
+             CAST(least(min(st) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS mt
+      FROM s0),
+    b AS (
+      SELECT user_id, st, st - mt AS bal,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS rn
+      FROM s),
+    fin AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max_by(st, rn) AS BIGINT) AS final_s,
+             CAST(max_by(bal, rn) AS BIGINT) AS final_balance,
+             CAST(max(bal) AS BIGINT) AS peak_balance
+      FROM b GROUP BY user_id)
+    SELECT * FROM fin
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-clamped running balance per user (purchases credit, other
+    events debit): the inventory / prepaid-wallet / queue-backlog
+    recursion b_t = max(0, b_(t-1) + d_t) — a NONLINEAR prefix
+    operation no single SQL window expresses directly.  The plan uses
+    the Lindley/reflection closed form  b_t = S_t − min(0, min_(k<=t)
+    S_k): a plain cumulative sum, a running minimum OF that sum, and
+    a subtraction — turning the sequential recursion into two
+    composable windows (the hypothesis brute-force property replays
+    the literal recursion in Python and pins the identity).
+    Published per user: event count, final raw sum, final clamped
+    balance, and the peak clamped balance.
+
+    Scale: both windows partition on user_id (entity-grain
+    parallelism — millions of independent partitions, no funnel);
+    everything is exact int64 cents."""
+    d = t(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("long"))
+        .alias("dc"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = d.withColumn("st", F.sum("dc").over(w).cast("long"))
+    s = (
+        s.withColumn(
+            "mt", F.least(F.min("st").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("bal", F.col("st") - F.col("mt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max_by("st", "rn").cast("long").alias("final_s"),
+        F.max_by("bal", "rn").cast("long").alias("final_balance"),
+        F.max("bal").cast("long").alias("peak_balance"),
+    )
+
+
+_EXPECT_RULES_SQL = """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (o_totalprice IS NULL
+                                   OR o_totalprice <= 0) AS BIGINT)
+               AS v_price_positive,
+             CAST(count(*) FILTER (o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+               AS v_status_domain,
+             CAST(count(*) FILTER (o_orderpriority IS NULL OR
+                    NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                  AS BIGINT) AS v_priority_regex,
+             CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+               AS v_custkey_notnull,
+             CAST(count(*) FILTER (o_orderdate IS NULL
+                    OR o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2010-01-01')
+                  AS BIGINT) AS v_orderdate_range
+      FROM orders"""
+
+
+@query(
+    "expectations_audit",
+    oracle=f"""
+    WITH a AS ({_EXPECT_RULES_SQL})
+    SELECT r.rule, a.n_rows,
+           CASE r.rule
+             WHEN 'price_positive' THEN a.v_price_positive
+             WHEN 'status_domain' THEN a.v_status_domain
+             WHEN 'priority_regex' THEN a.v_priority_regex
+             WHEN 'custkey_notnull' THEN a.v_custkey_notnull
+             ELSE a.v_orderdate_range END AS n_violations,
+           CAST(CASE r.rule
+             WHEN 'price_positive' THEN a.v_price_positive
+             WHEN 'status_domain' THEN a.v_status_domain
+             WHEN 'priority_regex' THEN a.v_priority_regex
+             WHEN 'custkey_notnull' THEN a.v_custkey_notnull
+             ELSE a.v_orderdate_range END = 0 AS BIGINT) AS passed
+    FROM a CROSS JOIN (
+      SELECT unnest(['price_positive', 'status_domain',
+                     'priority_regex', 'custkey_notnull',
+                     'orderdate_range']) AS rule) r
+    """,
+)
+def expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite over the orders table (the
+    Great-Expectations / dbt-test shape): five declarative rules —
+    positive amount, status domain, priority format regex, key
+    not-null, date range — each published as (rule, total rows,
+    violation count, passed) so a pipeline gate can block on any
+    failed row.  All five rules evaluate in ONE scan as conditional
+    counts (map-side combinable); the per-rule rows unpivot off the
+    single audit row, so adding a rule costs a column, not a scan.
+
+    Scale: one pass whatever the table size; the violation counts
+    are the same counters a 100 TB ingest gate keeps per file to
+    quarantine bad partitions (pair with referential_integrity_audit
+    for the cross-table rules)."""
+    o = t(spark, sf, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0),
+                1,
+            )
+        ).cast("long").alias("v_price_positive"),
+        F.count(
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P"),
+                1,
+            )
+        ).cast("long").alias("v_status_domain"),
+        F.count(
+            F.when(
+                F.col("o_orderpriority").isNull()
+                | ~F.col("o_orderpriority").rlike("^[1-5]-"),
+                1,
+            )
+        ).cast("long").alias("v_priority_regex"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+        .cast("long")
+        .alias("v_custkey_notnull"),
+        F.count(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            )
+        ).cast("long").alias("v_orderdate_range"),
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(col).alias("n_violations")
+            )
+            for name, col in [
+                ("price_positive", "v_price_positive"),
+                ("status_domain", "v_status_domain"),
+                ("priority_regex", "v_priority_regex"),
+                ("custkey_notnull", "v_custkey_notnull"),
+                ("orderdate_range", "v_orderdate_range"),
+            ]
+        ]
+    )
+    return a.select("n_rows", F.explode(rules).alias("r")).select(
+        F.col("r.rule").alias("rule"),
+        "n_rows",
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_violations") == 0).cast("long").alias("passed"),
+    )

@@ -1574,3 +1574,252 @@ def test_stream_ddsketch_hist_matches_brute_force(cents):
         [hist[b] for b in bkts],
         len(cents),
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),  # custkey
+            st.integers(min_value=1, max_value=6),  # partkey
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_link_prediction_matches_brute_force(pairs):
+    from itertools import combinations
+
+    opdf = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_custkey": c}
+            for i, (c, _) in enumerate(pairs)
+        ]
+    )
+    lpdf = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_partkey": p}
+            for i, (_, p) in enumerate(pairs)
+        ]
+    )
+    got = [
+        tuple(r)
+        for r in _oracle_tables(
+            "graph_jaccard_link_prediction",
+            {"orders": opdf, "lineitem": lpdf},
+        )
+    ]
+    buyers = {}
+    for c, p in set(pairs):
+        buyers.setdefault(p, set()).add(c)
+    edges = set()
+    for p, cs in buyers.items():
+        if len(cs) <= 15:
+            for a, b in combinations(sorted(cs), 2):
+                edges.add((a, b))
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    cand = {}
+    for m, ns in nbr.items():
+        for x in ns:
+            for z in ns:
+                if x < z and (x, z) not in edges:
+                    cand[(x, z)] = len(nbr[x] & nbr[z])
+    scored = [
+        (x, z, cn, cn * 1_000_000 // (len(nbr[x]) + len(nbr[z]) - cn))
+        for (x, z), cn in cand.items()
+    ]
+    scored.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    assert got == scored[:50]
+
+
+def _shingles_py(text: str):
+    ws = [w for w in text.lower().split(" ") if w]
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_matches_brute_force(docs):
+    recs = [
+        {"doc_id": i + 1, "text": " ".join(ws), "lang": "en",
+         "source": "src0", "n_chars": 0}
+        for i, ws in enumerate(docs)
+    ]
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in _oracle_tables(
+            "dedup_containment_prefix", {"documents": pd.DataFrame(recs)}
+        )
+    }
+    sets = {i + 1: _shingles_py(" ".join(ws)) for i, ws in enumerate(docs)}
+    exp = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter * 4 >= 3 * len(sa):
+                exp[(a, b)] = (
+                    len(sa),
+                    inter,
+                    inter * 10000 // len(sa),
+                )
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=15),  # user
+            st.sampled_from(["click", "view"]),
+        ),
+        min_size=5,
+        max_size=120,
+    )
+)
+def test_wilson_matches_brute_force(rows):
+    import math
+
+    recs = [
+        {
+            "event_id": i + 1,
+            "ts": pd.Timestamp(1_704_067_200_000_000 + i, unit="us"),
+            "user_id": u,
+            "event_type": ty,
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, (u, ty) in enumerate(rows)
+    ]
+    got = [
+        tuple(r)
+        for r in _oracle_tables("ctr_wilson_ranking", {"events": pd.DataFrame(recs)})
+    ]
+    stats = {}
+    for u, ty in rows:
+        c, n = stats.get(u, (0, 0))
+        stats[u] = (c + (ty == "click"), n + 1)
+    scored = []
+    for u, (c, n) in stats.items():
+        if n < 5:
+            continue
+        p = c / n
+        lb = (p + 3.8416 / (2 * n)
+              - 1.96 * math.sqrt(((p * (1 - p)) + 3.8416 / (4 * n)) / n)
+              ) / (1 + 3.8416 / n)
+        scored.append((u, c, n, lb))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    top = scored[:20]
+    assert [(r[0], r[1], r[2]) for r in got] == [
+        (r[0], r[1], r[2]) for r in top
+    ]
+    for g, e in zip(got, top):
+        assert abs(g[3] - round(e[3], 6)) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user bucket
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=1, max_value=40_000),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_clamped_balance_matches_literal_recursion(rows):
+    recs = [
+        {
+            "event_id": i + 1,
+            "ts": pd.Timestamp(1_704_067_200_000_000 + i * 1_000_000, unit="us"),
+            "user_id": u + 1,
+            "event_type": ty,
+            "value": c / 100.0,
+            "props": "{}",
+        }
+        for i, (u, ty, c) in enumerate(rows)
+    ]
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables(
+            "clamped_running_balance", {"events": pd.DataFrame(recs)}
+        )
+    }
+    per_user = {}
+    for i, (u, ty, c) in enumerate(rows):
+        per_user.setdefault(u + 1, []).append(
+            (i, c if ty == "purchase" else -c)
+        )
+    exp = {}
+    for u, evs in per_user.items():
+        s = b = peak = 0
+        for _, d in evs:  # the LITERAL recursion the closed form must equal
+            s += d
+            b = max(0, b + d)
+            peak = max(peak, b)
+        exp[u] = (len(evs), s, b, peak)
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=400_000),  # cents, may be <= 0
+            st.sampled_from(["O", "F", "P", "X"]),
+            st.sampled_from(["1-URGENT", "5-LOW", "9-BAD"]),
+            st.integers(min_value=1980, max_value=2020),  # year
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_expectations_audit_matches_brute_force(rows):
+    recs = [
+        {
+            "o_orderkey": i + 1,
+            "o_custkey": i + 1,
+            "o_orderstatus": s,
+            "o_totalprice": c / 100.0,
+            "o_orderdate": pd.Timestamp(f"{y}-06-01"),
+            "o_orderpriority": p,
+        }
+        for i, (c, s, p, y) in enumerate(rows)
+    ]
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle_tables("expectations_audit", {"orders": pd.DataFrame(recs)})
+    }
+    n = len(rows)
+    v = {
+        "price_positive": sum(1 for c, *_ in rows if c <= 0),
+        "status_domain": sum(1 for _, s, *_ in rows if s not in "OFP"),
+        "priority_regex": sum(
+            1 for *_, p, _y in [(r[0], r[1], r[2], r[3]) for r in rows]
+            if not (p[0] in "12345" and p[1] == "-")
+        ),
+        "custkey_notnull": 0,
+        "orderdate_range": sum(
+            1 for *_, y in rows if y < 1990 or y >= 2010
+        ),
+    }
+    exp = {k: (n, c, int(c == 0)) for k, c in v.items()}
+    assert got == exp

@@ -190,6 +190,18 @@ SHOWCASE = [
         "WholeStageCodegen span: no shuffle, no Python, "
         "doc-cardinality output",
     ),
+    (
+        "ddsketch_pow2_quantiles",
+        "mergeable quantile sketch (r06): ONE orders scan collapses to "
+        "a <=41-row map-side-combinable bucket histogram; the readout "
+        "walk and quantile panel never touch the corpus again",
+    ),
+    (
+        "file_compaction_plan",
+        "compaction planner (r06): ONE documents scan (persisted "
+        "4-int projection); bucket-total broadcast, per-doc cumsum "
+        "window bounded to (source, id-bucket) — no per-source funnel",
+    ),
 ]
 
 
