@@ -1422,3 +1422,118 @@ def expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r.n_violations").alias("n_violations"),
         (F.col("r.n_violations") == 0).cast("long").alias("passed"),
     )
+
+
+_LDIV_L = 3
+_BAL_BAND_C = 200_000  # 2000.00-dollar account-balance bands
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // {_BAL_BAND_C}
+               AS band
+      FROM customer),
+    g AS (
+      SELECT nation, segment,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
+      FROM b GROUP BY 1, 2)
+    SELECT nation, segment, group_size, l_distinct,
+           CAST(l_distinct < {_LDIV_L} AS BIGINT) AS flagged
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit — the companion gate to k_anonymity_audit
+    (same (nation, segment) quasi-identifier pair): a class can be
+    large enough for k-anonymity yet still leak if every member
+    shares the same sensitive value, so each class also needs >= l
+    DISTINCT sensitive values (Machanavajjhala 2007).  Sensitive
+    attribute here is the account-balance BAND (2000-dollar integer
+    brackets of exact cents); classes below l = 3 are flagged for
+    suppression or band-coarsening before release.
+
+    Scale: one customer scan to a (quasi-id, band) aggregate, then a
+    distinct-count per class — both map-side combinable; the audit
+    output is class-count-bounded.  Generalization composes exactly
+    like the k-audit: re-run on the coarser key or wider band."""
+    b = t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            f"CAST(round(c_acctbal * 100) AS BIGINT) div {_BAL_BAND_C}"
+        ).alias("band"),
+    )
+    return (
+        b.groupBy("nation", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.count_distinct("band").cast("long").alias("l_distinct"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("l_distinct") < _LDIV_L).cast("long"),
+        )
+    )
+
+
+@query(
+    "revenue_wow_change",
+    oracle="""
+    WITH wk AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01', o_orderdate) // 7
+               AS w,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT CAST(cur.w AS BIGINT) AS week,
+           cur.n_orders, cur.rev_c,
+           prv.rev_c AS prev_rev_c,
+           cur.rev_c - prv.rev_c AS delta_c,
+           CAST(((cur.rev_c - prv.rev_c) * 10000) // prv.rev_c
+                AS BIGINT) AS pct_change_e4
+    FROM wk cur JOIN wk prv ON prv.w = cur.w - 1
+    """,
+)
+def revenue_wow_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week revenue change — the BI staple, built
+    CALENDAR-SAFE: the previous week comes from an equi-join on
+    w − 1, not a row-offset lag(), so a missing week never silently
+    compares against the week before it (the lag() form misaligns on
+    gaps; this form drops the gap row instead — the honest answer).
+    Change is exact basis-point integer ticks off exact cents sums.
+
+    Scale: one orders scan to the calendar-bounded weekly aggregate;
+    the self-join runs on the tiny week-keyed table.  Int64: weekly
+    cents ~2e12 at the 100x replica, x1e4 well inside range."""
+    wk = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr("datediff(o_orderdate, DATE '1995-01-01') div 7")
+            .cast("long")
+            .alias("w")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    ).persist()  # week-keyed table: current and previous sides
+    cur, prv = wk.alias("cur"), wk.alias("prv")
+    return cur.join(
+        prv, F.col("prv.w") == F.col("cur.w") - 1
+    ).select(
+        F.col("cur.w").cast("long").alias("week"),
+        F.col("cur.n_orders").alias("n_orders"),
+        F.col("cur.rev_c").alias("rev_c"),
+        F.col("prv.rev_c").alias("prev_rev_c"),
+        (F.col("cur.rev_c") - F.col("prv.rev_c")).alias("delta_c"),
+        F.expr(
+            "((cur.rev_c - prv.rev_c) * 10000) div prv.rev_c"
+        ).cast("long").alias("pct_change_e4"),
+    )

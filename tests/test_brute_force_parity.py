@@ -1823,3 +1823,74 @@ def test_expectations_audit_matches_brute_force(rows):
     }
     exp = {k: (n, c, int(c == 0)) for k, c in v.items()}
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # nation
+            st.sampled_from(["AUTOMOBILE", "BUILDING"]),
+            st.integers(min_value=-99_999, max_value=999_999),  # bal cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_l_diversity_matches_brute_force(rows):
+    pdf = pd.DataFrame(
+        [
+            {"c_custkey": i + 1, "c_nationkey": n, "c_mktsegment": s,
+             "c_acctbal": c / 100.0}
+            for i, (n, s, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in _oracle_tables("l_diversity_audit", {"customer": pdf})
+    }
+    groups = {}
+    for n, s, c in rows:
+        # both engines truncate integer division toward zero
+        band = abs(c) // 200_000 * (1 if c >= 0 else -1)
+        groups.setdefault((n, s), []).append(band)
+    exp = {
+        k: (len(v), len(set(v)), int(len(set(v)) < 3))
+        for k, v in groups.items()
+    }
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # week
+            st.integers(min_value=1, max_value=900_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_wow_change_matches_brute_force(rows):
+    base = pd.Timestamp("1995-01-01")
+    pdf = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1,
+             "o_orderdate": base + pd.Timedelta(days=7 * w + i % 7),
+             "o_totalprice": c / 100.0}
+            for i, (w, c) in enumerate(rows)
+        ]
+    )
+    got = {r[0]: r[1:] for r in _oracle_tables("revenue_wow_change", {"orders": pdf})}
+    wk = {}
+    for w, c in rows:
+        n, r = wk.get(w, (0, 0))
+        wk[w] = (n + 1, r + c)
+    exp = {}
+    for w, (n, r) in wk.items():
+        if w - 1 in wk:
+            pr = wk[w - 1][1]
+            d = r - pr
+            exp[w] = (n, r, pr, d, abs(d) * 10000 // pr * (1 if d >= 0 else -1))
+    assert got == exp
