@@ -891,7 +891,10 @@ def markov_attribution_removal(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: corpus-sized work is ONE user-partition window pass (first-
     purchase min + lag sequencing) and the k^2-bounded transition
-    aggregate; the iteration runs on broadcast-sized constants.  The
+    aggregate; the value iteration runs driver-side on the collected
+    k^2-bounded matrix (kmeans-centroid discipline — the Spark-side
+    loop formulation paid ~10 s of Catalyst re-analysis on an 8-deep
+    lineage over a 25-row table, at ANY corpus size).  The
     chained oracle re-inlines the corpus CTE once per iteration, hence
     the staged twin (ORACLE_PORTABILITY.md CTE discipline)."""
     ev = t(spark, sf, "events").select(
@@ -960,52 +963,42 @@ def markov_attribution_removal(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dst").alias("pt_dst"),
         F.col("p").alias("pt_p"),
     )
-    grid = spark.createDataFrame(
-        [(sc, rm, st) for sc, rm in _MK_SCN for st in _MK_STATES],
-        "sc string, rm string, st string",
+    pcm = {r["pc_src"]: r["pc_p"] for r in pc.collect()}
+    ptm = sorted(
+        (r["pt_src"], r["pt_dst"], r["pt_p"]) for r in pt.collect()
     )
-    x = grid.withColumn("x", F.lit(0.0))
+    # K fixed value-iteration steps over the 25-entry (scenario, state)
+    # vector — k^2-bounded constants, so the loop runs ON THE DRIVER
+    # (the kmeans-centroid discipline): the Spark-side formulation of
+    # this loop re-analyzed an 8-deep join lineage over a 25-row table
+    # and cost ~10 s of pure planning at any data scale.  Accumulation
+    # order is pinned by the (src, dst) sort; the <= 5-term sums keep
+    # order noise ~1e-15, nine orders below the 6 dp publication.
+    xv = {(sc, st): 0.0 for sc, _ in _MK_SCN for st in _MK_STATES}
     for _ in range(_MK_K):
-        agg = (
-            pt.join(
-                x.select(
-                    F.col("sc").alias("a_sc"),
-                    F.col("st").alias("a_st"),
-                    "x",
-                ),
-                F.col("a_st") == F.col("pt_dst"),
-            )
-            .groupBy(F.col("a_sc").alias("g_sc"), F.col("pt_src").alias("g_st"))
-            .agg(F.sum(F.col("pt_p") * F.col("x")).alias("s"))
-        )
-        x = (
-            grid.join(pc, grid["st"] == F.col("pc_src"), "left")
-            .join(
-                agg,
-                (grid["sc"] == F.col("g_sc"))
-                & (grid["st"] == F.col("g_st")),
-                "left",
-            )
-            .select(
-                "sc",
-                "rm",
-                "st",
-                F.when(F.col("st") == F.col("rm"), F.lit(0.0))
-                .otherwise(
-                    F.coalesce(F.col("pc_p"), F.lit(0.0))
-                    + F.coalesce(F.col("s"), F.lit(0.0))
+        nxt = {}
+        for sc, rm in _MK_SCN:
+            s: dict[str, float] = {}
+            for src, dst, pp in ptm:
+                s[src] = s.get(src, 0.0) + pp * xv[(sc, dst)]
+            for st in _MK_STATES:
+                nxt[(sc, st)] = (
+                    0.0
+                    if st == rm
+                    else pcm.get(st, 0.0) + s.get(st, 0.0)
                 )
-                .alias("x"),
-            )
-        )
-    fin = x.filter(F.col("st") == "START")
-    pf = fin.filter(F.col("sc") == "full").select(
-        F.col("x").alias("p_full_raw")
+        xv = nxt
+    p_full_raw = xv[("full", "START")]
+    fin = spark.createDataFrame(
+        [
+            (sc, p_full_raw, xv[(sc, "START")])
+            for sc, _ in _MK_SCN
+            if sc != "full"
+        ],
+        "sc string, p_full_raw double, x double",
     )
     return (
-        fin.filter(F.col("sc") != "full")
-        .join(F.broadcast(pf))
-        .select(
+        fin.select(
             F.regexp_replace("sc", "^rm_", "").alias("channel"),
             F.round("p_full_raw", 6).alias("p_full"),
             F.round("x", 6).alias("p_removed"),

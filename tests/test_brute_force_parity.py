@@ -820,12 +820,17 @@ def test_markov_removal_matches_brute_force(rows):
     for c in channels:
         p_rm = iterate(c)
         re_ = 1.0 - p_rm / p_full if p_full > 0 else 0.0
-        exp[c] = (round(p_full, 6), round(p_rm, 6), round(re_, 6))
-    # float tie noise: compare at 1e-9 after the published 6dp round
+        exp[c] = (p_full, p_rm, re_)
+    # compare the oracle's published 6dp value against the UNROUNDED
+    # replay: a correct round sits within 5e-7 of the true value, so
+    # the bound tolerates dyadic-rational ties (0.6640625 rounds
+    # half-AWAY in both engines but half-EVEN in Python's round() —
+    # hypothesis found exactly that example) while still failing on
+    # any real algorithmic divergence (those show up at >= 1e-6).
     assert set(got) == set(exp)
     for c in exp:
         for a, b in zip(got[c], exp[c]):
-            assert abs(a - b) < 1e-9, (c, got[c], exp[c])
+            assert abs(a - b) < 5.01e-7, (c, got[c], exp[c])
 
 
 orders_strategy = st.lists(
