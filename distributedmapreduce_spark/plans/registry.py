@@ -35,6 +35,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     curation,
     llm,
     llm2,

@@ -1899,3 +1899,163 @@ def test_wow_change_matches_brute_force(rows):
             d = r - pr
             exp[w] = (n, r, pr, d, abs(d) * 10000 // pr * (1 if d >= 0 else -1))
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # nation
+            st.integers(min_value=0, max_value=6),  # order count
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gini_matches_brute_force(rows):
+    cust = pd.DataFrame(
+        [
+            {"c_custkey": i + 1, "c_nationkey": n}
+            for i, (n, _) in enumerate(rows)
+        ]
+    )
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": 1000 * i + j, "o_custkey": i + 1}
+            for i, (_, x) in enumerate(rows)
+            for j in range(x)
+        ],
+        columns=["o_orderkey", "o_custkey"],
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _oracle_tables(
+            "gini_order_concentration",
+            {"customer": cust, "orders": orders},
+        )
+    }
+    by_nation: dict[int, list[int]] = {}
+    for n, x in rows:
+        by_nation.setdefault(n, []).append(x)
+    exp = {}
+    for n, xs in by_nation.items():
+        xs.sort()
+        cn, s = len(xs), sum(xs)
+        if s == 0:
+            continue
+        two_ix = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+        exp[n] = (cn, s, (two_ix - (cn + 1) * s) * 1_000_000 // (cn * s))
+    assert got == exp
+
+
+two_sample_strategy = st.tuples(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1,
+             max_size=30),
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1,
+             max_size=30),
+)
+
+
+def _two_sample_orders(samples):
+    g0, g1 = samples
+    recs = []
+    for i, c in enumerate(g0):
+        recs.append({"o_orderkey": i + 1, "o_orderpriority": "1-URGENT",
+                     "o_totalprice": c / 100.0})
+    for i, c in enumerate(g1):
+        recs.append({"o_orderkey": 1000 + i, "o_orderpriority": "5-LOW",
+                     "o_totalprice": c / 100.0})
+    return pd.DataFrame(recs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(two_sample_strategy)
+def test_ks_two_sample_matches_brute_force(samples):
+    g0, g1 = samples
+    (row,) = _oracle_tables(
+        "ks_two_sample_exact", {"orders": _two_sample_orders(samples)}
+    )
+    n0, n1 = len(g0), len(g1)
+    vals = sorted(set(g0) | set(g1))
+    best = None
+    for v in vals:
+        c0 = sum(1 for x in g0 if x <= v)
+        c1 = sum(1 for x in g1 if x <= v)
+        dn = abs(c0 * n1 - c1 * n0)
+        if best is None or dn > best[1]:
+            best = (v, dn)
+    at_v, d_num = best
+    assert row[:5] == (n0, n1, at_v, d_num, n0 * n1)
+    # published ks_d: compare the engine's 6dp round against the
+    # UNROUNDED exact ratio (round-tie discipline, see markov note)
+    assert abs(row[5] - d_num / (n0 * n1)) < 5.01e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(two_sample_strategy)
+def test_mann_whitney_matches_brute_force(samples):
+    g0, g1 = samples
+    (row,) = _oracle_tables(
+        "mann_whitney_u_exact", {"orders": _two_sample_orders(samples)}
+    )
+    n0, n1 = len(g0), len(g1)
+    allv = sorted(g0 + g1)
+    # literal tie-average ranks: avg of 1-based positions of the value
+    pos: dict[int, list[int]] = {}
+    for i, v in enumerate(allv):
+        pos.setdefault(v, []).append(i + 1)
+    rank2 = {v: sum(ps) * 2 // len(ps) for v, ps in pos.items()}
+    r1_x2 = sum(rank2[v] for v in g1)
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    u0_x2 = 2 * n0 * n1 - u1_x2
+    assert row[:5] == (n0, n1, r1_x2, u1_x2, u0_x2)
+    assert abs(row[5] - u1_x2 / (2 * n0 * n1)) < 5.01e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=20),  # day
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fano_matches_brute_force(rows):
+    base = 1_704_067_200_000_000
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(
+                    base + d * 86_400_000_000 + (i % 1000) * 1_000_000,
+                    unit="us",
+                ),
+                "user_id": u + 1,
+            }
+            for i, (u, d) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in _oracle_tables("user_burstiness_fano", {"events": pdf})
+    }
+    days = [d for _, d in rows]
+    span = max(days) - min(days) + 1
+    per_user: dict[int, dict[int, int]] = {}
+    for u, d in rows:
+        per_user.setdefault(u + 1, {})
+        per_user[u + 1][d] = per_user[u + 1].get(d, 0) + 1
+    exp = {}
+    for u, dd in per_user.items():
+        kk = sum(dd.values())
+        k2 = sum(k * k for k in dd.values())
+        exp[u] = (
+            kk,
+            len(dd),
+            span,
+            (span * k2 - kk * kk) * 10_000 // (span * kk),
+        )
+    assert got == exp
