@@ -417,3 +417,428 @@ def user_burstiness_fano(spark: SparkSession, sf: str) -> DataFrame:
             "(d * k2 - kk * kk) * 10000 div (d * kk)"
         ).alias("fano_e4"),
     )
+
+
+_NB_R = 6  # published log-score precision (bm25 ln precedent)
+
+
+@query(
+    "naive_bayes_lang_predict",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ws
+      FROM documents),
+    docw AS (
+      SELECT doc_id, lang, unnest(ws) AS w FROM toks),
+    dw AS (
+      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS nwd
+      FROM docw GROUP BY 1, 2, 3),
+    model AS (
+      SELECT lang, w, CAST(sum(nwd) AS BIGINT) AS cwl
+      FROM dw GROUP BY 1, 2),
+    lstat AS (
+      SELECT lang, CAST(sum(cwl) AS BIGINT) AS tot_l FROM model
+      GROUP BY 1),
+    prior AS (
+      SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS dcount
+      FROM dw GROUP BY 1),
+    vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM model),
+    dd AS (SELECT CAST(sum(dcount) AS BIGINT) AS d FROM prior),
+    panel AS (
+      SELECT lstat.lang, tot_l, dcount, v, d
+      FROM lstat JOIN prior ON prior.lang = lstat.lang
+      CROSS JOIN vv CROSS JOIN dd),
+    dstat AS (
+      SELECT doc_id, lang AS true_lang, CAST(sum(nwd) AS BIGINT)
+               AS len_d
+      FROM dw GROUP BY 1, 2),
+    s1 AS (
+      SELECT dw.doc_id, model.lang,
+             sum(nwd * ln(CAST(cwl + 1 AS DOUBLE))) AS s
+      FROM dw JOIN model ON model.w = dw.w
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT dstat.doc_id, dstat.true_lang, dstat.len_d,
+             panel.lang, panel.tot_l, panel.dcount, panel.v, panel.d
+      FROM dstat CROSS JOIN panel),
+    sc AS (
+      SELECT grid.doc_id, grid.true_lang, grid.lang,
+             round(ln(CAST(dcount AS DOUBLE))
+                   - ln(CAST(d AS DOUBLE))
+                   + coalesce(s1.s, 0.0)
+                   - len_d * ln(CAST(tot_l + v AS DOUBLE)),
+                   {_NB_R}) AS score_r
+      FROM grid LEFT JOIN s1
+        ON s1.doc_id = grid.doc_id AND s1.lang = grid.lang),
+    rk AS (
+      SELECT doc_id, true_lang, lang, score_r,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_r DESC, lang ASC) AS rn,
+             lead(score_r) OVER (PARTITION BY doc_id
+               ORDER BY score_r DESC, lang ASC) AS second
+      FROM sc)
+    SELECT doc_id, lang AS pred_lang, score_r AS top_score,
+           round(score_r - second, {_NB_R}) AS margin,
+           CAST(lang = true_lang AS BIGINT) AS is_correct
+    FROM rk WHERE rn = 1
+    """,
+)
+def naive_bayes_lang_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification, trained and
+    evaluated on the corpus itself (train-accuracy audit): add-1
+    smoothed word likelihoods with the UNSEEN-WORD terms factored out
+    algebraically — score(d, l) = ln(P(l)) + Σ_w n_wd·ln(c_wl + 1)
+    − len_d·ln(tot_l + V), so only (word, lang) pairs PRESENT in the
+    model are ever joined (an absent pair contributes ln(0+1) = 0)
+    and no dense doc×vocab grid exists.  Scores publish at 6 dp (the
+    bm25 ln precedent); the winner is chosen on the ROUNDED score
+    with language-name tiebreak, so the argmax is exactly as
+    deterministic as the published values.
+
+    Scale: ONE documents FileScan → per-(doc, lang, word) counts (the
+    persisted materialization everything else derives from); the
+    model is vocab×langs-bounded, the lang panel is 5 rows crossed
+    with two scalar aggregates, and the scoring join fans out by at
+    most the number of languages containing the word.  The only
+    windows run over ≤ n_langs rows per doc."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    dw = (
+        docs.groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("nwd"))
+        .persist()  # one corpus materialization; feeds model + scores
+    )
+    model = (
+        dw.groupBy(F.col("lang").alias("m_lang"), "w")
+        .agg(F.sum("nwd").cast("long").alias("cwl"))
+        .persist()  # vocab x langs bounded
+    )
+    lstat = model.groupBy("m_lang").agg(
+        F.sum("cwl").cast("long").alias("tot_l")
+    )
+    prior = dw.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("dcount")
+    )
+    vv = model.agg(F.countDistinct("w").cast("long").alias("v"))
+    panel = (
+        lstat.join(prior, lstat["m_lang"] == prior["lang"])
+        .select("m_lang", "tot_l", "dcount")
+        .crossJoin(F.broadcast(vv))
+    )
+    dd = panel.agg(F.sum("dcount").cast("long").alias("d"))
+    panel = panel.crossJoin(F.broadcast(dd))
+    dstat = dw.groupBy("doc_id", F.col("lang").alias("true_lang")).agg(
+        F.sum("nwd").cast("long").alias("len_d")
+    )
+    s1 = (
+        dw.join(model.withColumnRenamed("w", "mw"),
+                F.col("mw") == F.col("w"))
+        .groupBy(
+            F.col("doc_id").alias("s_doc"),
+            F.col("m_lang").alias("s_lang"),
+        )
+        .agg(
+            F.sum(
+                F.col("nwd")
+                * F.log((F.col("cwl") + 1).cast("double"))
+            ).alias("s")
+        )
+    )
+    grid = dstat.crossJoin(F.broadcast(panel))
+    sc = grid.join(
+        s1,
+        (F.col("s_doc") == grid["doc_id"])
+        & (F.col("s_lang") == grid["m_lang"]),
+        "left",
+    ).select(
+        grid["doc_id"],
+        "true_lang",
+        grid["m_lang"].alias("lang"),
+        F.round(
+            F.log(F.col("dcount").cast("double"))
+            - F.log(F.col("d").cast("double"))
+            + F.coalesce(F.col("s"), F.lit(0.0))
+            - F.col("len_d") * F.log((F.col("tot_l") + F.col("v")).cast("double")),
+            _NB_R,
+        ).alias("score_r"),
+    )
+    wd = W.partitionBy("doc_id").orderBy(
+        F.desc("score_r"), F.asc("lang")
+    )
+    rk = sc.select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        "score_r",
+        F.row_number().over(wd).alias("rn"),
+        F.lead("score_r").over(wd).alias("second"),
+    )
+    return rk.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        F.col("score_r").alias("top_score"),
+        F.round(F.col("score_r") - F.col("second"), _NB_R).alias(
+            "margin"
+        ),
+        (F.col("lang") == F.col("true_lang")).cast("long").alias(
+            "is_correct"
+        ),
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "zipf_slope_top_vocab",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents),
+    f AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+    top AS (SELECT w, n FROM f ORDER BY n DESC, w ASC
+            LIMIT {_ZIPF_TOP}),
+    rk AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n DESC, w ASC)
+                     AS BIGINT) AS r
+      FROM top),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(n AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE)))
+               AS sxy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)))
+               AS sxx,
+             sum(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)))
+               AS syy
+      FROM rk)
+    SELECT m AS n_words,
+           floor((m * sxy - sx * sy) / (m * sxx - sx * sx) * 1e4
+                 + 0.5) / 1e4 AS zipf_slope,
+           floor((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                  * sx) / m * 1e4 + 0.5) / 1e4 AS intercept_ln,
+           floor((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)) * 1e6
+                 + 0.5) / 1e6 AS r2
+    FROM s
+    """,
+)
+def zipf_slope_top_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 vocabulary: OLS of ln(freq) on
+    ln(rank) — slope ≈ −1 for natural language, and systematic
+    deviation is a corpus-quality signal (template/boilerplate
+    corpora are flatter; spam is steeper).  Publication follows the
+    groupwise_ols discipline: ranks and counts are exact integers,
+    the ln/ratio arithmetic happens in one final expression published
+    via the engine-identical floor(x·1eK + 0.5)/1eK form.
+
+    Scale: one corpus scan to word counts; the fit runs on a
+    TakeOrdered top-100 PANEL, so the rank window orders 100 rows
+    regardless of corpus size (panel-reduced input, lint-allowlisted
+    like topk_orders_global)."""
+    f = (
+        t(spark, sf, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = f.orderBy(F.desc("n"), F.asc("w")).limit(_ZIPF_TOP)
+    rk = top.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("w")))
+        .cast("long")
+        .alias("r"),
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("m").alias("n_words"),
+        (F.floor(slope * 1e4 + 0.5) / 1e4).alias("zipf_slope"),
+        (
+            F.floor(
+                (F.col("sy") - slope * F.col("sx")) / F.col("m") * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("intercept_ln"),
+        (
+            F.floor(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("r2"),
+    )
+
+
+@query(
+    "stratified_ate_by_segment",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS tr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey),
+    s AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tr) AS BIGINT) AS tcnt,
+             CAST(sum(tr * y) AS BIGINT) AS sy1,
+             CAST(sum((1 - tr) * y) AS BIGINT) AS sy0
+      FROM j GROUP BY 1)
+    SELECT segment, n AS n_orders, tcnt AS n_treated,
+           sy1 * 100 // tcnt AS mean1_c_e2,
+           sy0 * 100 // (n - tcnt) AS mean0_c_e2,
+           sy1 * 100 // tcnt - sy0 * 100 // (n - tcnt) AS ate_c_e2
+    FROM s WHERE tcnt > 0 AND n - tcnt > 0
+    """,
+)
+def stratified_ate_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified difference-in-means treatment-effect table — the
+    observational-causal staple (standardization / exact-matching on
+    a categorical confounder): within each market segment, the mean
+    order value of 'treated' (URGENT-priority) orders minus control,
+    ALL-INTEGER — means are exact 1e2 sub-cent ticks (sy·100 // n),
+    so no float enters any published column and the truncation
+    convention is the same `//`==`div` on both engines.  A weighted
+    combination across strata is one more exact multiply-add away,
+    left to the reader so every published number stays a pure
+    per-stratum statistic.
+
+    Scale: one orders-customer equi-join (customer side broadcast at
+    dim scale), one map-side-combinable aggregate; output is
+    segment-count-bounded.  Int64: sy·100 ≈ 2e14 at 100x, 2e17 at
+    100 TB — inside range throughout."""
+    j = (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("long")
+            .alias("tr"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    s = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tr").cast("long").alias("tcnt"),
+        F.sum(F.col("tr") * F.col("y")).cast("long").alias("sy1"),
+        F.sum((1 - F.col("tr")) * F.col("y"))
+        .cast("long")
+        .alias("sy0"),
+    )
+    return s.filter(
+        (F.col("tcnt") > 0) & (F.col("n") - F.col("tcnt") > 0)
+    ).select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.col("tcnt").alias("n_treated"),
+        F.expr("sy1 * 100 div tcnt").alias("mean1_c_e2"),
+        F.expr("sy0 * 100 div (n - tcnt)").alias("mean0_c_e2"),
+        F.expr(
+            "sy1 * 100 div tcnt - sy0 * 100 div (n - tcnt)"
+        ).alias("ate_c_e2"),
+    )
+
+
+@query(
+    "user_type_diversity_simpson",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(sum(k) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(k * (k - 1)) AS BIGINT) AS same
+      FROM c GROUP BY 1)
+    SELECT user_id, n AS n_events, n_types,
+           (n * (n - 1) - same) * 1000000 // (n * (n - 1))
+             AS simpson_e6
+    FROM u WHERE n >= 2
+    """,
+)
+def user_type_diversity_simpson(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioral diversity: the Simpson/Gini-Simpson index
+    of the user's event-type mix — the exact probability that two of
+    the user's events drawn WITHOUT replacement have different types,
+    1 − Σ k_i(k_i−1)/(n(n−1)).  Low diversity plus high volume is
+    the classic single-action-bot signature; pairs with
+    user_burstiness_fano as the curation screen.  Pure integer
+    arithmetic end-to-end (1e6 ticks, numerator ≥ 0).
+
+    Scale: one events scan → (user, type) counts → per-user
+    sufficient statistics; everything map-side combinable, zero
+    windows, zero joins.  Int64: n(n−1)·1e6 is per-USER bounded
+    (≈1.6e11 even at 100 TB per-user densities), independent of
+    corpus size."""
+    c = (
+        t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("k").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("k") * (F.col("k") - 1))
+        .cast("long")
+        .alias("same"),
+    )
+    return u.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.expr(
+            "(n * (n - 1) - same) * 1000000 div (n * (n - 1))"
+        ).alias("simpson_e6"),
+    )

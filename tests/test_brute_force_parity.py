@@ -2059,3 +2059,188 @@ def test_fano_matches_brute_force(rows):
             (span * k2 - kk * kk) * 10_000 // (span * kk),
         )
     assert got == exp
+
+
+import math
+
+_nb_words = ["aa", "bb", "cc", "dd"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(_nb_words), min_size=1,
+                     max_size=6),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_naive_bayes_matches_brute_force(docs):
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i + 1, "lang": lang, "text": " ".join(ws)}
+            for i, (lang, ws) in enumerate(docs)
+        ]
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in _oracle_tables(
+            "naive_bayes_lang_predict", {"documents": pdf}
+        )
+    }
+    # independent replay of the smoothed multinomial NB
+    langs = sorted({lang for lang, _ in docs})
+    model: dict[tuple[str, str], int] = {}
+    tot: dict[str, int] = {}
+    dcount: dict[str, int] = {}
+    for lang, ws in docs:
+        dcount[lang] = dcount.get(lang, 0) + 1
+        for w in ws:
+            model[(lang, w)] = model.get((lang, w), 0) + 1
+            tot[lang] = tot.get(lang, 0) + 1
+    v = len({w for _, w in model})
+    d = len(docs)
+    for i, (true_lang, ws) in enumerate(docs):
+        scores = {}
+        for lang in langs:
+            s = math.log(dcount[lang]) - math.log(d)
+            for w in ws:
+                s += math.log(model.get((lang, w), 0) + 1)
+            s -= len(ws) * math.log(tot[lang] + v)
+            scores[lang] = s
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        pred, top = ranked[0]
+        second = ranked[1][1] if len(ranked) > 1 else None
+        gl, gs, gm, gc = got[i + 1]
+        assert abs(gs - top) < 5.01e-7, (i, gs, top)
+        if second is not None:
+            assert abs(gm - (top - second)) < 1.01e-6
+            # prediction must match unless the top two are tied
+            # within publication noise (then either is legitimate)
+            if top - second > 2e-6:
+                assert gl == pred
+                assert gc == int(pred == true_lang)
+        else:
+            assert gl == pred
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["w%d" % i for i in range(8)]),
+        min_size=4,
+        max_size=60,
+    ).filter(lambda ws: len(set(ws)) >= 2)
+)
+def test_zipf_slope_matches_brute_force(words):
+    pdf = pd.DataFrame([{"doc_id": 1, "text": " ".join(words)}])
+    (row,) = _oracle_tables("zipf_slope_top_vocab", {"documents": pdf})
+    freq: dict[str, int] = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    m = len(top)
+    xs = [math.log(i + 1) for i in range(m)]
+    ys = [math.log(n) for _, n in top]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    icpt = (sy - slope * sx) / m
+    vary = m * syy - sy * sy
+    r2 = (
+        (m * sxy - sx * sy) ** 2 / ((m * sxx - sx * sx) * vary)
+        if vary > 0
+        else None
+    )
+    assert row[0] == m
+    # engine publishes floor(x*1eK+0.5)/1eK; compare against the
+    # UNROUNDED replay within half a tick + noise
+    assert abs(row[1] - slope) < 5.1e-5
+    assert abs(row[2] - icpt) < 5.1e-5
+    if r2 is not None:
+        assert abs(row[3] - r2) < 5.1e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["AUTOMOBILE", "BUILDING"]),
+            st.booleans(),  # treated
+            st.integers(min_value=1, max_value=900_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stratified_ate_matches_brute_force(rows):
+    cust = pd.DataFrame(
+        [
+            {"c_custkey": i + 1, "c_mktsegment": seg}
+            for i, (seg, _, _) in enumerate(rows)
+        ]
+    )
+    orders = pd.DataFrame(
+        [
+            {
+                "o_orderkey": i + 1,
+                "o_custkey": i + 1,
+                "o_orderpriority": "1-URGENT" if tr else "5-LOW",
+                "o_totalprice": c / 100.0,
+            }
+            for i, (_, tr, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables(
+            "stratified_ate_by_segment",
+            {"customer": cust, "orders": orders},
+        )
+    }
+    agg: dict[str, list[int]] = {}
+    for seg, tr, c in rows:
+        n, t_, s1, s0 = agg.get(seg, [0, 0, 0, 0])
+        agg[seg] = [n + 1, t_ + tr, s1 + c * tr, s0 + c * (not tr)]
+    exp = {}
+    for seg, (n, t_, s1, s0) in agg.items():
+        if t_ == 0 or n - t_ == 0:
+            continue
+        m1 = s1 * 100 // t_
+        m0 = s0 * 100 // (n - t_)
+        exp[seg] = (n, t_, m1, m0, m1 - m0)
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(events_strategy)
+def test_simpson_diversity_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("user_type_diversity_simpson",
+                                {"events": pdf})
+    }
+    per: dict[int, dict[str, int]] = {}
+    for u, ty, _, _ in rows:
+        per.setdefault(u + 1, {})
+        per[u + 1][ty] = per[u + 1].get(ty, 0) + 1
+    exp = {}
+    for u, dd in per.items():
+        n = sum(dd.values())
+        if n < 2:
+            continue
+        same = sum(k * (k - 1) for k in dd.values())
+        exp[u] = (
+            n,
+            len(dd),
+            (n * (n - 1) - same) * 1_000_000 // (n * (n - 1)),
+        )
+    assert got == exp

@@ -70,6 +70,7 @@ BNLJ_BY_DESIGN = {
     "user_burstiness_fano",  # global-span row: scalar broadcast
     "markov_attribution_removal",  # p_full scalar: 1-row x 4 broadcast
     "minhash_recall_audit",  # confusion-count scalars: 1-row broadcasts
+    "naive_bayes_lang_predict",  # 5-row lang panel x V/D scalars
     "negative_sampling_pairs",  # (mn, mx) id-ring bounds: scalar broadcast
     "pagerank_event_types",
     "pct_of_parent_rollup",  # global-revenue row: scalar broadcast
