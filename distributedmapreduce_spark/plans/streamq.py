@@ -361,3 +361,83 @@ def stream_ddsketch_value_hist(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("transform(ps, p -> p.cnt)").alias("cnts"),
         "n",
     )
+
+
+@query(
+    "stream_funnel_stage",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM {EVENTS_US} events),
+    m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS tv,
+             min(CASE WHEN event_type = 'click' THEN us END) AS tc,
+             min(CASE WHEN event_type = 'purchase' THEN us END) AS tp
+      FROM e GROUP BY 1)
+    SELECT user_id,
+           coalesce(tv, -1) AS first_view_us,
+           coalesce(tc, -1) AS first_click_us,
+           coalesce(tp, -1) AS first_purchase_us,
+           CAST(CASE WHEN tv IS NULL THEN 0
+                     WHEN tc IS NULL OR tc < tv THEN 1
+                     WHEN tp IS NULL OR tp < tc THEN 2
+                     ELSE 3 END AS BIGINT) AS funnel_stage
+    FROM m
+    """,
+)
+def stream_funnel_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING per-user funnel tracker
+    (streaming/windows.py::funnel_stage_stateful): the MONOTONE
+    FIRST-OCCURRENCE funnel — stage k is reached iff every earlier
+    stage's first occurrence is at or before stage k's first
+    (view ≤ click ≤ purchase on FIRST timestamps).  This is the
+    mergeable definition: per-user state is three min-timestamps (a
+    semilattice), so the streaming fold is arrival-order independent
+    and late data retro-corrects exactly — unlike the strictly-
+    sequential semantics of event_funnel_conversion, which is
+    deliberately left to batch (it would need unbounded history to
+    fold).  The 11th stream==batch parity (tests/test_streaming.py)
+    pins that folding micro-batches through the min-state reaches
+    exactly this one-shot scan's answer.
+
+    Scale: one events scan, one map-side-combinable conditional-min
+    aggregate; output is user-bounded, no windows, no joins."""
+    m = (
+        t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).alias("tv"),
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            ).alias("tc"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
+            ).alias("tp"),
+        )
+    )
+    return m.select(
+        "user_id",
+        F.coalesce("tv", F.lit(-1)).alias("first_view_us"),
+        F.coalesce("tc", F.lit(-1)).alias("first_click_us"),
+        F.coalesce("tp", F.lit(-1)).alias("first_purchase_us"),
+        F.when(F.col("tv").isNull(), F.lit(0))
+        .when(
+            F.col("tc").isNull() | (F.col("tc") < F.col("tv")),
+            F.lit(1),
+        )
+        .when(
+            F.col("tp").isNull() | (F.col("tp") < F.col("tc")),
+            F.lit(2),
+        )
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("funnel_stage"),
+    )

@@ -360,3 +360,82 @@ def ddsketch_value_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = (
+    "user_id long, first_view_us long, first_click_us long, "
+    "first_purchase_us long, funnel_stage long"
+)
+_FUNNEL_STATE_SCHEMA = "tv long, tc long, tp long"
+_FUNNEL_NONE = -1
+
+
+def _funnel_stage(tv: int, tc: int, tp: int) -> int:
+    """Monotone first-occurrence funnel stage from the three per-user
+    first timestamps (−1 = never seen): stage k needs every earlier
+    stage's FIRST occurrence at or before stage k's first."""
+    if tv == _FUNNEL_NONE:
+        return 0
+    if tc == _FUNNEL_NONE or tc < tv:
+        return 1
+    if tp == _FUNNEL_NONE or tp < tc:
+        return 2
+    return 3
+
+
+def _funnel_fn(key, pdfs, state: GroupState):
+    """Per-user funnel state = the MIN first-occurrence timestamp of
+    each stage event — a semilattice (min is commutative/associative/
+    idempotent), so micro-batch order and late or re-delivered events
+    can never corrupt it: a late early view simply LOWERS tv and the
+    derived stage recomputes from the merged firsts at emission.
+    (The strictly-sequential funnel — event_funnel_conversion's
+    each-stage-after-the-previous semantics — is deliberately NOT
+    used here: it would need unbounded per-user event history to
+    retro-correct, i.e. it is not foldable with bounded state.)"""
+    (user_id,) = key
+    tv, tc, tp = (
+        state.get if state.exists
+        else (_FUNNEL_NONE, _FUNNEL_NONE, _FUNNEL_NONE)
+    )
+    for pdf in pdfs:
+        us = pdf["us"]
+        for ty, cur in (("view", tv), ("click", tc), ("purchase", tp)):
+            m = us[pdf["event_type"] == ty]
+            if len(m):
+                lo = int(m.min())
+                if cur == _FUNNEL_NONE or lo < cur:
+                    if ty == "view":
+                        tv = lo
+                    elif ty == "click":
+                        tc = lo
+                    else:
+                        tp = lo
+    state.update((tv, tc, tp))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "first_view_us": [tv],
+            "first_click_us": [tc],
+            "first_purchase_us": [tp],
+            "funnel_stage": [_funnel_stage(tv, tc, tp)],
+        }
+    )
+
+
+def funnel_stage_stateful(events: DataFrame) -> DataFrame:
+    """STREAMING twin of plans/streamq.py::stream_funnel_stage — the
+    per-user monotone first-occurrence funnel maintained in bounded
+    explicit state (3 min-timestamps per user).  Parity with the
+    batch min-per-type scan is pinned in tests/test_streaming.py
+    (11th stream==batch parity)."""
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2244,3 +2244,35 @@ def test_simpson_diversity_matches_brute_force(rows):
             (n * (n - 1) - same) * 1_000_000 // (n * (n - 1)),
         )
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(events_strategy)
+def test_funnel_stage_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("stream_funnel_stage", {"events": pdf})
+    }
+    base = 1_704_067_200_000_000
+    first: dict[int, dict[str, int]] = {}
+    for u, ty, sec, _ in rows:
+        us = base + sec * 1_000_000
+        d = first.setdefault(u + 1, {})
+        if ty not in d or us < d[ty]:
+            d[ty] = us
+    exp = {}
+    for u, d in first.items():
+        tv = d.get("view", -1)
+        tc = d.get("click", -1)
+        tp = d.get("purchase", -1)
+        if tv == -1:
+            s = 0
+        elif tc == -1 or tc < tv:
+            s = 1
+        elif tp == -1 or tp < tc:
+            s = 2
+        else:
+            s = 3
+        exp[u] = (tv, tc, tp, s)
+    assert got == exp

@@ -224,3 +224,67 @@ def test_stream_ddsketch_matches_batch(spark):
     # with the largest n is the final folded state
     got = max(_rows(out, cols), key=lambda r: r[2])
     assert [got] == _rows(batch, cols)
+
+
+def test_stream_funnel_stage_matches_batch(spark):
+    """11th stream==batch parity: the per-user monotone
+    first-occurrence funnel folded through 3-min-timestamp state
+    equals the one-shot batch conditional-min scan — min-semilattice
+    mergeability, executably."""
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.funnel_stage_stateful(stream), "t_funnel", "update"
+    )
+    batch = QUERIES["stream_funnel_stage"](spark, SF)
+    cols = [
+        "user_id",
+        "first_view_us",
+        "first_click_us",
+        "first_purchase_us",
+        "funnel_stage",
+    ]
+    # update mode re-emits a user's row per micro-batch that touches
+    # the user; the LAST emission per user is the final folded state
+    latest = {}
+    for r in out.collect():
+        latest[r.user_id] = tuple(r[c] for c in cols)
+    expect = {r.user_id: tuple(r[c] for c in cols) for r in batch.collect()}
+    assert latest == expect
+
+
+def test_funnel_fn_retrocorrects_across_batches():
+    """Multi-batch late-data semantics exercised directly: a LATE
+    early view must lower first_view_us and can RAISE the funnel
+    stage (a click that previously preceded every view becomes
+    in-order)."""
+    import pandas as pd
+
+    from distributedmapreduce_spark.streaming.windows import _funnel_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {"event_type": ["click", "purchase"], "us": [100, 200]}
+    )
+    (out1,) = _funnel_fn((7,), [b1], st)
+    assert out1.funnel_stage.iloc[0] == 0  # no view yet
+    b2 = pd.DataFrame({"event_type": ["view"], "us": [50]})
+    (out2,) = _funnel_fn((7,), [b2], st)
+    assert (
+        out2.first_view_us.iloc[0],
+        out2.first_click_us.iloc[0],
+        out2.first_purchase_us.iloc[0],
+        out2.funnel_stage.iloc[0],
+    ) == (50, 100, 200, 3)
