@@ -842,3 +842,499 @@ def user_type_diversity_simpson(spark: SparkSession, sf: str) -> DataFrame:
             "(n * (n - 1) - same) * 1000000 div (n * (n - 1))"
         ).alias("simpson_e6"),
     )
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey AS nation, l_suppkey AS sk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nation, CAST(sum(rev_c) AS BIGINT) AS tot_c,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM s GROUP BY 1)
+    SELECT CAST(s.nation AS BIGINT) AS nation, n_suppliers, tot_c,
+           round(sum((CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE))
+                     * (CAST(rev_c AS DOUBLE)
+                        / CAST(tot_c AS DOUBLE))), 6) AS hhi
+    FROM s JOIN tot ON tot.nation = s.nation
+    GROUP BY 1, 2, 3
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation —
+    the antitrust/market-structure staple: Σ share² of each
+    supplier's lineitem revenue within its nation (1/n = perfectly
+    even, 1.0 = monopoly).  Shares are single correctly-rounded
+    divisions of exact int64 cents (< 2^53 at the 100x replica); the
+    Σ over ~suppliers-per-nation squared shares carries only
+    accumulation-order noise ~1e-16 relative, nine orders below the
+    6 dp publication (the bm25 ln-sum precedent).
+
+    Scale: one lineitem scan with the supplier dim broadcast, one
+    two-level aggregate; output is nation-bounded.  Cents totals
+    exceed 2^53 past ~2e13 rows — downscale to dollars there (the
+    acf_daily_revenue discipline)."""
+    sup = F.broadcast(
+        t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.col("s_nationkey").alias("nation"),
+        )
+    )
+    s = (
+        t(spark, sf, "lineitem")
+        .select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .join(sup, "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("c").cast("long").alias("rev_c"))
+        .persist()  # supplier-bounded; feeds totals and shares
+    )
+    tot = s.groupBy(F.col("nation").alias("t_nation")).agg(
+        F.sum("rev_c").cast("long").alias("tot_c"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("rev_c").cast("double") / F.col("tot_c").cast("double")
+    return (
+        s.join(tot, F.col("t_nation") == F.col("nation"))
+        .groupBy(
+            F.col("nation").cast("long").alias("nation"),
+            "n_suppliers",
+            "tot_c",
+        )
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+    )
+
+
+_CCF_MAX_LAG = 3
+
+
+def _ccf_oracle() -> str:
+    lags = range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)
+
+    def num(k: int) -> str:
+        col = f"lead(dy, {k})" if k >= 0 else f"lag(dy, {-k})"
+        return f"{col} OVER (ORDER BY day) AS y{k + _CCF_MAX_LAG}"
+
+    return f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type
+      FROM {EVENTS_US} events),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+    grid AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+    daily AS (
+      SELECT grid.day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS y
+      FROM grid LEFT JOIN e ON e.day = grid.day GROUP BY 1),
+    d AS (
+      SELECT day,
+             x - (sum(x) OVER ()) // (count(*) OVER ()) AS dx,
+             y - (sum(y) OVER ()) // (count(*) OVER ()) AS dy
+      FROM daily),
+    l AS (
+      SELECT day, dx, dy,
+             {", ".join(num(k) for k in lags)}
+      FROM d),
+    s AS (
+      SELECT sum(dx * dx) AS denx, sum(dy * dy) AS deny,
+             {", ".join(
+                 f"sum(dx * y{k + _CCF_MAX_LAG}) AS num{k + _CCF_MAX_LAG},"
+                 f" count(y{k + _CCF_MAX_LAG}) AS np{k + _CCF_MAX_LAG}"
+                 for k in lags)}
+      FROM l)
+    {" UNION ALL ".join(
+        f'''SELECT CAST({k} AS BIGINT) AS lag,
+           CAST(np{k + _CCF_MAX_LAG} AS BIGINT) AS n_pairs,
+           CAST(denx AS BIGINT) AS denx, CAST(deny AS BIGINT) AS deny,
+           floor(CAST(num{k + _CCF_MAX_LAG} AS DOUBLE)
+                 / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS ccf_e4
+        FROM s'''
+        for k in lags)}
+    """
+
+
+@query("ccf_view_purchase_daily", oracle=_ccf_oracle())
+def ccf_view_purchase_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Lagged cross-correlation between the daily view and purchase
+    count series (lags −3..+3): does view volume LEAD purchase volume
+    (positive lag = purchases k days after views)?  Built on the
+    acf_daily_revenue discipline — full calendar grid (gap days count
+    0, so lags align on real days, not row offsets), INTEGER mean
+    (S div n), exact integer numerators/denominators, and ONE double
+    normalization num/sqrt(denx·deny) published via the
+    floor(x·1e4 + 0.5) engine-identical form.
+
+    Scale: one events scan to the calendar-bounded daily grid; every
+    window (day sequence, lags) runs over that grid, never the
+    corpus.  Int64: num ≤ √(Σdx²·Σdy²) ≈ 4e12 at the 100x replica —
+    deep inside range; the doubles entering the one division are
+    exact (< 2^53)."""
+    dayc = (
+        t(spark, sf, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "view").cast("long")
+            ).alias("xr"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("yr"),
+        )
+        .persist()  # calendar-bounded; feeds bounds + grid join
+    )
+    b = dayc.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = b.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    daily = grid.join(dayc, "day", "left").select(
+        "day",
+        F.coalesce("xr", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("yr", F.lit(0)).cast("long").alias("y"),
+    )
+    wall = W.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    d = daily.select(
+        "day",
+        (
+            F.col("x")
+            - F.expr("sum(x) over () div count(*) over ()")
+        ).alias("dx"),
+        (
+            F.col("y")
+            - F.expr("sum(y) over () div count(*) over ()")
+        ).alias("dy"),
+    )
+    wd = W.orderBy("day")
+    lags = list(range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1))
+    lcols = [
+        (
+            F.lead("dy", k).over(wd)
+            if k >= 0
+            else F.lag("dy", -k).over(wd)
+        ).alias(f"y{k + _CCF_MAX_LAG}")
+        for k in lags
+    ]
+    l = d.select("day", "dx", "dy", *lcols)
+    aggs = [
+        F.sum(F.col("dx") * F.col("dx")).alias("denx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("deny"),
+    ]
+    for k in lags:
+        i = k + _CCF_MAX_LAG
+        aggs.append(F.sum(F.col("dx") * F.col(f"y{i}")).alias(f"num{i}"))
+        aggs.append(F.count(F.col(f"y{i}")).alias(f"np{i}"))
+    s = l.agg(*aggs)
+    parts = []
+    for k in lags:
+        i = k + _CCF_MAX_LAG
+        parts.append(
+            s.select(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"np{i}").cast("long").alias("n_pairs"),
+                F.col("denx").cast("long").alias("denx"),
+                F.col("deny").cast("long").alias("deny"),
+                (
+                    F.floor(
+                        F.col(f"num{i}").cast("double")
+                        / F.sqrt(
+                            F.col("denx").cast("double")
+                            * F.col("deny").cast("double")
+                        )
+                        * 1e4
+                        + 0.5
+                    )
+                    / 1e4
+                ).alias("ccf_e4"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_KT_PB_C = 1_000_000  # $10k price buckets for the contingency table
+
+
+@query(
+    "kendall_tau_qty_price",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               // {_KT_PB_C} AS p
+      FROM lineitem),
+    cells AS (
+      SELECT q, p, CAST(count(*) AS BIGINT) AS c
+      FROM f GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    cd AS (
+      SELECT
+        CAST(sum(CASE WHEN b.q > a.q AND b.p > a.p
+                      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS cc,
+        CAST(sum(CASE WHEN b.q > a.q AND b.p < a.p
+                      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS dd
+      FROM cells a CROSS JOIN cells b),
+    ties AS (
+      SELECT
+        CAST((SELECT sum(rc * (rc - 1)) // 2 FROM (
+           SELECT sum(c) AS rc FROM cells GROUP BY q) r) AS BIGINT)
+          AS t_q,
+        CAST((SELECT sum(pc * (pc - 1)) // 2 FROM (
+           SELECT sum(c) AS pc FROM cells GROUP BY p) s) AS BIGINT)
+          AS t_p)
+    SELECT n, cc AS concordant, dd AS discordant, t_q AS ties_qty,
+           t_p AS ties_price,
+           floor(CAST(cc - dd AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) // 2 - t_q AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 - t_p AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS tau_b
+    FROM cd CROSS JOIN ties CROSS JOIN tot
+    """,
+)
+def kendall_tau_qty_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between lineitem quantity and
+    price, computed EXACTLY on grouped data: both variables are
+    discretized (quantity is already integral; price in $10k bands),
+    so the joint distribution collapses to a bounded CONTINGENCY
+    TABLE and concordant/discordant pair counts are Σ n_ij·n_kl over
+    strictly-greater cell pairs — each unordered pair counted once
+    because strict inequality in both coordinates picks exactly one
+    ordering.  Tie corrections use the marginal counts; τ-b publishes
+    via the engine-identical floor form with the only float op being
+    one sqrt of exact int64 doubles.
+
+    Scale: one lineitem scan to ~50×11 cells; the pair double-sum is
+    a cells×cells crossJoin of a BOUNDED table (≤ 3e5 cell pairs at
+    any corpus size) — lint-allowlisted by design.  Int64:
+    C, D ≤ n(n−1)/2 ≈ 1.8e17 at the 100x replica; past ~4e9 rows
+    the pair counts need DECIMAL(38)."""
+    f = t(spark, sf, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.expr(
+            f"CAST(round(l_extendedprice * 100) AS BIGINT)"
+            f" div {_KT_PB_C}"
+        ).alias("p"),
+    )
+    cells = (
+        f.groupBy("q", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # bounded contingency table; 4 readers below
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    a = cells.select(
+        F.col("q").alias("aq"), F.col("p").alias("ap"),
+        F.col("c").alias("ac"),
+    )
+    bc = F.broadcast(
+        cells.select(
+            F.col("q").alias("bq"), F.col("p").alias("bp"),
+            F.col("c").alias("bc"),
+        )
+    )
+    cd = a.crossJoin(bc).agg(
+        F.sum(
+            F.when(
+                (F.col("bq") > F.col("aq"))
+                & (F.col("bp") > F.col("ap")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cc"),
+        F.sum(
+            F.when(
+                (F.col("bq") > F.col("aq"))
+                & (F.col("bp") < F.col("ap")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dd"),
+    )
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("c").alias("rc"))
+        .agg(
+            F.expr("CAST(sum(rc * (rc - 1)) div 2 AS BIGINT)").alias(
+                "t_q"
+            )
+        )
+    )
+    tp = (
+        cells.groupBy("p")
+        .agg(F.sum("c").alias("pc"))
+        .agg(
+            F.expr("CAST(sum(pc * (pc - 1)) div 2 AS BIGINT)").alias(
+                "t_p"
+            )
+        )
+    )
+    j = (
+        cd.crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tot))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    return j.select(
+        "n",
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("t_q").alias("ties_qty"),
+        F.col("t_p").alias("ties_price"),
+        (
+            F.floor(
+                (F.col("cc") - F.col("dd")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("t_q")).cast("double")
+                    * (n0 - F.col("t_p")).cast("double")
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("tau_b"),
+    )
+
+
+_TRIM_PCT = 5
+_TM_BKT_C = 1_000_000
+
+
+@query(
+    "trimmed_mean_price",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem),
+    h AS (
+      SELECT flag, v, CAST(count(*) AS BIGINT) AS c
+      FROM f GROUP BY 1, 2),
+    cumt AS (
+      SELECT flag, v, c,
+             CAST(sum(c) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM h),
+    tot AS (
+      SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) * {_TRIM_PCT} // 100 AS lo
+      FROM h GROUP BY 1),
+    kept AS (
+      SELECT cumt.flag, tot.n, tot.lo,
+             CAST(sum(v * greatest(0,
+                   least(cum, n - lo) - greatest(cum - c, lo)))
+                  AS BIGINT) AS ksum
+      FROM cumt JOIN tot ON tot.flag = cumt.flag
+      GROUP BY 1, 2, 3)
+    SELECT flag, n, lo AS n_trimmed_each_side,
+           ksum * 100 // (n - 2 * lo) AS trimmed_mean_c_e2
+    FROM kept WHERE n - 2 * lo > 0
+    """,
+)
+def trimmed_mean_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5%-trimmed mean of lineitem price per return flag — the
+    robust location estimate (outlier-insensitive mean).  The trim is
+    RANK-exact, not approximate: with lo = n·5//100 dropped from each
+    side, a value block covering cumulative range (cum−c, cum]
+    contributes v × overlap with the kept rank interval [lo+1, n−lo]
+    — boundary blocks contribute partially, interior blocks fully.
+    Published as exact 1e2 sub-cent ticks.
+
+    Scale: the Spark side runs the cumulative on the per-flag VALUE
+    HISTOGRAM through the two-phase $10k-band bucketed cumsum (the
+    _budget_prefix discipline — per-value windows are partitioned by
+    (flag, band), bounded by band width, never corpus-sized); group
+    totals broadcast.  Int64: kept cents ×100 ≈ 6e16 at the 100x
+    replica (~6e18 at 100 TB — inside, barely; dollars downscale past
+    that)."""
+    f = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    h = (
+        f.groupBy("flag", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("bkt", F.expr(f"v div {_TM_BKT_C}"))
+        .persist()  # value histogram; feeds buckets, totals, kept sum
+    )
+    btot = h.groupBy("flag", "bkt").agg(F.sum("c").alias("bsum"))
+    wb = (
+        W.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bbase = btot.select(
+        "flag",
+        "bkt",
+        F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("base"),
+    )
+    wv = (
+        W.partitionBy("flag", "bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cumt = h.join(F.broadcast(bbase), ["flag", "bkt"]).select(
+        "flag",
+        "v",
+        "c",
+        (F.col("base") + F.sum("c").over(wv)).alias("cum"),
+    )
+    tot = h.groupBy(F.col("flag").alias("t_flag")).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr(
+            f"CAST(sum(c) * {_TRIM_PCT} div 100 AS BIGINT)"
+        ).alias("lo"),
+    )
+    kept = (
+        cumt.join(
+            F.broadcast(tot), F.col("t_flag") == F.col("flag")
+        )
+        .groupBy("flag", "n", "lo")
+        .agg(
+            F.sum(
+                F.col("v")
+                * F.greatest(
+                    F.lit(0),
+                    F.least(F.col("cum"), F.col("n") - F.col("lo"))
+                    - F.greatest(
+                        F.col("cum") - F.col("c"), F.col("lo")
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("ksum")
+        )
+    )
+    return kept.filter(F.col("n") - 2 * F.col("lo") > 0).select(
+        "flag",
+        "n",
+        F.col("lo").alias("n_trimmed_each_side"),
+        F.expr("ksum * 100 div (n - 2 * lo)").alias(
+            "trimmed_mean_c_e2"
+        ),
+    )

@@ -2276,3 +2276,187 @@ def test_funnel_stage_matches_brute_force(rows):
             s = 3
         exp[u] = (tv, tc, tp, s)
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # nation
+            st.integers(min_value=0, max_value=3),  # supplier slot
+            st.integers(min_value=1, max_value=900_000),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hhi_matches_brute_force(rows):
+    sup = pd.DataFrame(
+        [
+            {"s_suppkey": n * 10 + s, "s_nationkey": n}
+            for n in range(3)
+            for s in range(4)
+        ]
+    )
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_suppkey": n * 10 + s,
+             "l_extendedprice": c / 100.0}
+            for i, (n, s, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables(
+            "hhi_supplier_concentration",
+            {"supplier": sup, "lineitem": li},
+        )
+    }
+    rev: dict[int, dict[int, int]] = {}
+    for n, s, c in rows:
+        rev.setdefault(n, {})
+        rev[n][s] = rev[n].get(s, 0) + c
+    exp = {}
+    for n, d in rev.items():
+        tot = sum(d.values())
+        hhi = sum((v / tot) ** 2 for v in d.values())
+        exp[n] = (len(d), tot, hhi)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n][:2] == exp[n][:2]
+        assert abs(got[n][2] - exp[n][2]) < 5.01e-7
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "purchase", "click"]),
+            st.integers(min_value=0, max_value=12),  # day
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ccf_matches_brute_force(rows):
+    base = 1_704_067_200_000_000
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(
+                    base + d * 86_400_000_000 + i * 1_000_000, unit="us"
+                ),
+                "user_id": 1,
+                "event_type": ty,
+            }
+            for i, (ty, d) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("ccf_view_purchase_daily",
+                                {"events": pdf})
+    }
+    days = [d for _, d in rows]
+    mn, mx = min(days), max(days)
+    grid = list(range(mn, mx + 1))
+    x = [sum(1 for ty, d in rows if ty == "view" and d == g)
+         for g in grid]
+    y = [sum(1 for ty, d in rows if ty == "purchase" and d == g)
+         for g in grid]
+    nd = len(grid)
+    xm, ym = sum(x) // nd, sum(y) // nd
+    dx = [v - xm for v in x]
+    dy = [v - ym for v in y]
+    denx = sum(v * v for v in dx)
+    deny = sum(v * v for v in dy)
+    for k in range(-3, 4):
+        pairs = [
+            (dx[t], dy[t + k])
+            for t in range(nd)
+            if 0 <= t + k < nd
+        ]
+        num = sum(a * b for a, b in pairs)
+        gnp, gdx, gdy, gc = got[k]
+        assert (gnp, gdx, gdy) == (len(pairs), denx, deny)
+        if denx > 0 and deny > 0:
+            assert abs(gc - num / (denx * deny) ** 0.5) < 5.1e-5
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # quantity
+            st.integers(min_value=1, max_value=3_000_000),  # cents
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_kendall_tau_matches_brute_force(rows):
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_quantity": float(q),
+             "l_extendedprice": c / 100.0}
+            for i, (q, c) in enumerate(rows)
+        ]
+    )
+    (row,) = _oracle_tables("kendall_tau_qty_price", {"lineitem": li})
+    pts = [(q, c // 1_000_000) for q, c in rows]
+    n = len(pts)
+    cc = dd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (q1, p1), (q2, p2) = pts[i], pts[j]
+            if (q1 - q2) * (p1 - p2) > 0:
+                cc += 1
+            elif (q1 - q2) * (p1 - p2) < 0:
+                dd += 1
+    from collections import Counter
+
+    tq = sum(v * (v - 1) // 2 for v in Counter(q for q, _ in pts).values())
+    tp = sum(v * (v - 1) // 2 for v in Counter(p for _, p in pts).values())
+    assert row[:5] == (n, cc, dd, tq, tp)
+    n0 = n * (n - 1) // 2
+    if n0 > tq and n0 > tp:
+        tau = (cc - dd) / ((n0 - tq) * (n0 - tp)) ** 0.5
+        assert abs(row[5] - tau) < 5.1e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=1, max_value=3_000_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_trimmed_mean_matches_brute_force(rows):
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_returnflag": fl,
+             "l_extendedprice": c / 100.0}
+            for i, (fl, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("trimmed_mean_price", {"lineitem": li})
+    }
+    groups: dict[str, list[int]] = {}
+    for fl, c in rows:
+        groups.setdefault(fl, []).append(c)
+    exp = {}
+    for fl, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        lo = n * 5 // 100
+        kept = vs[lo: n - lo]
+        if kept:
+            exp[fl] = (n, lo, sum(kept) * 100 // len(kept))
+    assert got == exp

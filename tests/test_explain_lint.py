@@ -63,6 +63,7 @@ BNLJ_BY_DESIGN = {
     "isotonic_calibration",  # bins² minimax triangle: bounded panel
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
+    "kendall_tau_qty_price",  # bounded contingency cells x cells panel
     "kmv_set_intersection",  # <=32-row sketch tables x 1-row scalars
     "knn_classify",
     "ks_two_sample_exact",  # (n0, n1) totals row: scalar broadcast
