@@ -1338,3 +1338,502 @@ def trimmed_mean_price(spark: SparkSession, sf: str) -> DataFrame:
             "trimmed_mean_c_e2"
         ),
     )
+
+
+@query(
+    "mutual_info_type_hour",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type AS ty,
+             (epoch_us(ts) // 3600000000) % 24 AS hr
+      FROM {EVENTS_US} events),
+    cell AS (
+      SELECT ty, hr, CAST(count(*) AS BIGINT) AS nij
+      FROM e GROUP BY 1, 2),
+    rowm AS (SELECT ty, CAST(sum(nij) AS BIGINT) AS ri
+             FROM cell GROUP BY 1),
+    colm AS (SELECT hr, CAST(sum(nij) AS BIGINT) AS cj
+             FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cell)
+    SELECT n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((CAST(nij AS DOUBLE) / n)
+                     * ln(CAST(nij AS DOUBLE) * n
+                          / (CAST(ri AS DOUBLE) * cj))), 6)
+             AS mi_nats
+    FROM cell
+    JOIN rowm ON rowm.ty = cell.ty
+    JOIN colm ON colm.hr = cell.hr
+    CROSS JOIN tot
+    GROUP BY n
+    """,
+)
+def mutual_info_type_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information (nats) between event type and hour-of-day —
+    the model-free dependence measure feature selection ranks on:
+    I(X;Y) = Σ_ij p_ij · ln(p_ij / (p_i·p_j)), evaluated on the
+    bounded types×24 contingency table with all counts exact int64
+    and the ln/ratio arithmetic confined to the final per-cell
+    expression (zero cells contribute nothing by construction —
+    absent rows ARE the limit x·ln(x) → 0).  Accumulation noise over
+    ≤ types×24 cells sits ~1e-15, nine orders below the 6 dp
+    publication (bm25 ln precedent).
+
+    Scale: one events scan to the bounded contingency table; margins
+    and the grand total are aggregates OF the cell table, and the
+    final sum runs over ≤ 120 rows.  No corpus-sized join exists —
+    the margin joins key on the cell table itself."""
+    cell = (
+        t(spark, sf, "events")
+        .select(
+            F.col("event_type").alias("ty"),
+            F.expr(
+                "(unix_micros(ts) div 3600000000) % 24"
+            ).alias("hr"),
+        )
+        .groupBy("ty", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .persist()  # bounded cells; feeds margins + total + MI sum
+    )
+    rowm = cell.groupBy(F.col("ty").alias("r_ty")).agg(
+        F.sum("nij").cast("long").alias("ri")
+    )
+    colm = cell.groupBy(F.col("hr").alias("c_hr")).agg(
+        F.sum("nij").cast("long").alias("cj")
+    )
+    tot = cell.agg(F.sum("nij").cast("long").alias("n"))
+    j = (
+        cell.join(F.broadcast(rowm), F.col("r_ty") == F.col("ty"))
+        .join(F.broadcast(colm), F.col("c_hr") == F.col("hr"))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (F.col("nij").cast("double") / F.col("n")) * F.log(
+        F.col("nij").cast("double")
+        * F.col("n")
+        / (F.col("ri").cast("double") * F.col("cj"))
+    )
+    return j.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mi_nats"),
+    )
+
+
+_DID_SPLIT = "1995-06-01"
+
+
+@query(
+    "difference_in_differences",
+    oracle=f"""
+    WITH j AS (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS tr,
+             CASE WHEN o_orderdate >= DATE '{_DID_SPLIT}' THEN 1
+                  ELSE 0 END AS post,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey),
+    s AS (
+      SELECT tr, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM j GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(max(CASE WHEN tr = 1 AND post = 1
+                      THEN sy * 100 // n END) AS BIGINT) AS t1,
+             CAST(max(CASE WHEN tr = 1 AND post = 0
+                      THEN sy * 100 // n END) AS BIGINT) AS t0,
+             CAST(max(CASE WHEN tr = 0 AND post = 1
+                      THEN sy * 100 // n END) AS BIGINT) AS c1,
+             CAST(max(CASE WHEN tr = 0 AND post = 0
+                      THEN sy * 100 // n END) AS BIGINT) AS c0,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM s)
+    SELECT n_total, t0 AS treat_pre_c_e2, t1 AS treat_post_c_e2,
+           c0 AS ctrl_pre_c_e2, c1 AS ctrl_post_c_e2,
+           (t1 - t0) - (c1 - c0) AS did_c_e2
+    FROM m
+    """,
+)
+def difference_in_differences(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences estimator — the panel-data causal
+    staple: (treated post − treated pre) − (control post − control
+    pre) mean order value, with BUILDING-segment customers as the
+    treated group and a mid-1995 policy date as the split.  All four
+    cell means are exact 1e2 sub-cent integer ticks (sy·100 // n),
+    so the DiD is a pure integer expression — the
+    stratified_ate_by_segment discipline extended to the 2×2
+    pre/post design.
+
+    Scale: one orders scan with the customer dim broadcast, one
+    4-cell aggregate, one 1-row pivot.  Int64: sy·100 ≈ 5e14 at the
+    100x replica."""
+    j = (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            (F.col("o_orderdate") >= F.lit(_DID_SPLIT).cast("date"))
+            .cast("long")
+            .alias("post"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    (F.col("c_mktsegment") == "BUILDING")
+                    .cast("long")
+                    .alias("tr"),
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    s = j.groupBy("tr", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    mean = F.expr("sy * 100 div n")
+    m = s.agg(
+        F.max(
+            F.when((F.col("tr") == 1) & (F.col("post") == 1), mean)
+        ).cast("long").alias("t1"),
+        F.max(
+            F.when((F.col("tr") == 1) & (F.col("post") == 0), mean)
+        ).cast("long").alias("t0"),
+        F.max(
+            F.when((F.col("tr") == 0) & (F.col("post") == 1), mean)
+        ).cast("long").alias("c1"),
+        F.max(
+            F.when((F.col("tr") == 0) & (F.col("post") == 0), mean)
+        ).cast("long").alias("c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        F.col("t0").alias("treat_pre_c_e2"),
+        F.col("t1").alias("treat_post_c_e2"),
+        F.col("c0").alias("ctrl_pre_c_e2"),
+        F.col("c1").alias("ctrl_post_c_e2"),
+        (
+            (F.col("t1") - F.col("t0"))
+            - (F.col("c1") - F.col("c0"))
+        ).alias("did_c_e2"),
+    )
+
+
+_AR_MIN_SUPPORT = 3
+
+
+@query(
+    "assoc_rules_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nn FROM b),
+    isup AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.item AS ante, c.item AS cons,
+             CAST(count(*) AS BIGINT) AS nab
+      FROM b a JOIN b c ON a.ok = c.ok AND a.item <> c.item
+      GROUP BY 1, 2),
+    r AS (
+      SELECT ante, cons, nab, ia.ni AS na, ic.ni AS nc, nn
+      FROM pair
+      JOIN isup ia ON ia.item = pair.ante
+      JOIN isup ic ON ic.item = pair.cons
+      CROSS JOIN n_orders
+      WHERE nab >= {_AR_MIN_SUPPORT})
+    SELECT ante, cons, nab AS support_pair, na AS support_ante,
+           nc AS support_cons, nn AS n_baskets,
+           nab * 10000 // na AS confidence_e4,
+           (nab * nn) * 10000 // (na * nc) AS lift_e4
+    FROM r
+    """,
+)
+def assoc_rules_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed association rules ante→cons over per-order brand
+    baskets, with the two standard strengths as exact integer ticks:
+    confidence = P(cons|ante) and lift = P(ante,cons)/(P(ante)·
+    P(cons)) — lift computed as (n_ab·N)·1e4 // (n_a·n_b), one
+    cross-multiplication so no float enters.  Extends
+    frequent_itempairs (which stops at co-occurrence counts) into the
+    rule-mining surface.
+
+    Scale: baskets are the DISTINCT (order, brand) pairs — the pair
+    self-join keys on order with per-order fanout bounded by
+    distinct brands per order (≤ 25); item supports and the basket
+    count aggregate off the same deduplicated relation.  Int64:
+    n_ab·N·1e4 ≈ 2e17 at the 100x replica — inside; past that drop
+    to 1e2 ticks (documented)."""
+    b = (
+        t(spark, sf, "lineitem")
+        .join(
+            F.broadcast(
+                t(spark, sf, "part").select(
+                    F.col("p_partkey").alias("l_partkey"),
+                    F.col("p_brand").alias("item"),
+                )
+            ),
+            "l_partkey",
+        )
+        .select(F.col("l_orderkey").alias("ok"), "item")
+        .distinct()
+        .persist()  # dedup'd baskets: pair join + supports + count
+    )
+    nn = b.agg(F.countDistinct("ok").cast("long").alias("nn"))
+    isup = b.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("ni")
+    )
+    a = b.select("ok", F.col("item").alias("ante"))
+    c = b.select("ok", F.col("item").alias("cons"))
+    pair = (
+        a.join(c, "ok")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("nab"))
+        .filter(F.col("nab") >= _AR_MIN_SUPPORT)
+    )
+    r = (
+        pair.join(
+            F.broadcast(
+                isup.select(
+                    F.col("item").alias("ante"),
+                    F.col("ni").alias("na"),
+                )
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                isup.select(
+                    F.col("item").alias("cons"),
+                    F.col("ni").alias("nc"),
+                )
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    return r.select(
+        "ante",
+        "cons",
+        F.col("nab").alias("support_pair"),
+        F.col("na").alias("support_ante"),
+        F.col("nc").alias("support_cons"),
+        F.col("nn").alias("n_baskets"),
+        F.expr("nab * 10000 div na").alias("confidence_e4"),
+        F.expr("(nab * nn) * 10000 div (na * nc)").alias("lift_e4"),
+    )
+
+
+_QN_BKT_C = 1_000_000  # $10k value bands for distributed ranking
+_QN_CELL = 4096  # rank-space cells for the interval lookup join
+
+_QN_SPEND_SQL = """
+      SELECT o_custkey AS ck, c_mktsegment AS seg,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2"""
+
+_QN_FINAL_SQL = """
+    SELECT tt.ck AS c_custkey, tt.seg AS segment, tt.v AS spend_c,
+           tt.r AS rank_in_seg, tt.ng AS n_in_seg,
+           tt.t AS pooled_rank, p.v AS normalized_c
+    FROM {tt} tt JOIN {p} p ON p.pr = tt.t"""
+
+
+def _qn_oracle() -> str:
+    return f"""
+    WITH spend AS ({_QN_SPEND_SQL}),
+    r AS (
+      SELECT ck, seg, v,
+             CAST(row_number() OVER (PARTITION BY seg
+               ORDER BY v, ck) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS ng,
+             CAST(count(*) OVER () AS BIGINT) AS nn
+      FROM spend),
+    p AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY v, ck) AS BIGINT)
+               AS pr
+      FROM spend),
+    tt AS (
+      SELECT ck, seg, v, r, ng,
+             (r * nn + ng - 1) // ng AS t
+      FROM r)
+    {_QN_FINAL_SQL.format(tt="tt", p="p")}
+    """
+
+
+def _qn_oracle_staged() -> list[str]:
+    return [
+        f"CREATE OR REPLACE TEMP TABLE qn_spend AS {_QN_SPEND_SQL}",
+        """CREATE OR REPLACE TEMP TABLE qn_r AS
+      SELECT ck, seg, v,
+             CAST(row_number() OVER (PARTITION BY seg
+               ORDER BY v, ck) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS ng,
+             CAST(count(*) OVER () AS BIGINT) AS nn
+      FROM qn_spend""",
+        """CREATE OR REPLACE TEMP TABLE qn_p AS
+      SELECT v, CAST(row_number() OVER (ORDER BY v, ck) AS BIGINT)
+               AS pr
+      FROM qn_spend""",
+        """CREATE OR REPLACE TEMP TABLE qn_tt AS
+      SELECT ck, seg, v, r, ng, (r * nn + ng - 1) // ng AS t
+      FROM qn_r""",
+        _QN_FINAL_SQL.format(tt="qn_tt", p="qn_p"),
+    ]
+
+
+@query(
+    "quantile_normalize_spend",
+    oracle=_qn_oracle(),
+    staged_oracle=_qn_oracle_staged(),
+)
+def quantile_normalize_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact quantile normalization of per-customer spend ACROSS
+    market segments — the bioinformatics/feature-engineering staple
+    made distributed-exact: a customer at within-segment rank r (of
+    n_g, ties broken by key) maps to pooled rank t = ⌈r·N/n_g⌉ and
+    receives the t-th smallest POOLED spend as its normalized value,
+    so every segment's normalized distribution is an identical
+    subsample of the pooled one.  Every quantity is an exact int64
+    (rank cross-products r·N ≈ 2.3e12 at the 100x replica; inside
+    int64 to ~3e9 customers).
+
+    Scale: three disciplines compose. (1) Within-segment ranks use
+    $10k-band RANGE-PARTITIONED ranking — per-band row_number plus
+    broadcast band bases (the distributed-sort shape; AQE absorbs
+    residual band skew).  (2) The pooled inverse-CDF is a VALUE
+    HISTOGRAM with two-phase cumulative counts; each value owns the
+    contiguous pooled-rank interval (pcum−pc, pcum].  (3) The
+    rank→value lookup joins targets to intervals through
+    4096-wide RANK CELLS (the range_join_event_pairs discipline):
+    intervals explode to the cells they span (Σ spans ≈ N/4096 +
+    #values), targets key to ONE cell, and the equi-join + contain
+    filter yields exactly one row per customer — never an all-pairs
+    band product.  The chained oracle references the spend CTE
+    twice, hence the registered staged twin (CTE discipline)."""
+    spend = (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("long").alias("v"))
+        .join(
+            F.broadcast(
+                t(spark, sf, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("seg"),
+                )
+            ),
+            "o_custkey",
+        )
+        .select(F.col("o_custkey").alias("ck"), "seg", "v")
+        .persist()  # per-customer spend: ranks + pooled CDF + sizes
+    )
+    b = spend.withColumn("bkt", F.expr(f"v div {_QN_BKT_C}"))
+    btot = b.groupBy("seg", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    wsb = (
+        W.partitionBy("seg")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bbase = btot.select(
+        "seg",
+        "bkt",
+        F.coalesce(F.sum("bc").over(wsb), F.lit(0)).alias("base"),
+    )
+    wrk = W.partitionBy("seg", "bkt").orderBy("v", "ck")
+    ranked = b.join(F.broadcast(bbase), ["seg", "bkt"]).select(
+        "ck",
+        "seg",
+        "v",
+        (F.col("base") + F.row_number().over(wrk)).cast("long").alias(
+            "r"
+        ),
+    )
+    sizes = spend.groupBy(F.col("seg").alias("s_seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    nn = spend.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    targets = (
+        ranked.join(
+            F.broadcast(sizes), F.col("s_seg") == F.col("seg")
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "ck",
+            "seg",
+            "v",
+            "r",
+            "ng",
+            F.expr("(r * nn + ng - 1) div ng").alias("t"),
+        )
+        .withColumn("cell", F.expr(f"t div {_QN_CELL}"))
+    )
+    ph = (
+        spend.groupBy(F.col("v").alias("pv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
+        .withColumn("pbkt", F.expr(f"pv div {_QN_BKT_C}"))
+    )
+    pbt = ph.groupBy("pbkt").agg(F.sum("pc").alias("pbc"))
+    wpb = W.orderBy("pbkt").rowsBetween(W.unboundedPreceding, -1)
+    pbase = pbt.select(
+        "pbkt",
+        F.coalesce(F.sum("pbc").over(wpb), F.lit(0)).alias("pb"),
+    )
+    wpv = (
+        W.partitionBy("pbkt")
+        .orderBy("pv")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    intervals = (
+        ph.join(F.broadcast(pbase), "pbkt")
+        .select(
+            "pv",
+            "pc",
+            (F.col("pb") + F.sum("pc").over(wpv)).alias("pcum"),
+        )
+        .select(
+            "pv",
+            (F.col("pcum") - F.col("pc") + 1).alias("a"),
+            F.col("pcum").alias("bb"),
+        )
+        .select(
+            "pv",
+            "a",
+            "bb",
+            F.explode(
+                F.sequence(
+                    F.expr(f"a div {_QN_CELL}"),
+                    F.expr(f"bb div {_QN_CELL}"),
+                )
+            ).alias("cell"),
+        )
+    )
+    return (
+        targets.join(intervals, "cell")
+        .filter(
+            (F.col("t") >= F.col("a")) & (F.col("t") <= F.col("bb"))
+        )
+        .select(
+            F.col("ck").alias("c_custkey"),
+            F.col("seg").alias("segment"),
+            F.col("v").alias("spend_c"),
+            F.col("r").alias("rank_in_seg"),
+            F.col("ng").alias("n_in_seg"),
+            F.col("t").alias("pooled_rank"),
+            F.col("pv").alias("normalized_c"),
+        )
+    )

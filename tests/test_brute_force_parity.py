@@ -2460,3 +2460,207 @@ def test_trimmed_mean_matches_brute_force(rows):
         if kept:
             exp[fl] = (n, lo, sum(kept) * 100 // len(kept))
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=5),  # hour slot
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mutual_info_matches_brute_force(rows):
+    base = 1_704_067_200_000_000
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(base + h * 3_600_000_000, unit="us"),
+                "user_id": 1,
+                "event_type": ty,
+            }
+            for i, (ty, h) in enumerate(rows)
+        ]
+    )
+    (row,) = _oracle_tables("mutual_info_type_hour", {"events": pdf})
+    from collections import Counter
+
+    cells = Counter(rows)
+    rowm = Counter(ty for ty, _ in rows)
+    colm = Counter(h for _, h in rows)
+    n = len(rows)
+    mi = sum(
+        (c / n) * math.log(c * n / (rowm[ty] * colm[h]))
+        for (ty, h), c in cells.items()
+    )
+    assert row[:2] == (n, len(cells))
+    assert abs(row[2] - mi) < 5.01e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # treated segment
+            st.booleans(),  # post period
+            st.integers(min_value=1, max_value=900_000),  # cents
+        ),
+        min_size=4,
+        max_size=40,
+    ).filter(
+        lambda rs: all(
+            any(t == a and p == b for t, p, _ in rs)
+            for a in (False, True)
+            for b in (False, True)
+        )
+    )
+)
+def test_did_matches_brute_force(rows):
+    cust = pd.DataFrame(
+        [
+            {
+                "c_custkey": i + 1,
+                "c_mktsegment": "BUILDING" if tr else "MACHINERY",
+            }
+            for i, (tr, _, _) in enumerate(rows)
+        ]
+    )
+    orders = pd.DataFrame(
+        [
+            {
+                "o_orderkey": i + 1,
+                "o_custkey": i + 1,
+                "o_orderdate": pd.Timestamp(
+                    "1995-07-01" if post else "1995-01-01"
+                ).date(),
+                "o_totalprice": c / 100.0,
+            }
+            for i, (_, post, c) in enumerate(rows)
+        ]
+    )
+    (row,) = _oracle_tables(
+        "difference_in_differences",
+        {"customer": cust, "orders": orders},
+    )
+    cellsum: dict[tuple[bool, bool], list[int]] = {}
+    for tr, post, c in rows:
+        s, n = cellsum.get((tr, post), (0, 0))
+        cellsum[(tr, post)] = (s + c, n + 1)
+    m = {
+        k: s * 100 // n for k, (s, n) in cellsum.items()
+    }
+    t1, t0 = m[(True, True)], m[(True, False)]
+    c1, c0 = m[(False, True)], m[(False, False)]
+    assert row == (len(rows), t0, t1, c0, c1, (t1 - t0) - (c1 - c0))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # order
+            st.integers(min_value=0, max_value=3),  # brand slot
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_assoc_rules_match_brute_force(pairs):
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": ok + 1, "l_partkey": br + 1,
+             "l_linenumber": i}
+            for i, (ok, br) in enumerate(pairs)
+        ]
+    )
+    part = pd.DataFrame(
+        [{"p_partkey": b + 1, "p_brand": f"B{b}"} for b in range(4)]
+    )
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _oracle_tables(
+            "assoc_rules_lift", {"lineitem": li, "part": part}
+        )
+    }
+    baskets: dict[int, set] = {}
+    for ok, br in pairs:
+        baskets.setdefault(ok + 1, set()).add(f"B{b}" if False else f"B{br}")
+    nn = len(baskets)
+    sup: dict[str, int] = {}
+    for items in baskets.values():
+        for it in items:
+            sup[it] = sup.get(it, 0) + 1
+    from collections import Counter
+
+    pc: Counter = Counter()
+    for items in baskets.values():
+        for a in items:
+            for b in items:
+                if a != b:
+                    pc[(a, b)] += 1
+    exp = {}
+    for (a, b), nab in pc.items():
+        if nab >= 3:
+            exp[(a, b)] = (
+                nab,
+                sup[a],
+                sup[b],
+                nn,
+                nab * 10000 // sup[a],
+                (nab * nn) * 10000 // (sup[a] * sup[b]),
+            )
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+            st.integers(min_value=1, max_value=400),  # cents spend
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quantile_normalize_matches_brute_force(rows):
+    cust = pd.DataFrame(
+        [
+            {"c_custkey": i + 1, "c_mktsegment": seg}
+            for i, (seg, _) in enumerate(rows)
+        ]
+    )
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_custkey": i + 1,
+             "o_totalprice": c / 100.0}
+            for i, (_, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables(
+            "quantile_normalize_spend",
+            {"customer": cust, "orders": orders},
+        )
+    }
+    pooled = sorted(
+        (c, i + 1) for i, (_, c) in enumerate(rows)
+    )  # (value, ck): pooled order with key tiebreak
+    nn = len(rows)
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for i, (seg, c) in enumerate(rows):
+        groups.setdefault(seg, []).append((c, i + 1))
+    exp = {}
+    for seg, vs in groups.items():
+        vs.sort()
+        ng = len(vs)
+        for r0, (c, ck) in enumerate(vs):
+            r = r0 + 1
+            tgt = (r * nn + ng - 1) // ng
+            exp[ck] = (seg, c, r, ng, tgt, pooled[tgt - 1][0])
+    assert got == exp
