@@ -1837,3 +1837,301 @@ def quantile_normalize_spend(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pv").alias("normalized_c"),
         )
     )
+
+
+_MAH_TOPK = 50
+
+
+@query(
+    "mahalanobis_outliers_qty_price",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx_r,
+             CAST(sum(x * y) AS BIGINT) AS sxy_r,
+             CAST(sum(y * y) AS BIGINT) AS syy_r
+      FROM f),
+    m AS (SELECT *, sx // n AS mx, sy // n AS my FROM s),
+    c AS (
+      SELECT n, mx, my,
+             sxx_r - 2 * mx * sx + n * mx * mx AS sxx,
+             sxy_r - mx * sy - my * sx + n * mx * my AS sxy,
+             syy_r - 2 * my * sy + n * my * my AS syy
+      FROM m),
+    sc AS (
+      SELECT ok, ln, x, y,
+             round((CAST(syy AS DOUBLE) * ((x - mx) * (x - mx))
+                    - 2.0 * CAST(sxy AS DOUBLE)
+                      * ((x - mx) * (y - my))
+                    + CAST(sxx AS DOUBLE) * ((y - my) * (y - my)))
+                   / (CAST(sxx AS DOUBLE) * syy
+                      - CAST(sxy AS DOUBLE) * sxy)
+                   * CAST(n - 1 AS DOUBLE), 6) AS d2
+      FROM f CROSS JOIN c)
+    SELECT ok AS l_orderkey, ln AS l_linenumber, x AS qty,
+           y AS price_dollars, d2 AS mahalanobis_sq
+    FROM sc ORDER BY d2 DESC, ok ASC, ln ASC LIMIT {_MAH_TOPK}
+    """,
+)
+def mahalanobis_outliers_qty_price(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Top-50 bivariate outliers by squared Mahalanobis distance in
+    the (quantity, price-dollars) plane — the covariance-aware
+    generalization of z-score outliers (a point can be normal in each
+    margin yet wildly off the correlation ridge).  The 2×2 covariance
+    inverse is closed-form, so d² = (n−1)·(syy·dx² − 2·sxy·dx·dy +
+    sxx·dy²)/(sxx·syy − sxy²) with ALL sufficient statistics exact
+    int64 central moments about the INTEGER mean (the
+    acf_daily_revenue discipline — dollars, not cents, keep syy
+    ≈ 6e14 at the 100x replica, well under 2^53 so every double
+    product is deterministic).  Per-row scores are pure expressions
+    of exact values — no accumulation — hence engine-identical at
+    6 dp; the top-k breaks ties by key.
+
+    Scale: two scans of lineitem — ONE raw-moment pass (central
+    moments derive algebraically, exactly, from raw sums about the
+    integer mean) + the scoring pass (the audited 2-scan budget), a
+    1-row moment panel broadcast, and a TakeOrdered top-50.  Int64:
+    Σy² ≈ 1e18 at the 100x replica — inside; dollars→$10 units past
+    that."""
+    f = t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_r"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_r"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy_r"),
+    ).selectExpr("*", "sx div n AS mx", "sy div n AS my")
+    # central moments about the INTEGER mean, derived algebraically
+    # from the one-pass raw moments (exactly equal in integers):
+    # sum((x-mx)^2) = sum(x^2) - 2*mx*sum(x) + n*mx^2
+    c = s.selectExpr(
+        "n",
+        "mx",
+        "my",
+        "sxx_r - 2 * mx * sx + n * mx * mx AS sxx",
+        "sxy_r - mx * sy - my * sx + n * mx * my AS sxy",
+        "syy_r - 2 * my * sy + n * my * my AS syy",
+    )
+    dx = (F.col("x") - F.col("mx")).cast("double")
+    dy = (F.col("y") - F.col("my")).cast("double")
+    d2 = F.round(
+        (
+            F.col("syy").cast("double") * dx * dx
+            - F.lit(2.0) * F.col("sxy").cast("double") * dx * dy
+            + F.col("sxx").cast("double") * dy * dy
+        )
+        / (
+            F.col("sxx").cast("double") * F.col("syy")
+            - F.col("sxy").cast("double") * F.col("sxy")
+        )
+        * (F.col("n") - 1).cast("double"),
+        6,
+    )
+    sc = f.crossJoin(F.broadcast(c)).select(
+        F.col("ok").alias("l_orderkey"),
+        F.col("ln").alias("l_linenumber"),
+        F.col("x").alias("qty"),
+        F.col("y").alias("price_dollars"),
+        d2.alias("mahalanobis_sq"),
+    )
+    return sc.orderBy(
+        F.desc("mahalanobis_sq"), F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ).limit(_MAH_TOPK)
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS us, event_id
+      FROM {EVENTS_US} events),
+    sq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS nxt
+      FROM e),
+    tr AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    best AS (
+      SELECT cur, nxt AS pred, n,
+             row_number() OVER (PARTITION BY cur
+               ORDER BY n DESC, nxt ASC) AS rn
+      FROM tr),
+    j AS (
+      SELECT tr.cur, CAST(sum(tr.n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN tr.nxt = best.pred
+                      THEN tr.n ELSE 0 END) AS BIGINT) AS correct,
+             max(best.pred) AS pred
+      FROM tr JOIN best ON best.cur = tr.cur AND best.rn = 1
+      GROUP BY 1)
+    SELECT cur AS current_event, pred AS predicted_next,
+           total AS n_transitions, correct AS n_correct,
+           correct * 10000 // total AS accuracy_e4
+    FROM j
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-event predictability audit: train the maximum-likelihood
+    first-order predictor (per current type, predict the most common
+    successor — count ties break alphabetically) and score its
+    training accuracy per state, exact 1e4 ticks.  Low ceiling =
+    inherently unpredictable stream; near-1 = templated/bot flows —
+    the sequence-level cousin of user_type_diversity_simpson.
+
+    Scale: one events scan through the per-user lag window (the
+    event_transition_counts shape), then everything runs on the
+    k²-bounded transition table; the argmax is a window over ≤ k
+    rows per state."""
+    sq = (
+        t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+        .withColumn(
+            "nxt",
+            F.lead("cur").over(
+                W.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+    )
+    tr = (
+        sq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()  # k^2-bounded transition table
+    )
+    best = (
+        tr.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cur").orderBy(
+                    F.desc("n"), F.asc("nxt")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("cur").alias("b_cur"), F.col("nxt").alias("pred"))
+    )
+    j = (
+        tr.join(F.broadcast(best), F.col("b_cur") == F.col("cur"))
+        .groupBy("cur")
+        .agg(
+            F.sum("n").cast("long").alias("total"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("pred"), F.col("n"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("correct"),
+            F.max("pred").alias("pred"),
+        )
+    )
+    return j.select(
+        F.col("cur").alias("current_event"),
+        F.col("pred").alias("predicted_next"),
+        F.col("total").alias("n_transitions"),
+        F.col("correct").alias("n_correct"),
+        F.expr("correct * 10000 div total").alias("accuracy_e4"),
+    )
+
+
+_SKY_BKT_C = 1_000_000
+
+
+@query(
+    "skyline_orders_pareto",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS day
+      FROM orders),
+    rm AS (
+      SELECT ok, price_c, day,
+             min(day) OVER (ORDER BY price_c DESC, day ASC, ok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_min_day
+      FROM f)
+    SELECT ok AS o_orderkey, price_c, day
+    FROM rm
+    WHERE prior_min_day IS NULL OR day < prior_min_day
+    """,
+)
+def skyline_orders_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: maximize total price,
+    minimize order date — the classic SKYLINE operator (Börzsönyi
+    2001).  A point survives iff no other order has price ≥ AND date
+    ≤ with one strict; the sort-based formulation makes that exact
+    without an all-pairs join: scanning by (price DESC, day ASC), a
+    row is on the frontier iff its day beats the running MIN day of
+    everything already scanned (ties in price are ordered day-ASC, so
+    an equal-price earlier-day row correctly dominates its later
+    sibling).  Exact (price, day) DUPLICATES are a determinism trap:
+    without a key tiebreak the scan order between twins is
+    unspecified and WHICH one survives would be engine-dependent —
+    the ok ASC tiebreak pins the lowest key as the survivor in both
+    engines.
+
+    Scale: the running min runs through the two-phase $10k-band
+    discipline on the SPARK side — per-band min panels broadcast as
+    the prefix floor, within-band windows partitioned by band — so no
+    global single-partition sort exists; the frontier is
+    output-bounded.  All-integer throughout."""
+    f = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1992-01-01') AS LONG)"
+        ).alias("day"),
+    ).withColumn(
+        # scan order is price DESC: band index descends as price rises
+        "bkt", F.expr(f"-(price_c div {_SKY_BKT_C})")
+    ).persist()  # feeds band panel + frontier scan
+    btot = f.groupBy("bkt").agg(F.min("day").alias("bmin"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt", F.min("bmin").over(wb).alias("prior_band_min")
+    )
+    wv = (
+        W.partitionBy("bkt")
+        .orderBy(F.desc("price_c"), F.asc("day"), F.asc("ok"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    rm = f.join(F.broadcast(bbase), "bkt").select(
+        "ok",
+        "price_c",
+        "day",
+        F.least(
+            F.coalesce(F.min("day").over(wv), F.lit((1 << 62))),
+            F.coalesce(F.col("prior_band_min"), F.lit((1 << 62))),
+        ).alias("prior_min_day"),
+    )
+    return rm.filter(
+        F.col("day") < F.col("prior_min_day")
+    ).select(
+        F.col("ok").alias("o_orderkey"), "price_c", "day"
+    )

@@ -2664,3 +2664,126 @@ def test_quantile_normalize_matches_brute_force(rows):
             tgt = (r * nn + ng - 1) // ng
             exp[ck] = (seg, c, r, ng, tgt, pooled[tgt - 1][0])
     assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),  # qty
+            st.integers(min_value=100, max_value=120_000),  # dollars
+        ),
+        min_size=3,
+        max_size=30,
+    ).filter(
+        lambda rs: len({q for q, _ in rs}) >= 2
+        and len({y for _, y in rs}) >= 2
+    )
+)
+def test_mahalanobis_matches_brute_force(rows):
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_linenumber": 1,
+             "l_quantity": float(q), "l_extendedprice": float(y)}
+            for i, (q, y) in enumerate(rows)
+        ]
+    )
+    got = _oracle_tables(
+        "mahalanobis_outliers_qty_price", {"lineitem": li}
+    )
+    n = len(rows)
+    sx = sum(q for q, _ in rows)
+    sy = sum(y for _, y in rows)
+    mx, my = sx // n, sy // n
+    sxx = sum((q - mx) ** 2 for q, _ in rows)
+    sxy = sum((q - mx) * (y - my) for q, y in rows)
+    syy = sum((y - my) ** 2 for _, y in rows)
+    det = sxx * syy - sxy * sxy
+    if det == 0:
+        return  # degenerate: collinear sample, d2 undefined
+    exp = sorted(
+        (
+            -(syy * (q - mx) ** 2 - 2 * sxy * (q - mx) * (y - my)
+              + sxx * (y - my) ** 2) / det * (n - 1),
+            i + 1,
+        )
+        for i, (q, y) in enumerate(rows)
+    )[:50]
+    assert [r[0] for r in got] == [k for _, k in exp]
+    for r, (negd2, _) in zip(got, exp):
+        assert abs(r[4] - (-negd2)) < 5.01e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(events_strategy)
+def test_markov_next_accuracy_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("markov_next_event_accuracy",
+                                {"events": pdf})
+    }
+    base = 1_704_067_200_000_000
+    by_user: dict[int, list] = {}
+    for i, (u, ty, sec, _) in enumerate(rows):
+        by_user.setdefault(u, []).append(
+            (base + sec * 1_000_000, i + 1, ty)
+        )
+    from collections import Counter
+
+    tr: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            tr[(a[2], b[2])] += 1
+    exp = {}
+    curs = {c for c, _ in tr}
+    for c in curs:
+        succ = {d: n for (cc, d), n in tr.items() if cc == c}
+        pred = min(succ, key=lambda d: (-succ[d], d))
+        total = sum(succ.values())
+        correct = succ[pred]
+        exp[c] = (pred, total, correct, correct * 10_000 // total)
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500),  # cents
+            st.integers(min_value=0, max_value=60),  # day
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_matches_brute_force(rows):
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_totalprice": c / 100.0,
+             "o_orderdate": base + datetime.timedelta(days=d)}
+            for i, (c, d) in enumerate(rows)
+        ]
+    )
+    got = sorted(
+        r[0] for r in _oracle_tables("skyline_orders_pareto",
+                                     {"orders": orders})
+    )
+    # brute-force dominance with the duplicate tiebreak: an exact
+    # (price, day) twin with a SMALLER key dominates its sibling
+    exp = []
+    for i, (c, d) in enumerate(rows):
+        dominated = any(
+            (c2 > c and d2 <= d)
+            or (c2 == c and d2 < d)
+            or (c2 == c and d2 == d and j < i)
+            for j, (c2, d2) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            exp.append(i + 1)
+    assert got == sorted(exp)

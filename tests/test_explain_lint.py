@@ -67,6 +67,7 @@ BNLJ_BY_DESIGN = {
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "kendall_tau_qty_price",  # bounded contingency cells x cells panel
+    "mahalanobis_outliers_qty_price",  # 1-row moment panel broadcast
     "kmv_set_intersection",  # <=32-row sketch tables x 1-row scalars
     "knn_classify",
     "ks_two_sample_exact",  # (n0, n1) totals row: scalar broadcast
@@ -140,6 +141,8 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "interval_overlap_join": {"events": 2},  # click/view interval self-join
     "knn_classify": {"embeddings": 2},
     "lm_bigram_surprisal": {"documents": 3},
+    # moment pass + scoring pass BY DESIGN (1-row panel broadcast back)
+    "mahalanobis_outliers_qty_price": {"lineitem": 2},
     "merge_upsert_orders": {"orders": 3},
     "mv_incremental_refresh": {"events": 2},
     # id-ring bounds scalar + anchor side + negative side BY DESIGN
