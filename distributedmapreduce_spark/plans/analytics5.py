@@ -2135,3 +2135,446 @@ def skyline_orders_pareto(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("ok").alias("o_orderkey"), "price_c", "day"
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+               AS fingerprint
+      FROM documents),
+    cl AS (
+      SELECT fingerprint, CAST(count(*) AS BIGINT) AS sz
+      FROM fp GROUP BY 1)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM cl GROUP BY 1
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the exact-dedup
+    fingerprint (the dedup_exact normalization: collapse runs of
+    spaces, trim, lowercase, md5) — the dedup AUDIT every pipeline
+    report leads with: how much of the corpus is singleton vs
+    small-cluster vs mega-cluster duplication, and how many docs
+    deduplication would remove (Σ (size−1)·count).  Pure integer.
+
+    Scale: one documents scan → fingerprint counts → a histogram OF
+    the cluster-size table; both aggregates map-side combinable,
+    output bounded by distinct cluster sizes."""
+    fp = t(spark, sf, "documents").select(
+        F.md5(
+            F.lower(
+                F.trim(F.regexp_replace(F.col("text"), " +", " "))
+            )
+        ).alias("fingerprint")
+    )
+    cl = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return cl.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
+_RBO_K = 20
+_RBO_P = 0.9
+
+
+def _rbo_oracle() -> str:
+    return f"""
+    WITH rev AS (
+      SELECT p_brand AS item,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1),
+    cnt AS (
+      SELECT p_brand AS item,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS m
+      FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1),
+    ra AS (
+      SELECT item, row_number() OVER (ORDER BY m DESC, item ASC)
+               AS r
+      FROM rev QUALIFY r <= {_RBO_K}),
+    rb AS (
+      SELECT item, row_number() OVER (ORDER BY m DESC, item ASC)
+               AS r
+      FROM cnt QUALIFY r <= {_RBO_K}),
+    depth AS (SELECT unnest(generate_series(1, {_RBO_K})) AS d),
+    ov AS (
+      SELECT d, CAST(count(x.item) AS BIGINT) AS o
+      FROM depth
+      LEFT JOIN (SELECT ra.item, ra.r AS r1, rb.r AS r2
+                 FROM ra JOIN rb ON rb.item = ra.item) x
+        ON x.r1 <= d AND x.r2 <= d
+      GROUP BY 1)
+    SELECT CAST({_RBO_K} AS BIGINT) AS k,
+           CAST(max(CASE WHEN d = {_RBO_K} THEN o END) AS BIGINT)
+             AS overlap_at_k,
+           round(sum((1.0 - {_RBO_P}) * pow({_RBO_P}, d - 1)
+                     * (CAST(o AS DOUBLE) / d)), 6) AS rbo_trunc
+    FROM ov
+    """
+
+
+@query("rbo_brand_rankings", oracle=_rbo_oracle())
+def rbo_brand_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (Webber 2010, truncated at depth 20,
+    p = 0.9) between two brand rankings — by revenue vs by distinct
+    order count: do the two business lenses agree on what the top
+    brands are?  RBO's geometric depth weights make it the standard
+    top-weighted ranking-similarity measure (Kendall on top-k is
+    blind to WHERE in the list disagreements happen).  Published
+    truncated sum Σ_{{d≤k}} (1−p)·p^{{d−1}}·overlap_d/d at 6 dp —
+    the only floats are pow(0.9, d−1) on ≤ 20 depths and one division
+    per depth, identical expressions in both engines; overlap counts
+    are exact ints with (metric DESC, brand ASC) tiebreaks.
+
+    Scale: one lineitem scan per ranking metric (audited 2-scan
+    budget, both with the part dim broadcast); rankings are
+    TakeOrdered top-20 panels, and the depth×overlap grid is
+    20×20-bounded."""
+    li = t(spark, sf, "lineitem")
+    pt = F.broadcast(
+        t(spark, sf, "part").select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.col("p_brand").alias("item"),
+        )
+    )
+    rev = (
+        li.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .join(pt, "l_partkey")
+        .groupBy("item")
+        .agg(F.sum("c").cast("long").alias("m"))
+    )
+    cnt = (
+        li.select("l_partkey", "l_orderkey")
+        .join(pt, "l_partkey")
+        .groupBy("item")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("m"))
+    )
+
+    def topk(df: DataFrame, rcol: str) -> DataFrame:
+        top = df.orderBy(F.desc("m"), F.asc("item")).limit(_RBO_K)
+        return top.select(
+            "item",
+            F.row_number()
+            .over(W.orderBy(F.desc("m"), F.asc("item")))
+            .alias(rcol),
+        )
+
+    ra, rb = topk(rev, "r1"), topk(cnt, "r2")
+    x = ra.join(rb, "item")
+    depth = spark.range(1, _RBO_K + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    ov = (
+        depth.join(
+            F.broadcast(x),
+            (F.col("r1") <= F.col("d")) & (F.col("r2") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("item").cast("long").alias("o"))
+    )
+    return ov.agg(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.max(
+            F.when(F.col("d") == _RBO_K, F.col("o"))
+        ).cast("long").alias("overlap_at_k"),
+        F.round(
+            F.sum(
+                (1.0 - _RBO_P)
+                * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+                * (F.col("o").cast("double") / F.col("d"))
+            ),
+            6,
+        ).alias("rbo_trunc"),
+    )
+
+
+_DA_RARE_MAX = 15  # the triangle_count_copurchase edge-build bound
+
+
+_DA_CP_SQL = """
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""
+
+_DA_TAIL_SQL = """
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM {e} UNION ALL SELECT v FROM {e})
+      GROUP BY 1),
+    pts AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM {e} e JOIN deg du ON du.node = e.u
+             JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM {e} e JOIN deg du ON du.node = e.u
+             JOIN deg dv ON dv.node = e.v),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts)
+    SELECT m AS n_endpoints,
+           floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS assortativity
+    FROM s WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0"""
+
+
+def _da_oracle() -> str:
+    return f"""
+    WITH cp AS ({_DA_CP_SQL}),
+    deg0 AS (SELECT p, count(*) AS nc FROM cp GROUP BY p),
+    e AS (
+      SELECT DISTINCT a.c AS u, b.c AS v
+      FROM cp a
+      JOIN cp b ON a.p = b.p AND a.c < b.c
+      WHERE a.p IN (SELECT p FROM deg0 WHERE nc <= {_DA_RARE_MAX})),
+    {_DA_TAIL_SQL.format(e="e")}
+    """
+
+
+def _da_oracle_staged() -> list[str]:
+    return [
+        f"CREATE OR REPLACE TEMP TABLE da_cp AS {_DA_CP_SQL}",
+        f"""CREATE OR REPLACE TEMP TABLE da_e AS
+      SELECT DISTINCT a.c AS u, b.c AS v
+      FROM da_cp a
+      JOIN da_cp b ON a.p = b.p AND a.c < b.c
+      WHERE a.p IN (SELECT p FROM (SELECT p, count(*) AS nc
+                    FROM da_cp GROUP BY p) d0
+                    WHERE nc <= {_DA_RARE_MAX})""",
+        "WITH " + _DA_TAIL_SQL.format(e="da_e").lstrip(),
+    ]
+
+
+@query(
+    "degree_assortativity_copurchase",
+    oracle=_da_oracle(),
+    staged_oracle=_da_oracle_staged(),
+)
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Degree assortativity of the rare-part copurchase graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    all directed edge orientations — positive means hubs attach to
+    hubs (social-network-like), negative means hubs attach to leaves
+    (hub-and-spoke).  Shares triangle_count_copurchase's audited edge
+    build (rare parts only, so pair growth is df-bounded); sufficient
+    statistics are exact int64 sums (the groupwise_ols discipline)
+    and the publication is one sqrt + division via the
+    engine-identical floor form.
+
+    Scale: the edge self-join fans out only on rare parts (≤ 15
+    customers each); degrees and moments are map-side-combinable
+    aggregates over the edge list.  Int64: degrees ≤ graph-bounded
+    hundreds, Σx·y ≪ 1e15 at the 100x replica."""
+    cp = (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t(spark, sf, "lineitem").select("l_orderkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()  # (customer, part) incidence: degree filter + join
+    )
+    rare = (
+        cp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .filter(F.col("nc") <= _DA_RARE_MAX)
+        .select("p")
+    )
+    cpr = cp.join(F.broadcast(rare), "p")
+    e = (
+        cpr.select("p", F.col("c").alias("u"))
+        .join(
+            cpr.select("p", F.col("c").alias("v")),
+            "p",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()  # edge list: degrees + point pairs
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xd"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("yd"))
+    ej = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    pts = ej.select(
+        F.col("xd").alias("x"), F.col("yd").alias("y")
+    ).unionByName(
+        ej.select(F.col("yd").alias("x"), F.col("xd").alias("y"))
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.filter(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        F.col("m").alias("n_endpoints"),
+        (
+            F.floor(
+                (
+                    F.col("m") * F.col("sxy")
+                    - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("m") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                    * (
+                        F.col("m") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents),
+    fw AS (
+      SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM toks GROUP BY 1),
+    tokc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+      FROM toks GROUP BY 1),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tokc),
+    chk AS (
+      SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+               AS decile),
+    cut AS (
+      SELECT decile,
+             (SELECT CAST(max(doc_id) AS BIGINT) FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM tokc) r
+              CROSS JOIN dd
+              WHERE rn <= decile * nd // 10) AS cutoff_doc
+      FROM chk)
+    SELECT decile, cutoff_doc,
+           CAST((SELECT count(*) FROM fw
+                 WHERE first_doc <= cutoff_doc) AS BIGINT)
+             AS vocab_types,
+           CAST((SELECT sum(ntok) FROM tokc
+                 WHERE doc_id <= cutoff_doc) AS BIGINT)
+             AS total_tokens
+    FROM cut
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct word types vs
+    cumulative tokens after each doc_id-ordered DECILE of the corpus
+    — the sub-linear type growth a natural corpus shows, and the
+    audit that catches template corpora (vocab saturates early) and
+    id-spam (vocab grows linearly).  Exact without re-scanning any
+    prefix: a word's contribution to every checkpoint is determined
+    by its FIRST document (min doc_id), so one pass computes
+    first-occurrence per type and per-doc token counts, and the
+    decile curve is two bounded lookups per checkpoint.
+
+    Scale: one documents scan; per-type min and per-doc counts are
+    map-side combinable; checkpoints are a 10-row panel joined
+    against vocab-first-doc and token-count aggregates (broadcast
+    range conditions, outputs 10 rows)."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    fw = toks.groupBy("w").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    tokc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ntok")
+    ).persist()  # doc panel: deciles cutoffs + cumulative tokens
+    nd = tokc.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    rn = tokc.select(
+        "doc_id",
+        F.row_number().over(W.orderBy("doc_id")).alias("rn"),
+    )
+    decile = spark.range(1, 11).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    cut = (
+        decile.crossJoin(F.broadcast(nd))
+        .join(
+            F.broadcast(rn),
+            F.col("rn") <= F.expr("decile * nd div 10"),
+            "left",
+        )
+        .groupBy("decile")
+        .agg(F.max("doc_id").cast("long").alias("cutoff_doc"))
+    )
+    vt = (
+        cut.join(
+            F.broadcast(fw),
+            F.col("first_doc") <= F.col("cutoff_doc"),
+            "left",
+        )
+        .groupBy("decile", "cutoff_doc")
+        .agg(F.count("first_doc").cast("long").alias("vocab_types"))
+    )
+    return (
+        vt.join(
+            tokc,
+            F.col("doc_id") <= F.col("cutoff_doc"),
+            "left",
+        )
+        .groupBy("decile", "cutoff_doc", "vocab_types")
+        .agg(F.sum("ntok").cast("long").alias("total_tokens"))
+        .select("decile", "cutoff_doc", "vocab_types", "total_tokens")
+    )

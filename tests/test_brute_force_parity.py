@@ -2787,3 +2787,189 @@ def test_skyline_matches_brute_force(rows):
         if not dominated:
             exp.append(i + 1)
     assert got == sorted(exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["alpha beta", "gamma delta", "alpha  beta ",
+                         "  ALPHA BETA", "epsilon"]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dup_cluster_histogram_matches_brute_force(texts):
+    pdf = pd.DataFrame(
+        [{"doc_id": i + 1, "text": t_} for i, t_ in enumerate(texts)]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("dup_cluster_size_histogram",
+                                {"documents": pdf})
+    }
+    import re as _re
+    from collections import Counter
+
+    fp = Counter(
+        _re.sub(" +", " ", t_).strip().lower() for t_ in texts
+    )
+    hist = Counter(fp.values())
+    exp = {
+        sz: (k, sz * k, (sz - 1) * k) for sz, k in hist.items()
+    }
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),  # brand slot
+            st.integers(min_value=1, max_value=900_000),  # cents
+            st.integers(min_value=0, max_value=9),  # order slot
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_rbo_matches_brute_force(rows):
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": ok + 1, "l_partkey": b + 1,
+             "l_extendedprice": c / 100.0, "l_linenumber": i}
+            for i, (b, c, ok) in enumerate(rows)
+        ]
+    )
+    part = pd.DataFrame(
+        [{"p_partkey": b + 1, "p_brand": f"B{b}"} for b in range(8)]
+    )
+    (row,) = _oracle_tables(
+        "rbo_brand_rankings", {"lineitem": li, "part": part}
+    )
+    rev: dict[str, int] = {}
+    cnt: dict[str, set] = {}
+    for b, c, ok in rows:
+        it = f"B{b}"
+        rev[it] = rev.get(it, 0) + c
+        cnt.setdefault(it, set()).add(ok)
+    ra = [
+        it for it, _ in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:20]
+    rb = [
+        it
+        for it, _ in sorted(
+            cnt.items(), key=lambda kv: (-len(kv[1]), kv[0])
+        )
+    ][:20]
+    rbo = 0.0
+    for d in range(1, 21):
+        o = len(set(ra[:d]) & set(rb[:d]))
+        rbo += 0.1 * (0.9 ** (d - 1)) * o / d
+    assert row[0] == 20
+    assert row[1] == len(set(ra[:20]) & set(rb[:20]))
+    assert abs(row[2] - rbo) < 5.01e-7
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # customer
+            st.integers(min_value=0, max_value=4),  # part
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_assortativity_matches_brute_force(pairs):
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_custkey": c + 1}
+            for i, (c, _) in enumerate(pairs)
+        ]
+    )
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_partkey": p + 1}
+            for i, (_, p) in enumerate(pairs)
+        ]
+    )
+    got = _oracle_tables(
+        "degree_assortativity_copurchase",
+        {"orders": orders, "lineitem": li},
+    )
+    cp = {(c + 1, p + 1) for c, p in pairs}
+    from collections import Counter
+
+    nc = Counter(p for _, p in cp)
+    edges = {
+        (a, b)
+        for a, pa in cp
+        for b, pb in cp
+        if pa == pb and a < b and nc[pa] <= 15
+    }
+    deg: Counter = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    pts = [(deg[u], deg[v]) for u, v in edges] + [
+        (deg[v], deg[u]) for u, v in edges
+    ]
+    m = len(pts)
+    if m == 0:
+        assert got == []
+        return
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        assert got == []
+        return
+    r = (m * sxy - sx * sy) / (vx * vy) ** 0.5
+    (row,) = got
+    assert row[0] == m
+    assert abs(row[1] - r) < 5.1e-7
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_heaps_law_matches_brute_force(docs):
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i + 1, "text": " ".join(ws)}
+            for i, ws in enumerate(docs)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("heaps_law_vocab_growth",
+                                {"documents": pdf})
+    }
+    nd = len(docs)
+    exp = {}
+    for dec in range(1, 11):
+        k = dec * nd // 10
+        if k == 0:
+            exp[dec] = (None, 0, None)
+            continue
+        cutoff = k  # doc_ids are 1..nd in order
+        seen = set()
+        tot = 0
+        for i, ws in enumerate(docs[:cutoff]):
+            seen.update(ws)
+            tot += len(ws)
+        exp[dec] = (cutoff, len(seen), tot)
+    assert got == exp

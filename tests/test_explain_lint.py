@@ -63,6 +63,8 @@ BNLJ_BY_DESIGN = {
     "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
     "ddsketch_pow2_quantiles",  # 3-row quantile panel x <=41 buckets
     "event_rate_deviation",
+    "heaps_law_vocab_growth",  # 10-row decile panel x bounded lookups
+    "rbo_brand_rankings",  # 20-row depth panel x 20-row rank overlap
     "isotonic_calibration",  # bins² minimax triangle: bounded panel
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
@@ -143,6 +145,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "lm_bigram_surprisal": {"documents": 3},
     # moment pass + scoring pass BY DESIGN (1-row panel broadcast back)
     "mahalanobis_outliers_qty_price": {"lineitem": 2},
+    # one scan per ranking metric BY DESIGN (revenue vs distinct-order
+    # count aggregate to different shapes; both top-20 panels)
+    "rbo_brand_rankings": {"lineitem": 2},
     "merge_upsert_orders": {"orders": 3},
     "mv_incremental_refresh": {"events": 2},
     # id-ring bounds scalar + anchor side + negative side BY DESIGN
