@@ -80,6 +80,12 @@ TIER2 = [
     # the calendar-bounded pairwise-slope robust trend
     "item_cf_similarity_topk",
     "theil_sen_trend",
+    # round-6 fifth wave: the heaviest new analytics-5 operators —
+    # corpus NB scoring, the three-discipline quantile normalization,
+    # and the rare-part-graph assortativity edge build
+    "naive_bayes_lang_predict",
+    "quantile_normalize_spend",
+    "degree_assortativity_copurchase",
 ]
 
 
