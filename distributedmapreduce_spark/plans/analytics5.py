@@ -2578,3 +2578,465 @@ def heaps_law_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("ntok").cast("long").alias("total_tokens"))
         .select("decile", "cutoff_doc", "vocab_types", "total_tokens")
     )
+
+
+_ABC_BKT_C = 1_000_000
+
+
+@query(
+    "abc_inventory_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tc FROM pr),
+    cum AS (
+      SELECT pk, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, pk ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+      FROM pr),
+    cl AS (
+      SELECT CASE WHEN c <= tc * 80 // 100 THEN 'A'
+                  WHEN c <= tc * 95 // 100 THEN 'B'
+                  ELSE 'C' END AS klass,
+             rev_c, tc
+      FROM cum CROSS JOIN tot)
+    SELECT klass, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+           CAST(sum(rev_c) AS BIGINT) * 10000 // max(tc)
+             AS share_e4
+    FROM cl GROUP BY 1
+    """,
+)
+def abc_inventory_classification(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """ABC inventory classification — the operations-research staple:
+    parts ranked by revenue, class A = the head covering the first
+    80% of cumulative revenue, B = next 15%, C = the tail.  Class
+    boundaries are EXACT integer comparisons (cum ≤ tc·80//100 on
+    cents), ties in revenue break by part key, and the published
+    shares are 1e4 ticks.
+
+    Scale: one lineitem scan → per-part revenue; the descending
+    cumulative uses the two-phase $10k-band discipline (negated band
+    index so band order follows revenue DESC; per-part windows
+    partitioned by band), the total broadcasts, and the output is 3
+    rows.  Int64: tc·1e4 ≈ 2e17 at the 100x replica."""
+    pr = (
+        t(spark, sf, "lineitem")
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("pk")
+        .agg(F.sum("c").cast("long").alias("rev_c"))
+        .withColumn("bkt", F.expr(f"-(rev_c div {_ABC_BKT_C})"))
+        .persist()  # part panel: band bases + total + classify
+    )
+    tot = pr.agg(F.sum("rev_c").cast("long").alias("tc"))
+    btot = pr.groupBy("bkt").agg(F.sum("rev_c").alias("bsum"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt",
+        F.coalesce(F.sum("bsum").over(wb), F.lit(0)).alias("base"),
+    )
+    wv = (
+        W.partitionBy("bkt")
+        .orderBy(F.desc("rev_c"), F.asc("pk"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = pr.join(F.broadcast(bbase), "bkt").select(
+        "pk",
+        "rev_c",
+        (F.col("base") + F.sum("rev_c").over(wv)).alias("c"),
+    )
+    cl = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("c") <= F.expr("tc * 80 div 100"), F.lit("A")
+        )
+        .when(F.col("c") <= F.expr("tc * 95 div 100"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("klass"),
+        "rev_c",
+        "tc",
+    )
+    return cl.groupBy("klass").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_c").cast("long").alias("revenue_c"),
+        F.expr(
+            "CAST(sum(rev_c) AS BIGINT) * 10000 div max(tc)"
+        ).alias("share_e4"),
+    )
+
+
+_SPRT_P0 = 0.18
+_SPRT_P1 = 0.22
+_SPRT_A = 2.944  # ln((1-beta)/alpha), alpha=beta=0.05
+_SPRT_B = -2.944
+
+
+@query(
+    "sprt_first_crossing",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS day,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT day,
+             CAST(sum(n1) OVER w AS BIGINT) AS c1,
+             CAST(sum(n) OVER w AS BIGINT) AS cn
+      FROM d
+      WINDOW w AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    llr AS (
+      SELECT day, c1, cn,
+             c1 * ln({_SPRT_P1} / {_SPRT_P0})
+             + (cn - c1) * ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0}))
+               AS s
+      FROM c),
+    hit AS (
+      SELECT day, c1, cn, s,
+             CASE WHEN s >= {_SPRT_A} THEN 'accept_h1'
+                  WHEN s <= {_SPRT_B} THEN 'accept_h0'
+             END AS decision
+      FROM llr)
+    SELECT day AS decision_day, c1 AS n_successes, cn AS n_trials,
+           round(s, 6) AS llr, decision
+    FROM hit WHERE decision IS NOT NULL
+    ORDER BY day ASC LIMIT 1
+    """,
+)
+def sprt_first_crossing(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald's sequential probability ratio test, replayed over the
+    daily URGENT-priority rate: cumulative log-likelihood ratio for
+    H1: p = 0.22 vs H0: p = 0.18 (α = β = 0.05 boundaries ±2.944),
+    reporting the FIRST day the walk crosses either boundary — the
+    sequential-testing primitive that lets an experiment stop early.
+    The LLR is c1·ln(p1/p0) + (cn−c1)·ln(q1/q0) with both counts
+    exact int64 cumulatives, so each day's statistic is a pure
+    two-term double expression (no accumulation drift) and the
+    crossing day is deterministic.
+
+    Scale: one orders scan to the calendar-bounded daily aggregate;
+    the cumulative runs over days (bounded), and the first crossing
+    is a TakeOrdered top-1."""
+    d = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE '1992-01-01')"
+                " AS LONG)"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_orderpriority") == "1-URGENT").cast("long")
+            ).alias("n1"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        F.sum("n1").over(wd).cast("long").alias("c1"),
+        F.sum("n").over(wd).cast("long").alias("cn"),
+    )
+    import math
+
+    l1 = math.log(_SPRT_P1 / _SPRT_P0)
+    l0 = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    llr = c.select(
+        "day",
+        "c1",
+        "cn",
+        (
+            F.col("c1") * F.lit(l1)
+            + (F.col("cn") - F.col("c1")) * F.lit(l0)
+        ).alias("s"),
+    )
+    hit = llr.select(
+        "day",
+        "c1",
+        "cn",
+        "s",
+        F.when(F.col("s") >= _SPRT_A, F.lit("accept_h1"))
+        .when(F.col("s") <= _SPRT_B, F.lit("accept_h0"))
+        .alias("decision"),
+    ).filter(F.col("decision").isNotNull())
+    return (
+        hit.orderBy(F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("decision_day"),
+            F.col("c1").alias("n_successes"),
+            F.col("cn").alias("n_trials"),
+            F.round("s", 6).alias("llr"),
+            "decision",
+        )
+    )
+
+
+_BD_TOP = 50
+
+
+def _bd_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents),
+    wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2),
+    stot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS tot
+      FROM wc GROUP BY 1),
+    gw AS (
+      SELECT w, CAST(sum(n) AS BIGINT) AS gn FROM wc GROUP BY 1),
+    top AS (
+      SELECT w FROM gw ORDER BY gn DESC, w ASC LIMIT {_BD_TOP}),
+    grid AS (
+      SELECT top.w, stot.source, stot.tot FROM top CROSS JOIN stot),
+    fr AS (
+      SELECT grid.w, grid.source,
+             coalesce(wc.n, 0) * 1000.0 / grid.tot AS f
+      FROM grid LEFT JOIN wc
+        ON wc.w = grid.w AND wc.source = grid.source),
+    ms AS (
+      SELECT w, avg(f) AS mu,
+             sqrt(avg((f - (SELECT avg(f) FROM fr f2
+                            WHERE f2.w = fr.w))
+                      * (f - (SELECT avg(f) FROM fr f3
+                              WHERE f3.w = fr.w)))) AS sd
+      FROM fr GROUP BY w),
+    z AS (
+      SELECT fr.w, fr.source, (fr.f - ms.mu) / ms.sd AS z
+      FROM fr JOIN ms ON ms.w = fr.w WHERE ms.sd > 0),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             abs(a.z - b.z) AS dz
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(dz), 6) AS burrows_delta
+    FROM pairs GROUP BY 1, 2
+    """
+
+
+@query("burrows_delta_sources", oracle=_bd_oracle())
+def burrows_delta_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Burrows' Delta between every source pair — the stylometry
+    classic (authorship attribution, and for training data a
+    register-drift detector between corpus slices): z-score each of
+    the top-50 words' per-mille frequencies across sources
+    (population sd over the source panel), Delta = mean |z_a − z_b|.
+    All heavy quantities are exact ints (word counts, source totals);
+    floats live only on the 50×n_sources panel, where the avg/sd
+    accumulations span ≤ n_sources values (noise ~1e-16, 6 dp
+    publication).
+
+    Scale: one documents scan → (source, word) counts; the top-50
+    vocabulary is a TakeOrdered panel; everything downstream is
+    50×n_sources-bounded.  The oracle's correlated-subquery sd is
+    panel-sized too."""
+    toks = t(spark, sf, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    wc = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()  # (source, word) counts: totals + top vocab + grid
+    stot = wc.groupBy(F.col("source").alias("s_src")).agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("n").cast("long").alias("gn"))
+        .orderBy(F.desc("gn"), F.asc("w"))
+        .limit(_BD_TOP)
+        .select("w")
+    )
+    grid = top.crossJoin(F.broadcast(stot))
+    wcx = wc.select(
+        F.col("w").alias("x_w"),
+        F.col("source").alias("x_src"),
+        F.col("n").alias("x_n"),
+    )
+    fr = grid.join(
+        wcx,
+        (F.col("x_w") == grid["w"])
+        & (F.col("x_src") == F.col("s_src")),
+        "left",
+    ).select(
+        grid["w"],
+        F.col("s_src").alias("source"),
+        (
+            F.coalesce(F.col("x_n"), F.lit(0)) * 1000.0
+            / F.col("tot")
+        ).alias("f"),
+    )
+    ms = fr.groupBy(F.col("w").alias("m_w")).agg(
+        F.avg("f").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("f") * F.col("f"))
+            - F.avg("f") * F.avg("f")
+        ).alias("sd_raw"),
+    )
+    # population sd via E[f^2] - E[f]^2 can differ from the oracle's
+    # E[(f-mu)^2] at ~1e-13 relative; recompute the centered form for
+    # engine parity (two panel-sized aggregates, still bounded)
+    ms2 = (
+        fr.join(
+            ms.select(F.col("m_w").alias("w2"), "mu"),
+            F.col("w2") == fr["w"],
+        )
+        .groupBy(F.col("w2").alias("m_w"), "mu")
+        .agg(
+            F.sqrt(
+                F.avg(
+                    (F.col("f") - F.col("mu"))
+                    * (F.col("f") - F.col("mu"))
+                )
+            ).alias("sd")
+        )
+    )
+    z = fr.join(ms2, F.col("m_w") == fr["w"]).filter(
+        F.col("sd") > 0
+    ).select(
+        fr["w"],
+        "source",
+        ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z"),
+    )
+    a = z.select(
+        F.col("w").alias("aw"),
+        F.col("source").alias("src_a"),
+        F.col("z").alias("za"),
+    )
+    b = z.select(
+        F.col("w").alias("bw"),
+        F.col("source").alias("src_b"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("aw") == F.col("bw"))
+        & (F.col("src_a") < F.col("src_b")),
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias(
+            "burrows_delta"
+        ),
+    )
+
+
+@query(
+    "cohens_d_effect_size",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN o_orderpriority = '{_KS_G1}' THEN 1 ELSE 0 END
+               AS g,
+             CAST(round(o_totalprice / 100) AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderpriority IN ('{_KS_G0}', '{_KS_G1}')),
+    s AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM f GROUP BY 1),
+    m AS (
+      SELECT CAST(max(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(max(CASE WHEN g = 0 THEN sy END) AS BIGINT) AS sy0,
+             CAST(max(CASE WHEN g = 0 THEN syy END) AS BIGINT)
+               AS syy0,
+             CAST(max(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(max(CASE WHEN g = 1 THEN sy END) AS BIGINT) AS sy1,
+             CAST(max(CASE WHEN g = 1 THEN syy END) AS BIGINT)
+               AS syy1
+      FROM s)
+    SELECT n0, n1,
+           floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                 / sqrt(((syy0 - CAST(sy0 AS DOUBLE) * sy0 / n0)
+                         + (syy1 - CAST(sy1 AS DOUBLE) * sy1 / n1))
+                        / (n0 + n1 - 2))
+                 * 1e6 + 0.5) / 1e6 AS cohens_d
+    FROM m WHERE n0 > 1 AND n1 > 1
+    """,
+)
+def cohens_d_effect_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d between the URGENT and LOW order-total samples —
+    the standardized effect size every A/B readout should report
+    beside its p-value: (mean1 − mean0) / pooled sd.  Sufficient
+    statistics are exact int64 (n, Σy, Σy² per group) over $100-UNIT
+    totals — d is scale-invariant, and the audit (memory:
+    integer-tick headroom) showed cents² overflows int64 at the 100x
+    replica (y² ≤ 3.6e15 × 3e6 rows ≈ 1e22), while $100 units keep
+    Σy² ≈ 1e16 even at 100 TB row counts.  The statistic is thus
+    defined on $100-quantized totals; the final expression is a fixed
+    dag of double ops on exact inputs, published via the
+    engine-identical floor(x·1e6 + 0.5) form.  Completes the
+    two-sample battery (exact KS for distribution shape, Mann-Whitney
+    for stochastic dominance, Cohen's d for magnitude).
+
+    Scale: one orders scan, one 2-row aggregate, one 1-row pivot."""
+    f = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").isin(_KS_G0, _KS_G1))
+        .select(
+            (F.col("o_orderpriority") == _KS_G1)
+            .cast("long")
+            .alias("g"),
+            F.round(F.col("o_totalprice") / 100)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = f.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    m = s.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("sy"))).cast("long").alias("sy0"),
+        F.max(F.when(F.col("g") == 0, F.col("syy"))).cast("long").alias("syy0"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("sy"))).cast("long").alias("sy1"),
+        F.max(F.when(F.col("g") == 1, F.col("syy"))).cast("long").alias("syy1"),
+    )
+    d = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    ) / F.sqrt(
+        (
+            (
+                F.col("syy0")
+                - F.col("sy0").cast("double") * F.col("sy0") / F.col("n0")
+            )
+            + (
+                F.col("syy1")
+                - F.col("sy1").cast("double") * F.col("sy1") / F.col("n1")
+            )
+        )
+        / (F.col("n0") + F.col("n1") - 2)
+    )
+    return m.filter((F.col("n0") > 1) & (F.col("n1") > 1)).select(
+        "n0",
+        "n1",
+        (F.floor(d * 1e6 + 0.5) / 1e6).alias("cohens_d"),
+    )

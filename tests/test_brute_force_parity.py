@@ -2973,3 +2973,196 @@ def test_heaps_law_matches_brute_force(docs):
             tot += len(ws)
         exp[dec] = (cutoff, len(seen), tot)
     assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # part slot
+            st.integers(min_value=1, max_value=900_000),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_abc_matches_brute_force(rows):
+    li = pd.DataFrame(
+        [
+            {"l_orderkey": i + 1, "l_partkey": p + 1,
+             "l_extendedprice": c / 100.0}
+            for i, (p, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("abc_inventory_classification",
+                                {"lineitem": li})
+    }
+    rev: dict[int, int] = {}
+    for p, c in rows:
+        rev[p + 1] = rev.get(p + 1, 0) + c
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tc = sum(rev.values())
+    cum = 0
+    agg: dict[str, list[int]] = {}
+    for pk, v in ordered:
+        cum += v
+        k = "A" if cum <= tc * 80 // 100 else (
+            "B" if cum <= tc * 95 // 100 else "C"
+        )
+        n, s = agg.get(k, (0, 0))
+        agg[k] = (n + 1, s + v)
+    exp = {
+        k: (n, s, s * 10_000 // tc) for k, (n, s) in agg.items()
+    }
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # urgent
+            st.integers(min_value=0, max_value=40),  # day
+        ),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_sprt_matches_brute_force(rows):
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    orders = pd.DataFrame(
+        [
+            {
+                "o_orderkey": i + 1,
+                "o_orderpriority": "1-URGENT" if u else "3-MEDIUM",
+                "o_orderdate": base + datetime.timedelta(days=d),
+                "o_totalprice": 1.0,
+            }
+            for i, (u, d) in enumerate(rows)
+        ]
+    )
+    got = _oracle_tables("sprt_first_crossing", {"orders": orders})
+    daily: dict[int, list[int]] = {}
+    for u, d in rows:
+        n1, n = daily.get(d, (0, 0))
+        daily[d] = (n1 + u, n + 1)
+    l1 = math.log(0.22 / 0.18)
+    l0 = math.log(0.78 / 0.82)
+    c1 = cn = 0
+    exp = None
+    for d in sorted(daily):
+        c1 += daily[d][0]
+        cn += daily[d][1]
+        s = c1 * l1 + (cn - c1) * l0
+        if s >= 2.944:
+            exp = (d, c1, cn, "accept_h1", s)
+            break
+        if s <= -2.944:
+            exp = (d, c1, cn, "accept_h0", s)
+            break
+    if exp is None:
+        assert got == []
+        return
+    (row,) = got
+    assert row[:3] == exp[:3]
+    assert row[4] == exp[3]
+    assert abs(row[3] - exp[4]) < 5.01e-7
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1,
+                     max_size=5),
+        ),
+        min_size=3,
+        max_size=12,
+    ).filter(lambda ds: len({s for s, _ in ds}) >= 2)
+)
+def test_burrows_delta_matches_brute_force(docs):
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i + 1, "source": s, "text": " ".join(ws)}
+            for i, (s, ws) in enumerate(docs)
+        ]
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _oracle_tables("burrows_delta_sources",
+                                {"documents": pdf})
+    }
+    from collections import Counter
+
+    wc: Counter = Counter()
+    stot: Counter = Counter()
+    for s, ws in docs:
+        for w in ws:
+            wc[(s, w)] += 1
+            stot[s] += 1
+    gn: Counter = Counter()
+    for (s, w), n in wc.items():
+        gn[w] += n
+    top = [w for w, _ in sorted(gn.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:50]]
+    sources = sorted(stot)
+    z: dict[tuple, float] = {}
+    for w in top:
+        fs = {s: wc.get((s, w), 0) * 1000.0 / stot[s] for s in sources}
+        mu = sum(fs.values()) / len(sources)
+        sd = (sum((f - mu) ** 2 for f in fs.values())
+              / len(sources)) ** 0.5
+        if sd > 0:
+            for s in sources:
+                z[(w, s)] = (fs[s] - mu) / sd
+    exp = {}
+    words_with_z = {w for w, _ in z}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            dzs = [abs(z[(w, a)] - z[(w, b)]) for w in words_with_z]
+            if dzs:
+                exp[(a, b)] = (len(dzs), sum(dzs) / len(dzs))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 5.01e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.tuples(
+        st.lists(st.integers(min_value=1, max_value=900_000),
+                 min_size=2, max_size=30),
+        st.lists(st.integers(min_value=1, max_value=900_000),
+                 min_size=2, max_size=30),
+    )
+)
+def test_cohens_d_matches_brute_force(samples):
+    g0, g1 = samples
+    (row,) = _oracle_tables(
+        "cohens_d_effect_size", {"orders": _two_sample_orders(samples)}
+    )
+    # $100-unit quantization: both engines round() half-AWAY-from-zero
+    # (exact .5 ties only occur at odd multiples of 5000 cents, which
+    # ARE dyadic-exact doubles) — replicate with integer arithmetic
+    def q(c):
+        whole, rem = divmod(c, 10_000)
+        return whole + 1 if rem >= 5_000 else whole
+
+    y0 = [q(c) for c in g0]
+    y1 = [q(c) for c in g1]
+    n0, n1 = len(y0), len(y1)
+    m0, m1 = sum(y0) / n0, sum(y1) / n1
+    ss0 = sum(v * v for v in y0) - sum(y0) ** 2 / n0
+    ss1 = sum(v * v for v in y1) - sum(y1) ** 2 / n1
+    sd = ((ss0 + ss1) / (n0 + n1 - 2)) ** 0.5
+    if sd == 0:
+        return
+    d = (m1 - m0) / sd
+    assert row[:2] == (n0, n1)
+    assert abs(row[2] - d) < 5.1e-7

@@ -41,7 +41,9 @@ SF = "/root/testdata/sf0.001"
 # histogram/decile boundary tuples, centroid tables), never data-sized
 BNLJ_BY_DESIGN = {
     "ab_test_cuped",  # midpoint instant + theta row: scalar broadcasts
+    "abc_inventory_classification",  # revenue-total row: scalar broadcast
     "assoc_rules_lift",  # n_baskets universe count: scalar broadcast
+    "burrows_delta_sources",  # top-50 vocab x source-totals panel
     "mutual_info_type_hour",  # grand-total row: scalar broadcast
     "quantile_normalize_spend",  # pooled-N scalar: 1-row broadcast
     "frequent_itempairs",  # n_orders universe count: scalar broadcast
