@@ -279,3 +279,35 @@ def test_weighted_median_window_is_bin_scoped(spark):
     assert re.search(
         r"windowspecdefinition\(flag#\d+, bkt#\d+", plan
     ), "cumsum window lost its bin partition key"
+
+
+def test_quantile_normalize_no_global_sort_one_match_join(spark):
+    """The QN rank machinery must never plan a global sort or a
+    cartesian: ranks come from band-partitioned windows, and the
+    rank→value lookup is an equi-join on rank CELLS (plus the 1-row
+    pooled-N broadcast, which is the only BNLJ)."""
+    plan = _formatted_plan(spark, "quantile_normalize_spend")
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ: the 1-row pooled-count scalar
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the interval lookup is an EQUI join keyed on the rank cell
+    assert re.search(r"keys \[\d+\]: \[cell", plan)
+
+
+def test_skyline_no_dominance_self_join(spark):
+    """The skyline must be the sort-based formulation: no join between
+    two corpus-sized sides (the naive dominance anti-join is O(n²))
+    and no empty-partition window over the raw orders scan — the only
+    unpartitioned window runs over the tiny band-total table."""
+    plan = _formatted_plan(spark, "skyline_orders_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_naive_bayes_single_corpus_scan(spark):
+    """NB trains and scores off ONE documents FileScan — model,
+    priors, lengths and the scoring join all reuse the persisted
+    (doc, lang, word) aggregate."""
+    plan = _formatted_plan(spark, "naive_bayes_lang_predict")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -202,6 +202,27 @@ SHOWCASE = [
         "4-int projection); bucket-total broadcast, per-doc cumsum "
         "window bounded to (source, id-bucket) — no per-source funnel",
     ),
+    (
+        "quantile_normalize_spend",
+        "exact cross-group quantile normalization (r06 s5): range-"
+        "partitioned ranks ($10k bands, windows partitioned by band), "
+        "value-histogram inverse-CDF, and a 4096-wide rank-cell "
+        "interval join — exactly one match per customer, no all-pairs "
+        "band product, no global sort",
+    ),
+    (
+        "skyline_orders_pareto",
+        "sort-based 2-D skyline (r06 s5): two-phase band running min "
+        "replaces the global single-partition sort; no dominance "
+        "self-join, frontier-bounded output",
+    ),
+    (
+        "naive_bayes_lang_predict",
+        "multinomial NB train+score (r06 s5): ONE documents FileScan "
+        "feeds model, priors, lengths and scores; unseen-word terms "
+        "factored out so the scoring join touches only model-present "
+        "(word, lang) pairs — no dense doc x vocab grid",
+    ),
 ]
 
 
