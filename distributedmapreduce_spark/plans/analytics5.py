@@ -3040,3 +3040,111 @@ def cohens_d_effect_size(spark: SparkSession, sf: str) -> DataFrame:
         "n1",
         (F.floor(d * 1e6 + 0.5) / 1e6).alias("cohens_d"),
     )
+
+
+@query(
+    "chao1_vocab_estimate",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents),
+    f AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(n) AS BIGINT) AS ntok,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM f)
+    SELECT d AS observed_types, ntok AS total_tokens, f1 AS singletons,
+           f2 AS doubletons,
+           CASE WHEN f2 > 0 THEN d + f1 * f1 // (2 * f2)
+                ELSE d + f1 * (f1 - 1) // 2 END AS chao1_estimate,
+           f1 * 1000000 // ntok AS unseen_mass_e6
+    FROM s
+    """,
+)
+def chao1_vocab_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing unseen mass —
+    the two classical answers to 'how much vocabulary have we NOT
+    seen yet', the quantitative partner to heaps_law_vocab_growth:
+    Chao1 = D + f1²/(2·f2) from singleton/doubleton counts (the
+    bias-corrected f1(f1−1)/2 form when no doubletons exist), and
+    P(next token is a new type) ≈ f1/N — both published as exact
+    integer arithmetic (floor'd estimate, 1e6 ticks for the mass).
+
+    Scale: one corpus scan → word counts → four conditional sums;
+    everything map-side combinable, 1-row output.  Int64:
+    f1² ≈ 1e12 even at 1e6 singleton types."""
+    f = (
+        t(spark, sf, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("n").cast("long").alias("ntok"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("n") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return s.select(
+        F.col("d").alias("observed_types"),
+        F.col("ntok").alias("total_tokens"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        F.when(
+            F.col("f2") > 0,
+            F.col("d") + F.expr("f1 * f1 div (2 * f2)"),
+        )
+        .otherwise(F.col("d") + F.expr("f1 * (f1 - 1) div 2"))
+        .alias("chao1_estimate"),
+        F.expr("f1 * 1000000 div ntok").alias("unseen_mass_e6"),
+    )
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents)
+    SELECT lang, CAST(length(w) AS BIGINT) AS token_len,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-length distribution per language — the cheapest
+    language-ID feature there is (character-length profiles differ
+    sharply across scripts), and the sanity histogram every tokenizer
+    change should be diffed against.  Pure integer counts.
+
+    Scale: one scan, one map-side-combinable aggregate; output
+    bounded by langs × max token length."""
+    return (
+        t(spark, sf, "documents")
+        .select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w"),
+        )
+        .select("lang", F.length("w").cast("long").alias("token_len"))
+        .groupBy("lang", "token_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

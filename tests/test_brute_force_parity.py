@@ -3166,3 +3166,57 @@ def test_cohens_d_matches_brute_force(samples):
     d = (m1 - m0) / sd
     assert row[:2] == (n0, n1)
     assert abs(row[2] - d) < 5.1e-7
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "fff"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_chao1_matches_brute_force(words):
+    pdf = pd.DataFrame([{"doc_id": 1, "text": " ".join(words)}])
+    (row,) = _oracle_tables("chao1_vocab_estimate", {"documents": pdf})
+    from collections import Counter
+
+    c = Counter(words)
+    d = len(c)
+    ntok = len(words)
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    chao1 = d + (f1 * f1 // (2 * f2) if f2 > 0 else f1 * (f1 - 1) // 2)
+    assert row == (d, ntok, f1, f2, chao1, f1 * 1_000_000 // ntok)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=1,
+                     max_size=6),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_token_length_hist_matches_brute_force(docs):
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i + 1, "lang": lang, "text": " ".join(ws)}
+            for i, (lang, ws) in enumerate(docs)
+        ]
+    )
+    got = {
+        (r[0], r[1]): r[2]
+        for r in _oracle_tables("token_length_histogram",
+                                {"documents": pdf})
+    }
+    from collections import Counter
+
+    exp = Counter(
+        (lang, len(w)) for lang, ws in docs for w in ws
+    )
+    assert got == dict(exp)
