@@ -3148,3 +3148,236 @@ def token_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "token_len")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@query(
+    "runs_test_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT day, x - lag(x) OVER (ORDER BY day) AS dx FROM daily),
+    s AS (
+      SELECT day, CASE WHEN dx > 0 THEN 1 ELSE -1 END AS sgn
+      FROM d WHERE dx IS NOT NULL AND dx <> 0),
+    r AS (
+      SELECT sgn,
+             CASE WHEN sgn <> lag(sgn) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS flip
+      FROM s),
+    agg AS (
+      SELECT CAST(1 + sum(coalesce(flip, 0)) AS BIGINT) AS runs,
+             CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_up,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_down
+      FROM r)
+    SELECT runs, n_up, n_down,
+           floor((runs - (1.0 + 2.0 * n_up * n_down
+                          / (n_up + n_down)))
+                 / sqrt(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n_up - n_down)
+                        / ((n_up + n_down) * (n_up + n_down)
+                           * (n_up + n_down - 1.0)))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM agg WHERE n_up > 0 AND n_down > 0
+      AND 2 * n_up * n_down > n_up + n_down
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue up/down sequence
+    — the randomness audit behind 'is this series trending/mean-
+    reverting or indistinguishable from noise': count R runs of
+    consecutive same-sign day-over-day changes, compare with the
+    exact null mean 1 + 2·n₊·n₋/n and variance.  R, n₊, n₋ are exact
+    ints off the calendar-bounded daily series (zero changes dropped,
+    the standard convention); z is one fixed double expression of
+    exact ints, published via the engine-identical floor form.
+
+    Scale: one orders scan to the daily aggregate; the sign/flip
+    windows run over calendar-bounded days."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    wd = W.orderBy("day")
+    d = daily.select(
+        "day", (F.col("x") - F.lag("x").over(wd)).alias("dx")
+    )
+    s = d.filter(
+        F.col("dx").isNotNull() & (F.col("dx") != 0)
+    ).select(
+        "day",
+        F.when(F.col("dx") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "sgn"
+        ),
+    )
+    r = s.select(
+        "sgn",
+        F.when(
+            F.col("sgn") != F.lag("sgn").over(wd), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("flip"),
+    )
+    agg = r.agg(
+        (1 + F.sum(F.coalesce(F.col("flip"), F.lit(0))))
+        .cast("long")
+        .alias("runs"),
+        F.sum((F.col("sgn") == 1).cast("long")).cast("long").alias(
+            "n_up"
+        ),
+        F.sum((F.col("sgn") == -1).cast("long")).cast("long").alias(
+            "n_down"
+        ),
+    )
+    nu, nd = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    mu = F.lit(1.0) + F.lit(2.0) * nu * nd / (nu + nd)
+    var = (
+        F.lit(2.0)
+        * nu
+        * nd
+        * (F.lit(2.0) * nu * nd - nu - nd)
+        / ((nu + nd) * (nu + nd) * (nu + nd - F.lit(1.0)))
+    )
+    return agg.filter(
+        (F.col("n_up") > 0)
+        & (F.col("n_down") > 0)
+        # null variance guard: var = 0 exactly when 2 n+ n- = n
+        & (2 * F.col("n_up") * F.col("n_down")
+           > F.col("n_up") + F.col("n_down"))
+    ).select(
+        "runs",
+        "n_up",
+        "n_down",
+        (
+            F.floor(
+                (F.col("runs") - mu) / F.sqrt(var) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("z_score"),
+    )
+
+
+_LZ_BKT_C = 1_000_000
+
+
+@query(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT ck, v,
+             CAST(row_number() OVER (ORDER BY v ASC, ck ASC)
+                  AS BIGINT) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(v) OVER () AS BIGINT) AS tv
+      FROM spend),
+    dec AS (
+      SELECT (r * 10 - 1) // n + 1 AS decile, v, n, tv FROM rk),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(v) AS BIGINT) AS spend_c,
+             max(n) AS n, max(tv) AS tv
+      FROM dec GROUP BY 1),
+    c AS (
+      SELECT decile, n_customers, spend_c,
+             CAST(sum(spend_c) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_c,
+             tv
+      FROM g)
+    SELECT decile, n_customers, spend_c,
+           cum_c * 10000 // tv AS cum_share_e4
+    FROM c
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve of customer spend by population decile — the
+    CURVE behind gini_order_concentration's coefficient: customers
+    ranked ascending by total spend (key tiebreak), split into ten
+    equal-population bins via the exact integer rule decile =
+    (r·10 − 1)//n + 1, each reporting its cumulative share of total
+    spend in 1e4 ticks.  A perfectly equal population reads 1000,
+    2000, …; concentration bows the curve down.
+
+    Scale: ranks come from the same two-phase $10k-band discipline as
+    quantile_normalize_spend (band windows, broadcast bases — no
+    global sort); the decile aggregate and its 10-row cumsum are
+    panel-sized.  Int64: cum_c·1e4 ≈ 2e17 at the 100x replica."""
+    spend = (
+        t(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("ck")
+        .agg(F.sum("c").cast("long").alias("v"))
+        .withColumn("bkt", F.expr(f"v div {_LZ_BKT_C}"))
+        .persist()  # customer spend panel: bases + totals + rank
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("tv"),
+    )
+    btot = spend.groupBy("bkt").agg(F.count(F.lit(1)).alias("bc"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("base"),
+    )
+    wrk = W.partitionBy("bkt").orderBy(F.asc("v"), F.asc("ck"))
+    rk = (
+        spend.join(F.broadcast(bbase), "bkt")
+        .select(
+            "v",
+            (F.col("base") + F.row_number().over(wrk))
+            .cast("long")
+            .alias("r"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    g = (
+        rk.select(
+            F.expr("(r * 10 - 1) div n + 1").alias("decile"),
+            "v",
+            "n",
+            "tv",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("v").cast("long").alias("spend_c"),
+            F.max("tv").alias("tv"),
+        )
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n_customers",
+        "spend_c",
+        F.expr("sum(spend_c)")
+        .over(wc)
+        .cast("long")
+        .alias("cum_c"),
+        F.col("tv"),
+    ).select(
+        "decile",
+        "n_customers",
+        "spend_c",
+        F.expr("cum_c * 10000 div tv").alias("cum_share_e4"),
+    )

@@ -3220,3 +3220,90 @@ def test_token_length_hist_matches_brute_force(docs):
         (lang, len(w)) for lang, ws in docs for w in ws
     )
     assert got == dict(exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # day
+            st.integers(min_value=1, max_value=900_000),  # cents
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_runs_test_matches_brute_force(rows):
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1,
+             "o_orderdate": base + datetime.timedelta(days=d),
+             "o_totalprice": c / 100.0}
+            for i, (d, c) in enumerate(rows)
+        ]
+    )
+    got = _oracle_tables("runs_test_daily_revenue", {"orders": orders})
+    daily: dict[int, int] = {}
+    for d, c in rows:
+        daily[d] = daily.get(d, 0) + c
+    days = sorted(daily)
+    signs = []
+    for a, b in zip(days, days[1:]):
+        dx = daily[b] - daily[a]
+        if dx != 0:
+            signs.append(1 if dx > 0 else -1)
+    n_up = signs.count(1)
+    n_down = signs.count(-1)
+    if (n_up == 0 or n_down == 0
+            or 2 * n_up * n_down <= n_up + n_down):
+        assert got == []
+        return
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n_up + n_down
+    mu = 1.0 + 2.0 * n_up * n_down / n
+    var = (2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
+           / (n * n * (n - 1.0)))
+    (row,) = got
+    assert row[:3] == (runs, n_up, n_down)
+    assert abs(row[3] - (runs - mu) / var ** 0.5) < 5.1e-7
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=900_000),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lorenz_matches_brute_force(spends):
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_custkey": i + 1,
+             "o_totalprice": c / 100.0}
+            for i, c in enumerate(spends)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("lorenz_curve_deciles",
+                                {"orders": orders})
+    }
+    ordered = sorted(spends)
+    n = len(ordered)
+    tv = sum(ordered)
+    agg: dict[int, list[int]] = {}
+    for r0, v in enumerate(ordered):
+        dec = ((r0 + 1) * 10 - 1) // n + 1
+        cnt, s = agg.get(dec, (0, 0))
+        agg[dec] = (cnt + 1, s + v)
+    exp = {}
+    cum = 0
+    for dec in sorted(agg):
+        cnt, s = agg[dec]
+        cum += s
+        exp[dec] = (cnt, s, cum * 10_000 // tv)
+    assert got == exp

@@ -75,6 +75,7 @@ BNLJ_BY_DESIGN = {
     "kmv_set_intersection",  # <=32-row sketch tables x 1-row scalars
     "knn_classify",
     "ks_two_sample_exact",  # (n0, n1) totals row: scalar broadcast
+    "lorenz_curve_deciles",  # (n, tv) totals row: scalar broadcast
     "mann_whitney_u_exact",  # (n0, n1) totals row: scalar broadcast
     "user_burstiness_fano",  # global-span row: scalar broadcast
     "markov_attribution_removal",  # p_full scalar: 1-row x 4 broadcast
