@@ -2380,7 +2380,11 @@ def test_ccf_matches_brute_force(rows):
         num = sum(a * b for a, b in pairs)
         gnp, gdx, gdy, gc = got[k]
         assert (gnp, gdx, gdy) == (len(pairs), denx, deny)
-        if denx > 0 and deny > 0:
+        if not pairs:
+            # |lag| >= series length: SUM over zero rows is NULL in
+            # both engines — the honest "no pairs" answer
+            assert gc is None
+        elif denx > 0 and deny > 0:
             assert abs(gc - num / (denx * deny) ** 0.5) < 5.1e-5
 
 
