@@ -3381,3 +3381,248 @@ def lorenz_curve_deciles(spark: SparkSession, sf: str) -> DataFrame:
         "spend_c",
         F.expr("cum_c * 10000 div tv").alias("cum_share_e4"),
     )
+
+
+_KSP_GROUPS = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def _ksp_oracle2() -> str:
+    cases = ",\n             ".join(
+        f"CAST(sum(CASE WHEN g = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS h{i}"
+        for i in range(5)
+    )
+    cums = ",\n             ".join(
+        f"CAST(sum(h{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND CURRENT ROW) AS BIGINT) AS c{i}"
+        for i in range(5)
+    )
+    tots = ", ".join(
+        f"CAST(sum(h{i}) AS BIGINT) AS n{i}" for i in range(5)
+    )
+    pair_rows = []
+    for a in range(5):
+        for b in range(a + 1, 5):
+            pair_rows.append(
+                f"""SELECT '{_KSP_GROUPS[a]}' AS group_a,
+           '{_KSP_GROUPS[b]}' AS group_b,
+           CAST(max(n{a}) AS BIGINT) AS n_a,
+           CAST(max(n{b}) AS BIGINT) AS n_b,
+           CAST(max(abs(c{a} * n{b} - c{b} * n{a})) AS BIGINT)
+             AS d_num,
+           CAST(max(n{a}) * max(n{b}) AS BIGINT) AS d_den,
+           round(CAST(max(abs(c{a} * n{b} - c{b} * n{a})) AS DOUBLE)
+                 / (CAST(max(n{a}) AS DOUBLE) * max(n{b})), 6)
+             AS ks_d
+        FROM cc CROSS JOIN tot"""
+            )
+    union = "\n    UNION ALL ".join(pair_rows)
+    return f"""
+    WITH f AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE {' '.join(
+                 f"WHEN o_orderpriority = '{g}' THEN {i}"
+                 for i, g in enumerate(_KSP_GROUPS))} END AS g
+      FROM orders),
+    h AS (
+      SELECT v,
+             {cases}
+      FROM f GROUP BY 1),
+    cc AS (
+      SELECT v,
+             {cums}
+      FROM h),
+    tot AS (SELECT {tots} FROM h)
+    {union}
+    """
+
+
+@query("ks_pairwise_priorities", oracle=_ksp_oracle2())
+def ks_pairwise_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """The full pairwise exact-KS distance matrix over all five order
+    priority groups (10 pairs) — the distributional-drift screen run
+    between every pair of corpus slices, generalizing
+    ks_two_sample_exact from one comparison to the matrix in ONE
+    pass: the value histogram carries all five per-group counts as
+    columns, the five cumulatives share one two-phase bucketed
+    cumsum, and each pair's sup is a cross-multiplied integer max
+    over the same relation.  ks_d is one correctly-rounded division
+    per pair.
+
+    Scale: one orders scan → wide value histogram; the $10k-band
+    two-phase discipline bounds every window; the 10-pair readout is
+    10 aggregates over the shared cumulative relation (Spark computes
+    them in ONE aggregate pass + a 10-row unpivot).  Int64:
+    cum·n ≈ 9e12 at the 100x replica (per pair)."""
+    f = t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    h = f.groupBy("v").agg(
+        *[
+            F.sum((F.col("p") == g).cast("long"))
+            .cast("long")
+            .alias(f"h{i}")
+            for i, g in enumerate(_KSP_GROUPS)
+        ]
+    ).withColumn("bkt", F.expr(f"v div {_KS_BKT_C}")).persist()
+    btot = h.groupBy("bkt").agg(
+        *[F.sum(f"h{i}").alias(f"b{i}") for i in range(5)]
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bbase = btot.select(
+        "bkt",
+        *[
+            F.coalesce(F.sum(f"b{i}").over(wb), F.lit(0)).alias(
+                f"base{i}"
+            )
+            for i in range(5)
+        ],
+    )
+    wv = (
+        W.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cc = h.join(F.broadcast(bbase), "bkt").select(
+        "v",
+        *[
+            (F.col(f"base{i}") + F.sum(f"h{i}").over(wv)).alias(
+                f"c{i}"
+            )
+            for i in range(5)
+        ],
+    )
+    tot = h.agg(
+        *[
+            F.sum(f"h{i}").cast("long").alias(f"n{i}")
+            for i in range(5)
+        ]
+    )
+    j = cc.crossJoin(F.broadcast(tot))
+    aggs = []
+    for a in range(5):
+        for b in range(a + 1, 5):
+            aggs.append(
+                F.max(
+                    F.abs(
+                        F.col(f"c{a}") * F.col(f"n{b}")
+                        - F.col(f"c{b}") * F.col(f"n{a}")
+                    )
+                )
+                .cast("long")
+                .alias(f"d_{a}_{b}")
+            )
+    wide = j.groupBy(
+        *[F.col(f"n{i}") for i in range(5)]
+    ).agg(*aggs)
+    parts = []
+    for a in range(5):
+        for b in range(a + 1, 5):
+            parts.append(
+                wide.select(
+                    F.lit(_KSP_GROUPS[a]).alias("group_a"),
+                    F.lit(_KSP_GROUPS[b]).alias("group_b"),
+                    F.col(f"n{a}").alias("n_a"),
+                    F.col(f"n{b}").alias("n_b"),
+                    F.col(f"d_{a}_{b}").alias("d_num"),
+                    (F.col(f"n{a}") * F.col(f"n{b}")).alias("d_den"),
+                    F.round(
+                        F.col(f"d_{a}_{b}").cast("double")
+                        / (
+                            F.col(f"n{a}").cast("double")
+                            * F.col(f"n{b}")
+                        ),
+                        6,
+                    ).alias("ks_d"),
+                )
+            )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+@query(
+    "user_interarrival_cv",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id
+      FROM {EVENTS_US} events),
+    g AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id) AS gap
+      FROM e),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap * gap) AS BIGINT) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT user_id, n_gaps, sg AS total_span_s,
+           floor(sqrt(greatest(
+                   CAST(n_gaps AS DOUBLE) * sgg
+                   - CAST(sg AS DOUBLE) * sg, 0.0))
+                 / sg * 1e4 + 0.5) / 1e4 AS cv_e0
+    FROM s WHERE n_gaps >= 2 AND sg > 0
+    """,
+)
+def user_interarrival_cv(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-arrival coefficient of variation (population
+    sd/mean of second-granularity event gaps): the classic process
+    signature — CV ≈ 0 is metronomic automation, CV ≈ 1 is
+    memoryless/Poisson traffic, CV ≫ 1 is bursty sessions; the
+    dispersion cousin of user_burstiness_fano (which measures daily
+    counts, not gaps).  Using sd/mean = sqrt(n·Σg² − (Σg)²)/Σg makes
+    every input exact int64 (gaps in SECONDS so Σg² is per-user
+    bounded: (1e5 s)²·1e3 gaps ≈ 1e13) and the publication one sqrt +
+    division via the engine-identical floor form.
+
+    Scale: one events scan through the per-user lag window; the CV is
+    a map-side-combinable aggregate of integer sufficient stats."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        "event_id",
+    )
+    g = e.withColumn(
+        "gap",
+        F.col("sec")
+        - F.lag("sec").over(
+            W.partitionBy("user_id").orderBy("sec", "event_id")
+        ),
+    )
+    s = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap"))
+            .cast("long")
+            .alias("sgg"),
+        )
+    )
+    return s.filter((F.col("n_gaps") >= 2) & (F.col("sg") > 0)).select(
+        "user_id",
+        "n_gaps",
+        F.col("sg").alias("total_span_s"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.greatest(
+                        F.col("n_gaps").cast("double") * F.col("sgg")
+                        - F.col("sg").cast("double") * F.col("sg"),
+                        F.lit(0.0),
+                    )
+                )
+                / F.col("sg")
+                * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("cv_e0"),
+    )

@@ -3311,3 +3311,75 @@ def test_lorenz_matches_brute_force(spends):
         cum += s
         exp[dec] = (cnt, s, cum * 10_000 // tv)
     assert got == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # priority index
+            st.integers(min_value=1, max_value=400),  # cents
+        ),
+        min_size=5,
+        max_size=40,
+    ).filter(lambda rs: len({g for g, _ in rs}) == 5)
+)
+def test_ks_pairwise_matches_brute_force(rows):
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"]
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1, "o_orderpriority": groups[g],
+             "o_totalprice": c / 100.0}
+            for i, (g, c) in enumerate(rows)
+        ]
+    )
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _oracle_tables("ks_pairwise_priorities",
+                                {"orders": orders})
+    }
+    samples = {g: [c for gi, c in rows if gi == g] for g in range(5)}
+    vals = sorted({c for _, c in rows})
+    for a in range(5):
+        for b in range(a + 1, 5):
+            na, nb = len(samples[a]), len(samples[b])
+            dn = max(
+                abs(
+                    sum(1 for x in samples[a] if x <= v) * nb
+                    - sum(1 for x in samples[b] if x <= v) * na
+                )
+                for v in vals
+            )
+            r = got[(groups[a], groups[b])]
+            assert r[:4] == (na, nb, dn, na * nb)
+            assert abs(r[4] - dn / (na * nb)) < 5.01e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(events_strategy)
+def test_interarrival_cv_matches_brute_force(rows):
+    pdf = _events_df(rows)
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("user_interarrival_cv",
+                                {"events": pdf})
+    }
+    per: dict[int, list[int]] = {}
+    for u, _, sec, _ in rows:
+        per.setdefault(u + 1, []).append(sec)
+    exp = {}
+    for u, secs in per.items():
+        secs.sort()
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        n = len(gaps)
+        sg = sum(gaps)
+        if n < 2 or sg <= 0:
+            continue
+        sgg = sum(x * x for x in gaps)
+        cv = (max(n * sgg - sg * sg, 0)) ** 0.5 / sg
+        exp[u] = (n, sg, cv)
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u][:2] == exp[u][:2]
+        assert abs(got[u][2] - exp[u][2]) < 5.1e-5

@@ -74,6 +74,7 @@ BNLJ_BY_DESIGN = {
     "mahalanobis_outliers_qty_price",  # 1-row moment panel broadcast
     "kmv_set_intersection",  # <=32-row sketch tables x 1-row scalars
     "knn_classify",
+    "ks_pairwise_priorities",  # 5-group totals row: scalar broadcast
     "ks_two_sample_exact",  # (n0, n1) totals row: scalar broadcast
     "lorenz_curve_deciles",  # (n, tv) totals row: scalar broadcast
     "mann_whitney_u_exact",  # (n0, n1) totals row: scalar broadcast
