@@ -422,10 +422,7 @@ def user_burstiness_fano(spark: SparkSession, sf: str) -> DataFrame:
 _NB_R = 6  # published log-score precision (bm25 ln precedent)
 
 
-@query(
-    "naive_bayes_lang_predict",
-    oracle=f"""
-    WITH toks AS (
+_NB_CORE_SQL = f"""toks AS (
       SELECT doc_id, lang,
              list_filter(string_split(lower(text), ' '), x -> x <> '')
                AS ws
@@ -478,31 +475,32 @@ _NB_R = 6  # published log-score precision (bm25 ln precedent)
                ORDER BY score_r DESC, lang ASC) AS rn,
              lead(score_r) OVER (PARTITION BY doc_id
                ORDER BY score_r DESC, lang ASC) AS second
-      FROM sc)
-    SELECT doc_id, lang AS pred_lang, score_r AS top_score,
-           round(score_r - second, {_NB_R}) AS margin,
-           CAST(lang = true_lang AS BIGINT) AS is_correct
-    FROM rk WHERE rn = 1
-    """,
-)
-def naive_bayes_lang_predict(spark: SparkSession, sf: str) -> DataFrame:
-    """Multinomial naive-Bayes language identification, trained and
-    evaluated on the corpus itself (train-accuracy audit): add-1
-    smoothed word likelihoods with the UNSEEN-WORD terms factored out
-    algebraically — score(d, l) = ln(P(l)) + Σ_w n_wd·ln(c_wl + 1)
-    − len_d·ln(tot_l + V), so only (word, lang) pairs PRESENT in the
-    model are ever joined (an absent pair contributes ln(0+1) = 0)
-    and no dense doc×vocab grid exists.  Scores publish at 6 dp (the
-    bm25 ln precedent); the winner is chosen on the ROUNDED score
-    with language-name tiebreak, so the argmax is exactly as
-    deterministic as the published values.
+      FROM sc)"""
 
-    Scale: ONE documents FileScan → per-(doc, lang, word) counts (the
-    persisted materialization everything else derives from); the
-    model is vocab×langs-bounded, the lang panel is 5 rows crossed
-    with two scalar aggregates, and the scoring join fans out by at
-    most the number of languages containing the word.  The only
-    windows run over ≤ n_langs rows per doc."""
+# staged twins (CTE-re-inline discipline): the corpus-sized dw CTE is
+# referenced by model/prior/dstat/s1 — four re-materializations per
+# run in the chained oracle (~16 min at the 100x replica); staging dw
+# once makes everything downstream vocab/panel-cheap.
+_NB_HEAD_SQL = _NB_CORE_SQL.split("    model AS (")[0].rstrip().rstrip(",")
+_NB_TAIL_SQL = "    model AS (" + _NB_CORE_SQL.split("    model AS (", 1)[1]
+
+
+def _nb_staged(final_select: str) -> list[str]:
+    return [
+        "CREATE OR REPLACE TEMP TABLE nb_dw AS WITH "
+        + _NB_HEAD_SQL
+        + " SELECT * FROM dw",
+        "WITH dw AS (SELECT * FROM nb_dw),\n"
+        + _NB_TAIL_SQL
+        + final_select,
+    ]
+
+
+
+def _nb_rk(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared NB core (Spark twin of _NB_CORE_SQL): per-(doc, lang)
+    rounded scores ranked per doc — both the predict and eval queries
+    read this relation."""
     docs = t(spark, sf, "documents").select(
         "doc_id",
         "lang",
@@ -583,6 +581,46 @@ def naive_bayes_lang_predict(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(wd).alias("rn"),
         F.lead("score_r").over(wd).alias("second"),
     )
+    return rk
+
+
+_NB_PRED_SELECT = f"""
+    SELECT doc_id, lang AS pred_lang, score_r AS top_score,
+           round(score_r - second, {_NB_R}) AS margin,
+           CAST(lang = true_lang AS BIGINT) AS is_correct
+    FROM rk WHERE rn = 1
+    """
+
+
+@query(
+    "naive_bayes_lang_predict",
+    oracle=f"""
+    WITH {_NB_CORE_SQL}
+    {_NB_PRED_SELECT}
+    """,
+    staged_oracle=_nb_staged(_NB_PRED_SELECT),
+)
+def naive_bayes_lang_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification, trained and
+    evaluated on the corpus itself (train-accuracy audit): add-1
+    smoothed word likelihoods with the UNSEEN-WORD terms factored out
+    algebraically — score(d, l) = ln(P(l)) + Σ_w n_wd·ln(c_wl + 1)
+    − len_d·ln(tot_l + V), so only (word, lang) pairs PRESENT in the
+    model are ever joined (an absent pair contributes ln(0+1) = 0)
+    and no dense doc×vocab grid exists.  Scores publish at 6 dp (the
+    bm25 ln precedent); the winner is chosen on the ROUNDED score
+    with language-name tiebreak, so the argmax is exactly as
+    deterministic as the published values.  Core shared with
+    naive_bayes_lang_eval via _nb_rk / _NB_CORE_SQL (the
+    one-trainer-body rule from the r05 BPE dedup).
+
+    Scale: ONE documents FileScan → per-(doc, lang, word) counts (the
+    persisted materialization everything else derives from); the
+    model is vocab×langs-bounded, the lang panel is 5 rows crossed
+    with two scalar aggregates, and the scoring join fans out by at
+    most the number of languages containing the word.  The only
+    windows run over ≤ n_langs rows per doc."""
+    rk = _nb_rk(spark, sf)
     return rk.filter(F.col("rn") == 1).select(
         "doc_id",
         F.col("lang").alias("pred_lang"),
@@ -3625,4 +3663,126 @@ def user_interarrival_cv(spark: SparkSession, sf: str) -> DataFrame:
             )
             / 1e4
         ).alias("cv_e0"),
+    )
+
+
+_NB_EVAL_SELECT = """
+    , pred AS (
+      SELECT true_lang, lang AS pred_lang FROM rk WHERE rn = 1),
+    cm AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2),
+    langs AS (
+      SELECT true_lang AS l FROM cm
+      UNION SELECT pred_lang FROM cm),
+    tp AS (
+      SELECT true_lang AS l, n FROM cm WHERE true_lang = pred_lang),
+    rowt AS (
+      SELECT true_lang AS l, CAST(sum(n) AS BIGINT) AS nt
+      FROM cm GROUP BY 1),
+    colt AS (
+      SELECT pred_lang AS l, CAST(sum(n) AS BIGINT) AS np
+      FROM cm GROUP BY 1),
+    m AS (
+      SELECT langs.l,
+             coalesce(tp.n, 0) AS tp,
+             coalesce(colt.np, 0) - coalesce(tp.n, 0) AS fp,
+             coalesce(rowt.nt, 0) - coalesce(tp.n, 0) AS fn
+      FROM langs
+      LEFT JOIN tp ON tp.l = langs.l
+      LEFT JOIN rowt ON rowt.l = langs.l
+      LEFT JOIN colt ON colt.l = langs.l)
+    SELECT l AS lang, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp)
+                ELSE 0 END AS precision_e4,
+           CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn)
+                ELSE 0 END AS recall_e4,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2 * tp * 10000 // (2 * tp + fp + fn)
+                ELSE 0 END AS f1_e4
+    FROM m
+    """
+
+
+@query(
+    "naive_bayes_lang_eval",
+    oracle="WITH " + _NB_CORE_SQL + "\n" + _NB_EVAL_SELECT,
+    staged_oracle=_nb_staged(_NB_EVAL_SELECT),
+)
+def naive_bayes_lang_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the naive-Bayes
+    language classifier — the evaluation table that belongs next to
+    any classifier: tp/fp/fn from the confusion counts of the SAME
+    predictor (core shared with naive_bayes_lang_predict via
+    _nb_rk / _NB_CORE_SQL — the one-trainer-body rule), published as
+    exact 1e4 integer ticks (F1's harmonic mean collapses to
+    2·tp/(2·tp+fp+fn), one integer division).
+
+    Scale: the corpus-sized work is the shared NB core; the
+    confusion matrix and the P/R/F1 table are langs²-bounded."""
+    pred = (
+        _nb_rk(spark, sf)
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("pred_lang"))
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()  # langs^2-bounded confusion matrix
+    langs = (
+        cm.select(F.col("true_lang").alias("l"))
+        .unionByName(cm.select(F.col("pred_lang").alias("l")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("l"), F.col("n").alias("tp_n")
+    )
+    rowt = cm.groupBy(F.col("true_lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("nt")
+    )
+    colt = cm.groupBy(F.col("pred_lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("np")
+    )
+    m = (
+        langs.join(tp, "l", "left")
+        .join(rowt, "l", "left")
+        .join(colt, "l", "left")
+        .select(
+            "l",
+            F.coalesce("tp_n", F.lit(0)).alias("tp"),
+            (
+                F.coalesce("np", F.lit(0))
+                - F.coalesce("tp_n", F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce("nt", F.lit(0))
+                - F.coalesce("tp_n", F.lit(0))
+            ).alias("fn"),
+        )
+    )
+    return m.select(
+        F.col("l").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 10000 div (tp + fp)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_e4"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 10000 div (tp + fn)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_e4"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("2 * tp * 10000 div (2 * tp + fp + fn)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("f1_e4"),
     )

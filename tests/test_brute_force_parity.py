@@ -3383,3 +3383,63 @@ def test_interarrival_cv_matches_brute_force(rows):
     for u in exp:
         assert got[u][:2] == exp[u][:2]
         assert abs(got[u][2] - exp[u][2]) < 5.1e-5
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(_nb_words), min_size=1,
+                     max_size=6),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_naive_bayes_eval_matches_predictions(docs):
+    """The eval table must be EXACTLY the confusion-matrix arithmetic
+    of the predict query's own output — run both oracles on the same
+    corpus and recompute P/R/F1 from the predictions."""
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i + 1, "lang": lang, "text": " ".join(ws)}
+            for i, (lang, ws) in enumerate(docs)
+        ]
+    )
+    preds = {
+        r[0]: r[1]
+        for r in _oracle_tables(
+            "naive_bayes_lang_predict", {"documents": pdf}
+        )
+    }
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables(
+            "naive_bayes_lang_eval", {"documents": pdf}
+        )
+    }
+    true = {i + 1: lang for i, (lang, _) in enumerate(docs)}
+    langs = set(true.values()) | set(preds.values())
+    exp = {}
+    for l_ in langs:
+        tp = sum(
+            1 for d in preds if preds[d] == l_ and true[d] == l_
+        )
+        fp = sum(
+            1 for d in preds if preds[d] == l_ and true[d] != l_
+        )
+        fn = sum(
+            1 for d in preds if true[d] == l_ and preds[d] != l_
+        )
+        exp[l_] = (
+            tp,
+            fp,
+            fn,
+            tp * 10_000 // (tp + fp) if tp + fp else 0,
+            tp * 10_000 // (tp + fn) if tp + fn else 0,
+            2 * tp * 10_000 // (2 * tp + fp + fn)
+            if 2 * tp + fp + fn
+            else 0,
+        )
+    assert got == exp
