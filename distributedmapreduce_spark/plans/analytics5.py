@@ -3786,3 +3786,54 @@ def naive_bayes_lang_eval(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("f1_e4"),
     )
+
+
+@query(
+    "weekday_uniformity_chi2",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM d)
+    SELECT CAST(7 AS BIGINT) AS k, n,
+           CAST(count(*) AS BIGINT) AS observed_days,
+           floor(sum((7.0 * o - n) * (7.0 * o - n)) / (7.0 * n)
+                 * 1e4 + 0.5) / 1e4 AS chi2
+    FROM d CROSS JOIN tot GROUP BY n
+    """,
+)
+def weekday_uniformity_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order volume against a UNIFORM
+    weekday distribution — the seasonality screen (chi2 ≫ the
+    6-df critical value means day-of-week effects are real and the
+    forecasting stack must model them; chi2_independence_audit tests
+    a different hypothesis, independence of two factors).  The
+    statistic uses the algebraic form Σ(7·o − n)²/(7n) so every
+    input is an exact int64 and the published value is one double
+    expression via the engine-identical floor form.  The sum runs
+    over OBSERVED weekday bins (each unobserved bin would add exactly
+    n/7 — observed_days is published so the correction is one
+    multiply; at any real scale all 7 bins are populated).
+    dayofweek() agrees across engines for date inputs.
+
+    Scale: one orders scan to a 7-row aggregate.  Int64:
+    (7·o)² ≈ 2e16 at the 100x replica."""
+    d = (
+        t(spark, sf, "orders")
+        .groupBy(F.expr("CAST(dayofweek(o_orderdate) AS LONG)").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tot = d.agg(F.sum("o").cast("long").alias("n"))
+    j = d.crossJoin(F.broadcast(tot))
+    term = (7.0 * F.col("o") - F.col("n")) * (
+        7.0 * F.col("o") - F.col("n")
+    )
+    return j.groupBy("n").agg(
+        F.lit(7).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("observed_days"),
+        (
+            F.floor(F.sum(term) / (7.0 * F.col("n")) * 1e4 + 0.5)
+            / 1e4
+        ).alias("chi2"),
+    ).select("k", "n", "observed_days", "chi2")

@@ -3443,3 +3443,42 @@ def test_naive_bayes_eval_matches_predictions(docs):
             else 0,
         )
     assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=27),  # day offset
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weekday_chi2_matches_brute_force(days):
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i + 1,
+             "o_orderdate": base + datetime.timedelta(days=d),
+             "o_totalprice": 1.0}
+            for i, d in enumerate(days)
+        ]
+    )
+    (row,) = _oracle_tables("weekday_uniformity_chi2",
+                            {"orders": orders})
+    from collections import Counter
+
+    # chi2 is invariant to which label each weekday bin gets, so the
+    # replay only needs the bin STRUCTURE; the published statistic
+    # sums over OBSERVED bins (each zero bin would add exactly n/7 —
+    # observed_days lets the reader apply that correction, and at any
+    # real scale all 7 bins are populated)
+    c = Counter(
+        (base + datetime.timedelta(days=d)).isoweekday()
+        for d in days
+    )
+    n = len(days)
+    chi2_obs = sum((7 * o - n) ** 2 for o in c.values()) / (7 * n)
+    assert row[:3] == (7, n, len(c))
+    assert abs(row[3] - chi2_obs) < 5.1e-5

@@ -79,6 +79,7 @@ BNLJ_BY_DESIGN = {
     "lorenz_curve_deciles",  # (n, tv) totals row: scalar broadcast
     "mann_whitney_u_exact",  # (n0, n1) totals row: scalar broadcast
     "user_burstiness_fano",  # global-span row: scalar broadcast
+    "weekday_uniformity_chi2",  # grand-total row: scalar broadcast
     "markov_attribution_removal",  # p_full scalar: 1-row x 4 broadcast
     "minhash_recall_audit",  # confusion-count scalars: 1-row broadcasts
     "naive_bayes_lang_predict",  # 5-row lang panel x V/D scalars
