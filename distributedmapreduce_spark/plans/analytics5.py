@@ -3837,3 +3837,108 @@ def weekday_uniformity_chi2(spark: SparkSession, sf: str) -> DataFrame:
             / 1e4
         ).alias("chi2"),
     ).select("k", "n", "observed_days", "chi2")
+
+
+@query(
+    "source_lang_purity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    s AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS ns,
+             CAST(max(n) AS BIGINT) AS nmax
+      FROM c GROUP BY 1)
+    SELECT c.source, c.lang, c.n,
+           c.n * 10000 // s.ns AS share_e4,
+           CAST(c.n = s.nmax AS BIGINT) AS is_dominant
+    FROM c JOIN s ON s.source = c.source
+    """,
+)
+def source_lang_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Language mix per source — the corpus-mixing audit every
+    multilingual pipeline reports: each (source, lang) cell with its
+    exact 1e4-tick share of the source and a dominant-language flag
+    (count-maximum; ties flag every maximal lang, the honest multi-
+    modal answer).  A source whose dominant share is low is a mixing
+    or language-ID problem feeding the sampler.
+
+    Scale: one documents scan to a sources×langs-bounded cell table;
+    the per-source totals aggregate the cells, not the corpus."""
+    c = (
+        t(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()  # sources x langs bounded
+    )
+    s = c.groupBy(F.col("source").alias("s_src")).agg(
+        F.sum("n").cast("long").alias("ns"),
+        F.max("n").cast("long").alias("nmax"),
+    )
+    return c.join(F.broadcast(s), F.col("s_src") == F.col("source")).select(
+        "source",
+        "lang",
+        "n",
+        F.expr("n * 10000 div ns").alias("share_e4"),
+        (F.col("n") == F.col("nmax")).cast("long").alias(
+            "is_dominant"
+        ),
+    )
+
+
+@query(
+    "hourly_peak_to_mean",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {EVENTS_US} events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS peak
+      FROM h GROUP BY 1)
+    SELECT event_type, n_hours, total, peak,
+           peak * n_hours * 10000 // total AS peak_to_mean_e4
+    FROM s
+    """,
+)
+def hourly_peak_to_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak-to-mean hourly load ratio per event type — the capacity-
+    planning number (a ratio near 1 means flat load; 10 means the
+    peak hour needs 10× the average provisioning).  Exact integer
+    cross-multiplication peak·n_hours·1e4 // total — no float mean
+    ever materializes.  Mean is over OBSERVED hours (gap hours would
+    raise the ratio; pair with time_bucket_gapfill when an absolute
+    calendar mean is wanted).
+
+    Scale: one events scan to the calendar-bounded (type, hour)
+    aggregate, then a per-type fold of that table.  Int64:
+    peak·n_hours·1e4 ≈ 6e13 at the 100x replica."""
+    h = (
+        t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias(
+                "hour_bucket"
+            ),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("peak"),
+    )
+    return s.select(
+        "event_type",
+        "n_hours",
+        "total",
+        "peak",
+        F.expr("peak * n_hours * 10000 div total").alias(
+            "peak_to_mean_e4"
+        ),
+    )

@@ -3482,3 +3482,83 @@ def test_weekday_chi2_matches_brute_force(days):
     chi2_obs = sum((7 * o - n) ** 2 for o in c.values()) / (7 * n)
     assert row[:3] == (7, n, len(c))
     assert abs(row[3] - chi2_obs) < 5.1e-5
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_source_lang_purity_matches_brute_force(rows):
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": i + 1, "source": s, "lang": l_, "text": "x"}
+            for i, (s, l_) in enumerate(rows)
+        ]
+    )
+    got = {
+        (r[0], r[1]): r[2:]
+        for r in _oracle_tables("source_lang_purity",
+                                {"documents": pdf})
+    }
+    from collections import Counter
+
+    c = Counter(rows)
+    ns = Counter(s for s, _ in rows)
+    nmax = {}
+    for (s, _), n in c.items():
+        nmax[s] = max(nmax.get(s, 0), n)
+    exp = {
+        (s, l_): (n, n * 10_000 // ns[s], int(n == nmax[s]))
+        for (s, l_), n in c.items()
+    }
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click"]),
+            st.integers(min_value=0, max_value=40),  # hour
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_peak_to_mean_matches_brute_force(rows):
+    base = 1_704_067_200_000_000
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(base + h * 3_600_000_000,
+                                   unit="us"),
+                "user_id": 1,
+                "event_type": ty,
+            }
+            for i, (ty, h) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1:]
+        for r in _oracle_tables("hourly_peak_to_mean",
+                                {"events": pdf})
+    }
+    from collections import Counter
+
+    c = Counter(rows)
+    exp = {}
+    for ty in {t_ for t_, _ in rows}:
+        hours = {h: n for (t_, h), n in c.items() if t_ == ty}
+        nh = len(hours)
+        tot = sum(hours.values())
+        pk = max(hours.values())
+        exp[ty] = (nh, tot, pk, pk * nh * 10_000 // tot)
+    assert got == exp
