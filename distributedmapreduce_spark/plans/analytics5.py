@@ -3942,3 +3942,79 @@ def hourly_peak_to_mean(spark: SparkSession, sf: str) -> DataFrame:
             "peak_to_mean_e4"
         ),
     )
+
+
+@query(
+    "anova_retailprice_by_brand",
+    oracle="""
+    WITH f AS (
+      SELECT p_brand AS g,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
+      FROM part),
+    s AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM f GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(sy) AS BIGINT) AS tsy,
+             CAST(sum(syy) AS BIGINT) AS tsyy,
+             sum(CAST(sy AS DOUBLE) * sy / n) AS gss
+      FROM s)
+    SELECT k AS n_groups, nn AS n_rows,
+           floor(((gss - CAST(tsy AS DOUBLE) * tsy / nn) / (k - 1))
+                 / ((tsyy - gss) / (nn - k)) * 1e4 + 0.5) / 1e4
+             AS f_stat
+    FROM tot WHERE k > 1 AND nn > k AND tsyy - gss > 0
+    """,
+)
+def anova_retailprice_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F-statistic of part retail price across brands —
+    the k-group generalization of the two-sample battery (does ANY
+    brand price differently?).  Between/within sums of squares come
+    from per-group exact int64 sufficient statistics (n, Σy, Σy²
+    cents); the only floats are the k-term Σ(Σy)²/n accumulation
+    (group-count-bounded, noise ~1e-16) and the final ratio via the
+    engine-identical floor form.
+
+    Scale: one part scan to a brands-bounded panel, one fold.  Int64:
+    Σy² ≈ 8e16 at the 100x replica."""
+    f = t(spark, sf, "part").select(
+        F.col("p_brand").alias("g"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    s = f.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("syy").cast("long").alias("tsyy"),
+        F.sum(
+            F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        ).alias("gss"),
+    )
+    ssb = F.col("gss") - F.col("tsy").cast("double") * F.col("tsy") / F.col("nn")
+    ssw = F.col("tsyy") - F.col("gss")
+    return tot.filter(
+        (F.col("k") > 1)
+        & (F.col("nn") > F.col("k"))
+        & (ssw > 0)
+    ).select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        (
+            F.floor(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("nn") - F.col("k")))
+                * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("f_stat"),
+    )

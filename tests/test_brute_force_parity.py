@@ -3562,3 +3562,42 @@ def test_peak_to_mean_matches_brute_force(rows):
         pk = max(hours.values())
         exp[ty] = (nh, tot, pk, pk * nh * 10_000 // tot)
     assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # brand slot
+            st.integers(min_value=100, max_value=200_000),  # cents
+        ),
+        min_size=4,
+        max_size=40,
+    ).filter(lambda rs: len({b for b, _ in rs}) >= 2)
+)
+def test_anova_matches_brute_force(rows):
+    part = pd.DataFrame(
+        [
+            {"p_partkey": i + 1, "p_brand": f"B{b}",
+             "p_retailprice": c / 100.0}
+            for i, (b, c) in enumerate(rows)
+        ]
+    )
+    got = _oracle_tables("anova_retailprice_by_brand", {"part": part})
+    groups: dict[int, list[int]] = {}
+    for b, c in rows:
+        groups.setdefault(b, []).append(c)
+    k = len(groups)
+    nn = len(rows)
+    tsy = sum(c for _, c in rows)
+    tsyy = sum(c * c for _, c in rows)
+    gss = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    ssb = gss - tsy * tsy / nn
+    ssw = tsyy - gss
+    if nn <= k or ssw <= 0:
+        assert got == []
+        return
+    f_ = (ssb / (k - 1)) / (ssw / (nn - k))
+    (row,) = got
+    assert row[:2] == (k, nn)
+    assert abs(row[2] - f_) < max(5.1e-5, abs(f_) * 1e-9)
