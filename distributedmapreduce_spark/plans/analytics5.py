@@ -4018,3 +4018,117 @@ def anova_retailprice_by_brand(spark: SparkSession, sf: str) -> DataFrame:
             / 1e4
         ).alias("f_stat"),
     )
+
+
+_RC_W = 14
+
+
+@query(
+    "rolling_corr_view_purchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type
+      FROM {EVENTS_US} events),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+    grid AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+    daily AS (
+      SELECT grid.day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS y
+      FROM grid LEFT JOIN e ON e.day = grid.day GROUP BY 1),
+    w AS (
+      SELECT day,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS sx,
+             CAST(sum(y) OVER win AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER win AS BIGINT) AS syy
+      FROM daily
+      WINDOW win AS (ORDER BY day
+        ROWS BETWEEN {_RC_W - 1} PRECEDING AND CURRENT ROW))
+    SELECT day,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS corr_14d
+    FROM w
+    WHERE n = {_RC_W}
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def rolling_corr_view_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 14-day rolling Pearson correlation between the daily
+    view and purchase series — the co-movement monitor (a stable
+    positive correlation breaking down is the classic
+    funnel-degradation alarm; ccf_view_purchase_daily measures the
+    LAG structure, this tracks co-movement OVER TIME).  The daily
+    grid is gap-filled, so a ROWS frame IS a day frame; within each
+    window every sufficient statistic is an exact int64 window sum,
+    and each day's correlation is one fixed double expression —
+    published via the engine-identical floor form, only full windows
+    with positive variance emitted.
+
+    Scale: one events scan; all windows run over the calendar-bounded
+    gap-filled grid.  Int64: window Σxy ≤ 14·(daily count)² ≈ 5e11
+    at the 100x replica."""
+    dayc = (
+        t(spark, sf, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "view").cast("long")
+            ).alias("xr"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("yr"),
+        )
+        .persist()  # calendar-bounded; bounds + grid join
+    )
+    b = dayc.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    daily = (
+        b.select(F.explode(F.sequence("mn", "mx")).alias("day"))
+        .join(dayc, "day", "left")
+        .select(
+            "day",
+            F.coalesce("xr", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("yr", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    win = W.orderBy("day").rowsBetween(-(_RC_W - 1), 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum("x").over(win).cast("long").alias("sx"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.filter(
+        (F.col("n") == _RC_W) & (vx > 0) & (vy > 0)
+    ).select(
+        "day",
+        (
+            F.floor(
+                (
+                    F.col("n") * F.col("sxy")
+                    - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("corr_14d"),
+    )

@@ -3601,3 +3601,56 @@ def test_anova_matches_brute_force(rows):
     (row,) = got
     assert row[:2] == (k, nn)
     assert abs(row[2] - f_) < max(5.1e-5, abs(f_) * 1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "purchase"]),
+            st.integers(min_value=0, max_value=25),  # day
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_rolling_corr_matches_brute_force(rows):
+    base = 1_704_067_200_000_000
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i + 1,
+                "ts": pd.Timestamp(base + d * 86_400_000_000,
+                                   unit="us"),
+                "user_id": 1,
+                "event_type": ty,
+            }
+            for i, (ty, d) in enumerate(rows)
+        ]
+    )
+    got = {
+        r[0]: r[1]
+        for r in _oracle_tables("rolling_corr_view_purchase",
+                                {"events": pdf})
+    }
+    days = [d for _, d in rows]
+    mn, mx = min(days), max(days)
+    grid = list(range(mn, mx + 1))
+    x = [sum(1 for ty, d in rows if ty == "view" and d == g)
+         for g in grid]
+    y = [sum(1 for ty, d in rows if ty == "purchase" and d == g)
+         for g in grid]
+    exp = {}
+    for i in range(13, len(grid)):
+        xs, ys = x[i - 13: i + 1], y[i - 13: i + 1]
+        n = 14
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            exp[grid[i]] = (n * sxy - sx * sy) / (vx * vy) ** 0.5
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 5.1e-7
