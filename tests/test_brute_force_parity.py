@@ -3650,7 +3650,11 @@ def test_rolling_corr_matches_brute_force(rows):
         syy = sum(b * b for b in ys)
         vx, vy = n * sxx - sx * sx, n * syy - sy * sy
         if vx > 0 and vy > 0:
-            exp[grid[i]] = (n * sxy - sx * sy) / (vx * vy) ** 0.5
+            # published day is the ABSOLUTE epoch day
+            epoch0 = base // 86_400_000_000
+            exp[epoch0 + grid[i]] = (
+                (n * sxy - sx * sy) / (vx * vy) ** 0.5
+            )
     assert set(got) == set(exp)
     for d in exp:
         assert abs(got[d] - exp[d]) < 5.1e-7
