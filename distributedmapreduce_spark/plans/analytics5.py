@@ -1049,9 +1049,6 @@ def ccf_view_purchase_daily(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("xr", F.lit(0)).cast("long").alias("x"),
         F.coalesce("yr", F.lit(0)).cast("long").alias("y"),
     )
-    wall = W.rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
     d = daily.select(
         "day",
         (
