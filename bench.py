@@ -86,6 +86,11 @@ TIER2 = [
     "naive_bayes_lang_predict",
     "quantile_normalize_spend",
     "degree_assortativity_copurchase",
+    # round-6 sixth wave: cluster-blocked semantic dedup (kmeans
+    # training + within-cluster pair verify) and the LSH-blocked
+    # cross-label argmax — the two heaviest llm7 operators
+    "semdedup_cluster_prune",
+    "hard_negative_mining",
 ]
 
 

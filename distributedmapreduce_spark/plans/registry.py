@@ -36,6 +36,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     curation,
     llm,
     llm2,
@@ -43,6 +44,7 @@ from . import (  # noqa: F401  (registration via @query decorators)
     llm4,
     llm5,
     llm6,
+    llm7,
     mlops,
     mmq,
     quality,

@@ -1,0 +1,357 @@
+"""Hypothesis brute-force parity for the round-6 analytics battery
+#10 (plans/analytics6.py): the REGISTERED DuckDB oracle runs on tiny
+random tables and is compared against an independent naive-Python
+implementation of each operator's mathematical definition.  The
+Spark==oracle leg is covered by tools/check_oracle.py at sf0.01 and
+the replicas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from distributedmapreduce_spark.plans.analytics6 import (
+    _BOOT_CDF,
+    _BOOT_R,
+    _PERM_P,
+    _TC_BUCKETS,
+    _TC_T_E6,
+)
+from distributedmapreduce_spark.plans.core import registry
+
+
+def _oracle(name: str, tables: dict):
+    sql = registry()[name].oracle
+    assert sql, name
+    con = duckdb.connect()
+    for tname, pdf in tables.items():
+        con.register(tname, pdf)
+    return con.execute(sql).fetchall()
+
+
+def _md5_u32(tag: str, v: int) -> int:
+    return int(
+        hashlib.md5(f"{tag}:{v}".encode()).hexdigest()[:8], 16
+    )
+
+
+# --- Spearman ---------------------------------------------------------
+
+sp_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # brand bucket
+        st.integers(min_value=1, max_value=8),  # quantity
+        st.integers(min_value=100, max_value=5000),  # price cents
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(sp_strategy)
+def test_spearman_matches_brute_force(rows):
+    li = pd.DataFrame(
+        {
+            "l_partkey": list(range(len(rows))),
+            "l_quantity": [q for _, q, _ in rows],
+            "l_extendedprice": [pc / 100.0 for _, _, pc in rows],
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": list(range(len(rows))),
+            "p_brand": [f"Brand#{b}" for b, _, _ in rows],
+        }
+    )
+    got = sorted(
+        _oracle("spearman_rho_qty_price", {"lineitem": li, "part": part})
+    )
+
+    def r2map(vals):
+        cnt = Counter(vals)
+        below, out = 0, {}
+        for v in sorted(cnt):
+            out[v] = 2 * below + cnt[v] + 1
+            below += cnt[v]
+        return out
+
+    exp = []
+    by_brand = defaultdict(list)
+    for b, q, pc in rows:
+        by_brand[f"Brand#{b}"].append((q, pc))
+    for brand, pts in by_brand.items():
+        rx = r2map([q for q, _ in pts])
+        ry = r2map([pc for _, pc in pts])
+        n = len(pts)
+        sx = sum(rx[q] for q, _ in pts)
+        sy = sum(ry[pc] for _, pc in pts)
+        sxx = sum(rx[q] ** 2 for q, _ in pts)
+        syy = sum(ry[pc] ** 2 for _, pc in pts)
+        sxy = sum(rx[q] * ry[pc] for q, pc in pts)
+        den = math.sqrt(float(n) * sxx - float(sx) * sx) * math.sqrt(
+            float(n) * syy - float(sy) * sy
+        )
+        rho = (
+            0
+            if den == 0
+            else math.floor(
+                (float(n) * sxy - float(sx) * sy) / den * 1_000_000
+            )
+        )
+        exp.append((brand, n, rho))
+    assert got == sorted(exp)
+
+
+# --- t-closeness ------------------------------------------------------
+
+tc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # nation
+        st.sampled_from(["SEG_A", "SEG_B"]),  # segment
+        st.integers(min_value=-99999, max_value=999999),  # acctbal cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(tc_strategy)
+def test_t_closeness_matches_brute_force(rows):
+    cust = pd.DataFrame(
+        {
+            "c_nationkey": [n for n, _, _ in rows],
+            "c_mktsegment": [s for _, s, _ in rows],
+            "c_acctbal": [c / 100.0 for _, _, c in rows],
+        }
+    )
+    got = sorted(_oracle("t_closeness_audit", {"customer": cust}))
+    buckets = [(n, s, (c + 100000) // 100000) for n, s, c in rows]
+    total = len(buckets)
+    gcnt = Counter(b for _, _, b in buckets)
+    exp = []
+    for cl in sorted({(n, s) for n, s, _ in buckets}):
+        cc = Counter(b for n, s, b in buckets if (n, s) == cl)
+        ncl = sum(cc.values())
+        cum_c = cum_g = 0
+        acc = 0
+        for b in range(_TC_BUCKETS - 1):
+            cum_c += cc.get(b, 0)
+            cum_g += gcnt.get(b, 0)
+            acc += abs(
+                cum_c * 1_000_000 // ncl - cum_g * 1_000_000 // total
+            )
+        emd = acc // (_TC_BUCKETS - 1)
+        exp.append((cl[0], cl[1], ncl, emd, 1 if emd > _TC_T_E6 else 0))
+    assert got == sorted(exp)
+
+
+# --- local clustering coefficient ------------------------------------
+
+g_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),  # customer
+        st.integers(min_value=0, max_value=5),  # part
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(g_strategy)
+def test_lcc_matches_brute_force(pairs):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(len(pairs))),
+            "o_custkey": [c for c, _ in pairs],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": list(range(len(pairs))),
+            "l_partkey": [p for _, p in pairs],
+        }
+    )
+    got = sorted(
+        _oracle("local_clustering_coeff", {"orders": orders, "lineitem": li})
+    )
+    cp = {(c, p) for c, p in pairs}
+    buyers = defaultdict(set)
+    for c, p in cp:
+        buyers[p].add(c)
+    edges = set()
+    for p, cs in buyers.items():
+        if len(cs) <= 15:
+            for a in cs:
+                for b in cs:
+                    if a < b:
+                        edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = []
+    for v, nb in adj.items():
+        deg = len(nb)
+        if deg < 2:
+            continue
+        tri = sum(
+            1
+            for a in nb
+            for b in nb
+            if a < b and (min(a, b), max(a, b)) in edges
+        )
+        exp.append((v, deg, tri, 2 * tri * 1_000_000 // (deg * (deg - 1))))
+    assert got == sorted(exp)
+
+
+# --- SAX weekly symbolization -----------------------------------------
+
+sax_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # epoch day
+        st.integers(min_value=100, max_value=900000),  # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(sax_strategy)
+def test_sax_matches_brute_force(rows):
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": [
+                pd.Timestamp("1970-01-01") + pd.Timedelta(days=d)
+                for d, _ in rows
+            ],
+            "o_totalprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    got = sorted(_oracle("sax_weekly_revenue", {"orders": orders}))
+    day_c = defaultdict(int)
+    for d, c in rows:
+        day_c[d] += c
+    wk = defaultdict(lambda: [0, 0])  # wk -> [n_days, sum]
+    for d, c in day_c.items():
+        wk[d // 7][0] += 1
+        wk[d // 7][1] += c
+    paa = {k: (nd, s // nd) for k, (nd, s) in wk.items()}
+    ordered = sorted(paa.items(), key=lambda kv: (kv[1][1], kv[0]))
+    n = len(ordered)
+    qs = [
+        ordered[(k * n + 3) // 4 - 1][1][1] if (k * n + 3) // 4 >= 1 else None
+        for k in (1, 2, 3)
+    ]
+    exp = []
+    for k, (nd, p) in paa.items():
+        sym = 3 if p > qs[2] else 2 if p > qs[1] else 1 if p > qs[0] else 0
+        exp.append((k, nd, p, sym))
+    assert got == sorted(exp)
+
+
+# --- Poisson bootstrap -------------------------------------------------
+
+boot_strategy = st.lists(
+    st.integers(min_value=100, max_value=900000),  # cents
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(boot_strategy)
+def test_bootstrap_matches_brute_force(cents):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(cents) + 1)),
+            "o_totalprice": [c / 100.0 for c in cents],
+        }
+    )
+    got = _oracle("bootstrap_revenue_ci", {"orders": orders})
+    boots = []
+    for rep in range(_BOOT_R):
+        tot = 0
+        for ok, c in zip(range(1, len(cents) + 1), cents):
+            u = _md5_u32("boot", ok * _BOOT_R + rep)
+            w = 6
+            for k, thr in enumerate(_BOOT_CDF):
+                if u < thr:
+                    w = k
+                    break
+            tot += w * c
+        boots.append(tot)
+    boots.sort()
+    exp = (
+        len(cents),
+        sum(cents),
+        boots[0],
+        boots[_BOOT_R // 2 - 1],
+        boots[-1],
+    )
+    assert got == [exp]
+
+
+# --- permutation test --------------------------------------------------
+
+perm_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=9),  # user
+        st.integers(min_value=100, max_value=50000),  # cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(perm_strategy)
+def test_permutation_matches_brute_force(rows):
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(len(rows))),
+            "ts": [pd.Timestamp("2024-01-01")] * len(rows),
+            "user_id": [u for u, _ in rows],
+            "event_type": ["purchase"] * len(rows),
+            "value": [c / 100.0 for _, c in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    got = _oracle("permutation_test_spend", {"events": ev})
+    y = defaultdict(int)
+    for u, c in rows:
+        y[u] += c
+
+    def stat(labels):
+        s1 = sum(v for u, v in y.items() if labels[u] == 1)
+        n1 = sum(1 for u in y if labels[u] == 1)
+        s0 = sum(v for u, v in y.items() if labels[u] == 0)
+        n0 = len(y) - n1
+        if n1 == 0 or n0 == 0:
+            return 0
+        return abs(s1 * 10000 // n1 - s0 * 10000 // n0)
+
+    obs = stat({u: u % 2 for u in y})
+    n_ge = 0
+    for p in range(1, _PERM_P + 1):
+        labels = {
+            u: _md5_u32("perm", u * (_PERM_P + 1) + p) % 2 for u in y
+        }
+        if stat(labels) >= obs:
+            n_ge += 1
+    exp = (
+        len(y),
+        obs,
+        n_ge,
+        (1 + n_ge) * 1_000_000 // (_PERM_P + 1),
+    )
+    assert got == [exp]

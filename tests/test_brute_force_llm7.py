@@ -1,0 +1,284 @@
+"""Hypothesis brute-force parity for the round-6 embedding battery
+(plans/llm7.py): the REGISTERED DuckDB oracle runs on tiny random
+embedding tables and is compared against an independent naive-Python
+implementation of each operator's mathematical definition — closing
+the both-engines-wrong-the-same-way blind spot.  The Spark==oracle
+leg is covered by tools/check_oracle.py at sf0.01 and the replicas.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from distributedmapreduce_spark.plans.core import registry
+from distributedmapreduce_spark.plans.llm7 import (
+    _MMR_CAND,
+    _MMR_K,
+    _MMR_QV,
+    _PQ_D,
+    _PQ_KC,
+    _SEM_TAU,
+)
+from distributedmapreduce_spark.plans.mlops import _KM_K, _KM_T
+
+
+def _oracle(name: str, emb_pdf: pd.DataFrame):
+    sql = registry()[name].oracle
+    assert sql, name
+    con = duckdb.connect()
+    con.register("embeddings", emb_pdf)
+    return con.execute(sql).fetchall()
+
+
+def _emb_df(vecs, labels=None):
+    return pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": vecs,
+            "label": labels if labels is not None else [0] * len(vecs),
+        }
+    )
+
+
+def _dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _cos(a, b):
+    return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+
+def _cos_e6(a, b):
+    return math.floor(_cos(a, b) * 1_000_000)
+
+
+_floats = st.floats(
+    min_value=-0.6, max_value=0.6, allow_nan=False, allow_infinity=False
+)
+
+
+def _nonzero(vecs):
+    """Guarantee every vector has a nonzero norm (an all-zero vector
+    makes cosine NaN in both engines and the pair simply drops out of
+    every >= comparison; the Python replay would raise instead, so
+    the fixture regime pins norms > 0 — real embeddings are unit-ish
+    and never zero).  The check is on the COMPUTED dot product, not
+    the components: a subnormal component squares to an underflowed
+    0.0 norm in both engines."""
+    return [
+        v if _dot(v, v) > 0.0 else [0.1] + v[1:] for v in vecs
+    ]
+
+vecs_strategy = st.integers(min_value=2, max_value=5).flatmap(
+    lambda dim: st.lists(
+        st.lists(_floats, min_size=dim, max_size=dim),
+        min_size=max(_KM_K, _PQ_KC) + 2,
+        max_size=20,
+    )
+)
+
+
+def _quant(vecs):
+    return [[math.floor(x * 100) + 128 for x in v] for v in vecs]
+
+
+def _km_assign(vecs):
+    """Exact replay of the shared Lloyd trainer's final assignment
+    (mirrors tests/test_brute_force_mlops.py::_km_python)."""
+    q = _quant(vecs)
+    cents = {j: list(q[j]) for j in range(_KM_K)}
+
+    def code_of(v):
+        return min(
+            sum((a - b) * (a - b) for a, b in zip(v, m)) * _KM_K + j
+            for j, m in cents.items()
+        )
+
+    for _ in range(_KM_T):
+        members = defaultdict(list)
+        for v in q:
+            members[code_of(v) % _KM_K].append(v)
+        cents = {
+            j: [
+                (2 * sum(col) + len(vs)) // (2 * len(vs))
+                for col in zip(*vs)
+            ]
+            for j, vs in members.items()
+        }
+    return {i: code_of(v) % _KM_K for i, v in enumerate(q)}
+
+
+@settings(max_examples=25, deadline=None)
+@given(vecs_strategy)
+def test_semdedup_matches_brute_force(vecs):
+    vecs = _nonzero(vecs)
+    got = sorted(_oracle("semdedup_cluster_prune", _emb_df(vecs)))
+    asg = _km_assign(vecs)
+    exp = []
+    for b, cb in asg.items():
+        keepers = [
+            a
+            for a, ca in asg.items()
+            if ca == cb and a < b and _cos(vecs[a], vecs[b]) >= _SEM_TAU
+        ]
+        if keepers:
+            k = min(keepers)
+            exp.append((b, cb, k, _cos_e6(vecs[k], vecs[b])))
+    assert got == sorted(exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(vecs_strategy)
+def test_pq_codebook_matches_brute_force(vecs):
+    vecs = _nonzero(vecs)
+    got = sorted(_oracle("pq_codebook_sse", _emb_df(vecs)))
+    q = _quant(vecs)
+    # exploded (vec, m, d) -> tick
+    sub = {
+        (i, idx // _PQ_D, idx % _PQ_D): t
+        for i, v in enumerate(q)
+        for idx, t in enumerate(v)
+    }
+    subspaces = sorted({m for (_, m, _) in sub})
+
+    def vec_sub(i, m):
+        return {d: t for (vi, mm, d), t in sub.items() if vi == i and mm == m}
+
+    cents = {
+        (m, j): vec_sub(j, m) for m in subspaces for j in range(_PQ_KC)
+    }
+
+    def assign(cb):
+        out = {}
+        for i in range(len(q)):
+            for m in subspaces:
+                vs = vec_sub(i, m)
+                out[(i, m)] = min(
+                    sum((vs[d] - c[d]) ** 2 for d in c) * _PQ_KC + j
+                    for (mm, j), c in cb.items()
+                    if mm == m
+                )
+        return out
+
+    a1 = assign(cents)
+    upd = defaultdict(list)
+    for (i, m), code in a1.items():
+        upd[(m, code % _PQ_KC)].append(vec_sub(i, m))
+    c1 = {
+        key: {
+            d: (2 * sum(vs[d] for vs in members) + len(members))
+            // (2 * len(members))
+            for d in members[0]
+        }
+        for key, members in upd.items()
+    }
+    f = assign(c1)
+    agg = defaultdict(lambda: [0, 0])
+    for (i, m), code in f.items():
+        agg[(m, code % _PQ_KC)][0] += 1
+        agg[(m, code % _PQ_KC)][1] += code // _PQ_KC
+    exp = sorted(
+        (m, j, n, sse, sum(c1[(m, j)].values()))
+        for (m, j), (n, sse) in agg.items()
+    )
+    assert got == exp
+
+
+mmr_strategy = st.integers(min_value=2, max_value=5).flatmap(
+    lambda dim: st.lists(
+        st.lists(_floats, min_size=dim, max_size=dim),
+        min_size=_MMR_K + 2,
+        max_size=30,
+    )
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(mmr_strategy)
+def test_mmr_matches_brute_force(vecs):
+    vecs = _nonzero(vecs)
+    got = sorted(_oracle("mmr_rerank_topk", _emb_df(vecs)))
+    rel = {
+        i: _cos_e6(vecs[i], vecs[_MMR_QV])
+        for i in range(len(vecs))
+        if i != _MMR_QV
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_CAND]
+    sim = {
+        (a, b): _cos_e6(vecs[a], vecs[b])
+        for a in cand
+        for b in cand
+        if a != b
+    }
+    picked, sel = [], []
+    for pick in range(1, _MMR_K + 1):
+        best_id, best_score = None, None
+        for vid in sorted(cand):
+            if vid in sel:
+                continue
+            score = 7 * rel[vid] - (
+                3 * max(sim[(vid, s)] for s in sel) if sel else 0
+            )
+            if best_score is None or score > best_score:
+                best_id, best_score = vid, score
+        picked.append((pick, best_id, rel[best_id], best_score))
+        sel.append(best_id)
+    assert got == sorted(picked)
+
+
+hn_strategy = st.lists(
+    st.tuples(
+        st.lists(_floats, min_size=64, max_size=64),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=4,
+    max_size=10,
+)
+
+
+# ids start in the key-shifted-replica range: the test regime that
+# would have caught the original int64 packing overflow
+_HN_ID0 = 10**13
+
+
+@settings(max_examples=15, deadline=None)
+@given(hn_strategy)
+def test_hard_negative_matches_brute_force(rows):
+    vecs = _nonzero([r[0] for r in rows])
+    labels = [r[1] for r in rows]
+    pdf = _emb_df(vecs, labels)
+    pdf["vec_id"] = [_HN_ID0 + i for i in range(len(vecs))]
+    got = sorted(_oracle("hard_negative_mining", pdf))
+
+    def bucket(v, band):
+        return sum(
+            (1 << j) for j in range(4) if v[band * 4 + j] > 0
+        )
+
+    cand = set()
+    for a in range(len(vecs)):
+        for b in range(len(vecs)):
+            if labels[a] == labels[b]:
+                continue
+            if any(
+                bucket(vecs[a], band) == bucket(vecs[b], band)
+                for band in range(16)
+            ):
+                cand.add((a, b))
+    exp = {}
+    for a, b in cand:
+        key = (_cos_e6(vecs[a], vecs[b]), -b)  # max cos, tie min id
+        if a not in exp or key > exp[a]:
+            exp[a] = key
+    assert got == sorted(
+        (_HN_ID0 + a, labels[a], _HN_ID0 - key[1], key[0])
+        for a, key in exp.items()
+    )

@@ -68,6 +68,8 @@ BNLJ_BY_DESIGN = {
     "heaps_law_vocab_growth",  # 10-row decile panel x bounded lookups
     "rbo_brand_rankings",  # 20-row depth panel x 20-row rank overlap
     "isotonic_calibration",  # bins² minimax triangle: bounded panel
+    "sax_weekly_revenue",  # 1-row quartile-breakpoint panel broadcast
+    "permutation_test_spend",  # 1-row observed-statistic broadcast
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "kendall_tau_qty_price",  # bounded contingency cells x cells panel

@@ -123,6 +123,24 @@ def main() -> None:
             ["band", "bucket"],
             "vec_id",
         )
+        # semdedup: k-means clusters ARE the blocking buckets; with
+        # the oracle-pinned fixed K the pair growth is quadratic by
+        # design (the paper's production shape grows K with corpus)
+        from distributedmapreduce_spark.plans.mlops import (
+            _KM_K,
+            _km_code_col,
+            _km_train,
+        )
+
+        base, cents = _km_train(spark, sf)
+        results.setdefault("semdedup_kmeans", {})[n] = _bucket_stats(
+            base.select(
+                "vec_id", (_km_code_col(cents) % _KM_K).alias("cluster")
+            ),
+            ["cluster"],
+            "vec_id",
+        )
+        base.unpersist()
         print(f"scale {n}x done in {time.time()-t0:.0f}s", file=sys.stderr)
 
     print(
