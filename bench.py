@@ -91,6 +91,8 @@ TIER2 = [
     # cross-label argmax — the two heaviest llm7 operators
     "semdedup_cluster_prune",
     "hard_negative_mining",
+    # the composed IVF-PQ index: both trainers + probe/ADC search
+    "ann_ivfpq_topk",
 ]
 
 

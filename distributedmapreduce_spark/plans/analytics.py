@@ -189,6 +189,100 @@ def zorder_cluster_orders(spark: SparkSession, sf: str) -> DataFrame:
     return orders.select("o_orderkey", z.cast("long").alias("zorder"))
 
 
+
+
+_H_BITS = 8  # bits per dimension on the Hilbert curve (256x256 grid)
+
+
+def _hilbert_step_exprs(s: int, n: int, idiv: str) -> dict[str, str]:
+    """One xy2d step as portable SQL expressions over columns
+    (x, y, d).  rx/ry are arithmetic bit tests ((v idiv s) % 2 — no
+    bitwise ops, so no negative-operand semantics to cross-check),
+    the quadrant increment is s*s*((3*rx) xor ry) with the xor
+    rewritten as CASE (rx=0 -> ry, rx=1 -> 3-ry), and the rotation is
+    the n-reflection variant (x' stays in [0, n) — never negative).
+    One generated template serves both engines; ``idiv`` is the only
+    token that differs (Spark `div`, DuckDB `//` — identical on the
+    nonnegative domain, where truncation IS floor)."""
+    rx = f"((x {idiv} {s}) % 2)"
+    ry = f"((y {idiv} {s}) % 2)"
+    quad = f"CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - {ry} END"
+    return {
+        "d": f"d + {s * s} * ({quad})",
+        "x": (
+            f"CASE WHEN {ry} = 1 THEN x"
+            f" WHEN {rx} = 1 THEN {n - 1} - y ELSE y END"
+        ),
+        "y": (
+            f"CASE WHEN {ry} = 1 THEN y"
+            f" WHEN {rx} = 1 THEN {n - 1} - x ELSE x END"
+        ),
+    }
+
+
+def _hilbert_oracle() -> str:
+    n = 1 << _H_BITS
+    chain = [
+        f"""h0 AS (
+      SELECT o_orderkey,
+             o_custkey % {n} AS x,
+             date_diff('day', DATE '1970-01-01', o_orderdate) % {n} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM orders)"""
+    ]
+    for k in range(_H_BITS):
+        e = _hilbert_step_exprs(1 << (_H_BITS - 1 - k), n, "//")
+        chain.append(
+            f"""h{k + 1} AS (
+      SELECT o_orderkey, {e['x']} AS x, {e['y']} AS y, {e['d']} AS d
+      FROM h{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(chain)
+        + f"\n    SELECT o_orderkey, CAST(d AS BIGINT) AS hilbert"
+        f" FROM h{_H_BITS}"
+    )
+
+
+@query("hilbert_cluster_orders", oracle=_hilbert_oracle())
+def hilbert_cluster_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve clustering key over (customer, order date) — the
+    space-filling-curve layout op that modern lakehouse clustering
+    (e.g. Delta liquid clustering) prefers over Z-order: the Hilbert
+    curve visits grid neighbors consecutively (every d, d+1 pair is a
+    grid-adjacent cell), so a range of keys covers a more compact 2-D
+    region and min/max file skipping prunes tighter than Morton's
+    quadrant jumps.  8 bits per dimension, the Wikipedia xy2d walk
+    with the n-reflection rotation unrolled into 8 pure-arithmetic
+    steps — no bitwise ops, no negatives, one generated expression
+    template for both engines (only the integer-division token
+    differs, and the domain is nonnegative where trunc == floor).  Bijectivity and the
+    neighbor-adjacency property are pinned by a hypothesis test on
+    the full 16x16 grid (tests/test_brute_force_analytics6.py).
+
+    Scale: map-only (one scan, zero shuffles) — like
+    zorder_cluster_orders this emits the key; at 100 TB it feeds
+    write-time repartitionByRange(hilbert) + sortWithinPartitions."""
+    n = 1 << _H_BITS
+    orders = t(spark, sf, "orders")
+    df = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % n).alias("x"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) % n).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for k in range(_H_BITS):
+        e = _hilbert_step_exprs(1 << (_H_BITS - 1 - k), n, "div")
+        df = df.select(
+            "o_orderkey",
+            F.expr(e["x"]).alias("x"),
+            F.expr(e["y"]).alias("y"),
+            F.expr(e["d"]).alias("d"),
+        )
+    return df.select("o_orderkey", F.col("d").cast("long").alias("hilbert"))
+
+
 @query(
     "variant_props_extract",
     oracle="""

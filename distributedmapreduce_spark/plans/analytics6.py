@@ -767,3 +767,577 @@ def permutation_test_spend(spark: SparkSession, sf: str) -> DataFrame:
             f" THEN 1 ELSE 0 END)) * 1000000 div {_PERM_P + 1} AS BIGINT)"
         ).alias("p_value_e6"),
     )
+
+
+# --- walk-count centrality: exact 1/2/3-step walk counts per node on
+# the shared co-purchase projection — the integer-exact cousin of
+# eigenvector/HITS centrality (power iteration without the float
+# normalization; ranking by walks3 converges to the eigenvector
+# ranking as steps grow).
+_WC_TAIL = """
+    w1 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS w
+           FROM {ed} GROUP BY 1),
+    w2 AS (SELECT e.u AS node, CAST(sum(w1.w) AS BIGINT) AS w
+           FROM {ed} e JOIN w1 ON w1.node = e.v GROUP BY 1),
+    w3 AS (SELECT e.u AS node, CAST(sum(w2.w) AS BIGINT) AS w
+           FROM {ed} e JOIN w2 ON w2.node = e.v GROUP BY 1)
+    SELECT w1.node AS cust, w1.w AS degree,
+           w2.w AS walks2, w3.w AS walks3
+    FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
+    """
+
+
+def _wc_oracle_staged() -> list[str]:
+    return [
+        f"CREATE OR REPLACE TEMP TABLE wc_ed AS WITH {_LPA_EDGES_SQL} "
+        "SELECT u, v FROM ed",
+        "WITH " + _WC_TAIL.format(ed="wc_ed").lstrip(),
+    ]
+
+
+@query(
+    "walk_count_centrality",
+    oracle=f"""
+    WITH {_LPA_EDGES_SQL},
+    {_WC_TAIL.format(ed="ed").lstrip()}""",
+    staged_oracle=_wc_oracle_staged(),
+)
+def walk_count_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact walk-count centrality on the rare-part co-purchase
+    graph: for every node, the number of 1-, 2-, and 3-step walks
+    starting there (w_{{k+1}}(v) = Σ_{{u∈N(v)}} w_k(u)) — unnormalized
+    power iteration, whose walks3 ranking approaches eigenvector/HITS
+    centrality while staying pure BIGINT (no float normalization for
+    the oracle to drift on).  Completes the centrality battery:
+    degree (trivially w1), PageRank (damped, float-scaled), k-core
+    (peeling), local clustering (triangles), and now walk counts.
+
+    Scale: each step is ONE join of the persisted edge list against a
+    node-cardinality vector — never the corpus; 3 fixed steps.  The
+    staged oracle twin materializes the blocked projection once (the
+    chained form re-inlines the DISTINCT projection per step — the
+    lcc/§9j lesson).  Int64: walks3 <= deg_max³ ≈ 3.4e9 at the 100×
+    replica — 2.7e9× of headroom."""
+    ed = copurchase_edges(spark, sf)
+    w1 = ed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+
+    def step(prev: DataFrame) -> DataFrame:
+        return (
+            ed.join(
+                prev.select(F.col("node").alias("v"), "w"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+
+    w2, w3 = step(w1), step(step(w1))
+    return (
+        w1.select("node", F.col("w").alias("degree"))
+        .join(w2.select("node", F.col("w").alias("walks2")), "node")
+        .join(w3.select("node", F.col("w").alias("walks3")), "node")
+        .select(
+            F.col("node").alias("cust"), "degree", "walks2", "walks3"
+        )
+    )
+
+
+# --- group-median imputation: the data-repair staple — fill missing
+# numerics with the group's exact nearest-rank median.  Missingness
+# is synthesized deterministically (md5-u32 of the row key), so both
+# engines agree on WHICH rows are missing and the audit is
+# oracle-checkable.
+_IMP_MISS_MOD = 10  # ~10% of rows masked missing
+
+
+@query(
+    "impute_group_median",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CASE WHEN {_md5_u32_sql("na", "(l_orderkey * 8 + l_linenumber)")}
+                  % {_IMP_MISS_MOD} = 0 THEN 1 ELSE 0 END AS miss
+      FROM lineitem),
+    h AS (
+      SELECT flag, pc, CAST(count(*) AS BIGINT) AS c
+      FROM li WHERE miss = 0 GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, pc,
+             sum(c) OVER (PARTITION BY flag ORDER BY pc) AS cw,
+             sum(c) OVER (PARTITION BY flag) AS tw
+      FROM h),
+    med AS (
+      SELECT flag, CAST(min(pc) AS BIGINT) AS median_c
+      FROM cum WHERE 2 * cw >= tw GROUP BY 1)
+    SELECT li.flag,
+           CAST(sum(1 - li.miss) AS BIGINT) AS n_present,
+           CAST(sum(li.miss) AS BIGINT) AS n_imputed,
+           CAST(min(med.median_c) AS BIGINT) AS median_c,
+           CAST(sum(CASE WHEN li.miss = 1 THEN med.median_c
+                         ELSE li.pc END) AS BIGINT) AS total_after_c
+    FROM li JOIN med ON med.flag = li.flag
+    GROUP BY 1
+    """,
+)
+def impute_group_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-median imputation audit — the data-repair staple every
+    feature pipeline runs before model training: rows whose price is
+    "missing" (synthesized deterministically: md5-u32 of the row key,
+    ~10% — both engines mask the SAME rows, which is what makes a
+    repair operator oracle-checkable at all) are filled with their
+    return-flag group's exact lower-median of the PRESENT values, and
+    the audit reports per group: present/imputed counts, the imputed
+    median, and the post-repair total.
+
+    Scale: the median comes from the per-group VALUE HISTOGRAM (cents
+    domain-bounded — the weighted_median_price discipline), windows
+    run over the histogram only, and the repair itself is a broadcast
+    join of the tiny per-group median table back onto one scan."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        (
+            _md5_u32(
+                "na", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+            )
+            % _IMP_MISS_MOD
+            == 0
+        )
+        .cast("long")
+        .alias("miss"),
+    )
+    h = (
+        li.filter(F.col("miss") == 0)
+        .groupBy("flag", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = W.partitionBy("flag").orderBy("pc").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = h.select(
+        "flag",
+        "pc",
+        F.sum("c").over(wc).alias("cw"),
+        F.sum("c").over(W.partitionBy("flag")).alias("tw"),
+    )
+    med = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("pc").cast("long").alias("median_c"))
+    )
+    return (
+        li.join(F.broadcast(med), "flag")
+        .groupBy("flag")
+        .agg(
+            F.sum(1 - F.col("miss")).cast("long").alias("n_present"),
+            F.sum("miss").cast("long").alias("n_imputed"),
+            F.min("median_c").cast("long").alias("median_c"),
+            F.sum(
+                F.when(F.col("miss") == 1, F.col("median_c")).otherwise(
+                    F.col("pc")
+                )
+            )
+            .cast("long")
+            .alias("total_after_c"),
+        )
+    )
+
+
+# --- Mann-Kendall trend test: the nonparametric monotone-trend
+# significance companion of theil_sen_trend (which estimates the
+# slope; this tests it).
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+                                    WHEN b.x < a.x THEN -1 ELSE 0 END),
+                           0) AS BIGINT) AS s
+      FROM d a JOIN d b ON b.day > a.day),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tt
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM d GROUP BY x HAVING count(*) > 1)),
+    v AS (
+      SELECT n.n, s.s,
+             n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt AS var18
+      FROM n CROSS JOIN s CROSS JOIN ties)
+    SELECT n AS n_days, s, CAST(var18 AS BIGINT) AS var_s_x18,
+           CAST(CASE WHEN var18 = 0 THEN 0 ELSE floor(
+             (CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1
+                                       WHEN s < 0 THEN -1
+                                       ELSE 0 END)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+           END AS BIGINT) AS z_e6
+    FROM v
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily revenue series:
+    S = Σ_{i<j} sign(x_j − x_i), the tie-corrected variance published
+    as the exact integer 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5),
+    and the continuity-corrected z in 1e-6 ticks via one double chain
+    on those exact integers (the CUPED discipline).  The significance
+    companion of theil_sen_trend — that one estimates the slope, this
+    one tests whether a monotone trend exists at all.
+
+    Scale: the pair join runs over the DAY AGGREGATE (calendar-
+    bounded — ~2.4k days at any corpus size, ~3M pairs), never raw
+    rows; the corpus contributes one groupBy(day) scan.  Int64:
+    S ≤ n², var18 ≈ 2n³ ≈ 3e10 — both tiny."""
+    # the calendar-bounded day aggregate feeds FOUR branches (both
+    # pair sides, n, ties) — persist it: one orders FileScan
+    d = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .persist()
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("xb") > F.col("xa"), 1)
+                    .when(F.col("xb") < F.col("xa"), -1)
+                    .otherwise(0)
+                ),
+                # a single-day series has no pairs: S = 0, not NULL
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    v = (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tt")
+            ).alias("var18"),
+        )
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s",
+        F.col("var18").cast("long").alias("var_s_x18"),
+        F.expr(
+            "CAST(CASE WHEN var18 = 0 THEN 0 ELSE floor("
+            "(CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1"
+            " WHEN s < 0 THEN -1 ELSE 0 END)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)"
+            " END AS BIGINT)"
+        ).alias("z_e6"),
+    )
+
+
+# --- weighted percentiles: the weighted_median_price bucket
+# discipline generalized to the quartile grid.
+_WP_BW = 4096  # cents per bucket (same as weighted_median_price)
+
+
+@query(
+    "weighted_percentiles_price",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // {_WP_BW}
+               AS bkt
+      FROM lineitem),
+    btot AS (
+      SELECT flag, bkt, CAST(sum(w) AS BIGINT) AS btok
+      FROM li GROUP BY 1, 2),
+    bbase AS (
+      SELECT flag, bkt,
+             coalesce(sum(btok) OVER (PARTITION BY flag ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base,
+             btok,
+             sum(btok) OVER (PARTITION BY flag) AS tw
+      FROM btot),
+    bound AS (
+      SELECT b.flag, k.range AS k, b.bkt, b.base, b.tw
+      FROM bbase b CROSS JOIN range(1, 4) k
+      WHERE b.base * 4 < k.range * b.tw
+        AND (b.base + b.btok) * 4 >= k.range * b.tw),
+    c AS (
+      SELECT bo.flag, bo.k, li.price_c, bo.tw,
+             bo.base + sum(li.w) OVER (
+               PARTITION BY bo.flag, bo.k, bo.bkt
+               ORDER BY li.price_c, li.l_orderkey, li.l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw
+      FROM li JOIN bound bo ON bo.flag = li.flag AND bo.bkt = li.bkt),
+    pk AS (
+      SELECT flag, k, CAST(min(tw) AS BIGINT) AS tw,
+             CAST(min(price_c) AS BIGINT) AS q_c
+      FROM c WHERE cw * 4 >= k * tw GROUP BY 1, 2)
+    SELECT flag, CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN k = 1 THEN q_c END) AS BIGINT) AS p25_c,
+           CAST(min(CASE WHEN k = 2 THEN q_c END) AS BIGINT) AS p50_c,
+           CAST(min(CASE WHEN k = 3 THEN q_c END) AS BIGINT) AS p75_c
+    FROM pk GROUP BY 1
+    """,
+)
+def weighted_percentiles_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted p25/p50/p75 of lineitem price per return
+    flag — weighted_median_price's bucketed two-phase discipline
+    generalized to the quartile grid: the tiny (flag, bucket) totals
+    table locates, for EACH target k/4, the single boundary bucket
+    whose inclusive span crosses k·tw/4; ordered per-row windows run
+    only inside those boundary buckets (partitioned by (flag, k,
+    bucket) — bounded by bucket width, never the corpus); the lower
+    weighted quantile is the smallest price with 4·cw >= k·tw, all in
+    exact integers (p50 reproduces weighted_median_price's 2·cw >= tw
+    by construction).
+
+    Scale: identical to the median variant — the k fan-out triples
+    only the BOUNDARY-bucket rows, not the corpus; the totals table
+    is domain-bounded (price range / bucket width)."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "price_c"
+        ),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("bkt", F.expr(f"price_c div {_WP_BW}"))
+    btot = li.groupBy("flag", "bkt").agg(
+        F.sum("w").cast("long").alias("btok")
+    )
+    wb = W.partitionBy("flag").orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bbase = btot.select(
+        "flag",
+        "bkt",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("base"),
+        "btok",
+        F.sum("btok").over(W.partitionBy("flag")).alias("tw"),
+    )
+    bound = (
+        bbase.withColumn(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(3)))
+        )
+        .filter(
+            (F.col("base") * 4 < F.col("k") * F.col("tw"))
+            & (
+                (F.col("base") + F.col("btok")) * 4
+                >= F.col("k") * F.col("tw")
+            )
+        )
+        .select("flag", "k", "bkt", "base", "tw")
+    )
+    wc = (
+        W.partitionBy("flag", "k", "bkt")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = li.join(F.broadcast(bound), ["flag", "bkt"]).select(
+        "flag",
+        "k",
+        "price_c",
+        "tw",
+        (F.col("base") + F.sum("w").over(wc)).alias("cw"),
+    )
+    pk = (
+        c.filter(F.col("cw") * 4 >= F.col("k") * F.col("tw"))
+        .groupBy("flag", "k")
+        .agg(
+            F.min("tw").cast("long").alias("tw"),
+            F.min("price_c").cast("long").alias("q_c"),
+        )
+    )
+    return pk.groupBy("flag").agg(
+        F.min("tw").cast("long").alias("total_weight"),
+        F.min(F.when(F.col("k") == 1, F.col("q_c")))
+        .cast("long")
+        .alias("p25_c"),
+        F.min(F.when(F.col("k") == 2, F.col("q_c")))
+        .cast("long")
+        .alias("p50_c"),
+        F.min(F.when(F.col("k") == 3, F.col("q_c")))
+        .cast("long")
+        .alias("p75_c"),
+    )
+
+
+# --- Croston intermittent-demand forecast: the sparse-SKU
+# forecasting method (Croston 1972) on power-of-2 EWMA weights —
+# exact integers end-to-end (the ewma_pow2_user_spend discipline
+# applied to demand OCCASIONS instead of calendar days).
+_CR_W = [128, 64, 32, 16, 8, 4, 2, 1]  # 2^(7-a), occasion age a
+_CR_WSUM = sum(_CR_W)
+
+
+def _cr_scatter_sql(src: str, val: str) -> str:
+    """Scatter each occasion's value onto its next 8 occasion ranks
+    with pow-2 weights; summing per target rank gives the truncated
+    EWMA at that rank."""
+    vals = ", ".join(f"({a}, {w})" for a, w in enumerate(_CR_W))
+    return f"""
+      SELECT s.pk, s.rn + w.a AS rn, sum(s.{val} * w.wt) AS e,
+             max(CASE WHEN w.a = 0 THEN 1 ELSE 0 END) AS hb
+      FROM {src} s CROSS JOIN (VALUES {vals}) AS w(a, wt)
+      GROUP BY 1, 2"""
+
+
+@query(
+    "croston_demand_forecast",
+    oracle=f"""
+    WITH wk AS (
+      SELECT l_partkey AS pk,
+             date_diff('day', DATE '1970-01-01', l_shipdate) // 7
+               AS week,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+      FROM lineitem GROUP BY 1, 2),
+    occ AS (
+      SELECT pk, week, z,
+             row_number() OVER (PARTITION BY pk ORDER BY week) AS rn,
+             week - lag(week) OVER (PARTITION BY pk ORDER BY week)
+               AS iv
+      FROM wk),
+    ez AS ({_cr_scatter_sql("occ", "z")}),
+    ep AS ({_cr_scatter_sql("(SELECT pk, rn - 1 AS rn, iv FROM occ"
+                            " WHERE iv IS NOT NULL)", "iv")}),
+    last AS (
+      SELECT pk, CAST(max(rn) AS BIGINT) AS n_occ FROM occ GROUP BY 1),
+    j AS (
+      SELECT l.pk, l.n_occ,
+             CAST(ez.e AS BIGINT) AS z_w, CAST(ep.e AS BIGINT) AS p_w
+      FROM last l
+      JOIN ez ON ez.pk = l.pk AND ez.rn = l.n_occ AND ez.hb = 1
+      JOIN ep ON ep.pk = l.pk AND ep.rn = l.n_occ - 1 AND ep.hb = 1
+      WHERE l.n_occ >= 2)
+    SELECT pk AS partkey, n_occ, z_w, p_w,
+           CAST(z_w * 10000 // p_w AS BIGINT) AS forecast_e4
+    FROM j
+    """,
+)
+def croston_demand_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Croston's method (Croston 1972) for intermittent SKU demand:
+    per part, the truncated power-of-2 EWMA of demand SIZES (z, over
+    the last 8 demand occasions) and of inter-demand INTERVALS (p,
+    over the last 8 intervals), both at the part's latest occasion;
+    the forecast per week is z/p, published as z_w·1e4 // p_w exact
+    ticks (both EWMAs carry the same Σw=255 scale, so it cancels).
+    The ewma_pow2_user_spend scatter applied to occasion RANK instead
+    of calendar age — which is exactly what distinguishes Croston
+    from plain smoothing: sparse SKUs decay per demand event, not per
+    silent day.  Parts with a single occasion have no interval and
+    are excluded (no p estimate exists).
+
+    Scale: the corpus shrinks to (part × demand-week) in one scan;
+    the rank/lag windows and the 8× scatter run on that aggregate
+    (partitioned by part — entity-parallel); the final join is
+    part-cardinality.  Int64: z_w ≤ 255·max weekly qty ≈ 1e7."""
+    wk = (
+        t(spark, sf, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.expr(
+                "datediff(l_shipdate, DATE '1970-01-01') div 7"
+            ).alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("z"))
+    )
+    wo = W.partitionBy("pk").orderBy("week")
+    occ = wk.select(
+        "pk",
+        "week",
+        "z",
+        F.row_number().over(wo).alias("rn"),
+        (F.col("week") - F.lag("week").over(wo)).alias("iv"),
+    ).persist()
+
+    wts = F.array(*[F.lit(w) for w in _CR_W])
+
+    def scatter(src: DataFrame, val: str) -> DataFrame:
+        return (
+            src.select(
+                "pk", "rn", F.col(val).alias("v"),
+                F.posexplode(wts).alias("a", "wt"),
+            )
+            .groupBy("pk", (F.col("rn") + F.col("a")).alias("rn"))
+            .agg(
+                F.sum(F.col("v") * F.col("wt")).alias("e"),
+                F.max(
+                    F.when(F.col("a") == 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("hb"),
+            )
+        )
+
+    ez = scatter(occ, "z")
+    ep = scatter(
+        occ.filter(F.col("iv").isNotNull()).select(
+            "pk", (F.col("rn") - 1).alias("rn"), "iv"
+        ),
+        "iv",
+    )
+    last = occ.groupBy("pk").agg(
+        F.max("rn").cast("long").alias("n_occ")
+    )
+    j = (
+        last.filter(F.col("n_occ") >= 2)
+        .join(
+            ez.filter(F.col("hb") == 1).select(
+                "pk", F.col("rn").alias("n_occ"), F.col("e").alias("z_w")
+            ),
+            ["pk", "n_occ"],
+        )
+        .join(
+            ep.filter(F.col("hb") == 1).select(
+                "pk",
+                (F.col("rn") + 1).alias("n_occ"),
+                F.col("e").alias("p_w"),
+            ),
+            ["pk", "n_occ"],
+        )
+    )
+    return j.select(
+        F.col("pk").alias("partkey"),
+        "n_occ",
+        F.col("z_w").cast("long"),
+        F.col("p_w").cast("long"),
+        F.expr("z_w * 10000 div p_w").cast("long").alias("forecast_e4"),
+    )

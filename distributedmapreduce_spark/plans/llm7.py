@@ -20,7 +20,7 @@ LLM-pipeline extension surface SURVEY.md §2.2 declares.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .core import query, t
@@ -91,19 +91,29 @@ def _semdedup_tail_sql(x: str, last_m: str) -> str:
     JOIN ({_NRM_SQL}) kb ON kb.vec_id = pr.pruned"""
 
 
-def _semdedup_oracle() -> str:
+def _km_chain_sql() -> str:
+    """The shared Lloyd trainer as a CTE chain `x, m0, a1..m{T}` —
+    reused by the semdedup and IVF-PQ oracles."""
+    from .mlops import _KM_T
+
     parts = [
         f"x AS ({_KM_X_SQL})",
         f"m0 AS (SELECT vec_id AS j, dim, q AS m FROM x"
         f" WHERE vec_id < {_KM_K})",
     ]
-    from .mlops import _KM_T
-
     for i in range(1, _KM_T + 1):
         a, u = _km_iter_sql(i, "x", f"m{i - 1}")
         parts.append(f"a{i} AS ({a})")
         parts.append(f"m{i} AS ({u})")
-    return "WITH " + ",\n".join(parts) + _semdedup_tail_sql("x", f"m{_KM_T}")
+    return ",\n".join(parts)
+
+
+def _semdedup_oracle() -> str:
+    from .mlops import _KM_T
+
+    return (
+        "WITH " + _km_chain_sql() + _semdedup_tail_sql("x", f"m{_KM_T}")
+    )
 
 
 def _semdedup_oracle_staged() -> list[str]:
@@ -219,37 +229,160 @@ _PQ_X_SQL = f"""
                + 128 AS q
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)"""
 
+# The one-round PQ trainer as a reusable CTE chain (pqx -> pqc0 ->
+# pqa1 -> pqc1) — shared by pq_codebook_sse and ann_ivfpq_topk so the
+# codebook semantics live in exactly one place (the BPE lesson).
+_PQ_CHAIN_SQL = f"""pqx AS ({_PQ_X_SQL}),
+    pqc0 AS (SELECT m, vec_id AS j, d, q AS c FROM pqx
+             WHERE vec_id < {_PQ_KC}),
+    pqa1 AS (
+      SELECT vec_id, m, min(dist * {_PQ_KC} + j) % {_PQ_KC} AS j FROM (
+        SELECT x.vec_id, x.m, c.j, sum((x.q - c.c) * (x.q - c.c)) AS dist
+        FROM pqx x JOIN pqc0 c ON c.m = x.m AND c.d = x.d
+        GROUP BY 1, 2, 3)
+      GROUP BY 1, 2),
+    pqc1 AS (
+      SELECT x.m, a.j, x.d,
+             (2 * sum(x.q) + count(*)) // (2 * count(*)) AS c
+      FROM pqx x JOIN pqa1 a ON a.vec_id = x.vec_id AND a.m = x.m
+      GROUP BY 1, 2, 3)"""
+
+_PQ_CODES_SQL = f"""
+      SELECT vec_id, m, min(dist * {_PQ_KC} + j) AS code FROM (
+        SELECT x.vec_id, x.m, c.j, sum((x.q - c.c) * (x.q - c.c)) AS dist
+        FROM pqx x JOIN pqc1 c ON c.m = x.m AND c.d = x.d
+        GROUP BY 1, 2, 3)
+      GROUP BY 1, 2"""
+
+
+def _pq_stages() -> list[str]:
+    """The PQ trainer chain as materialized temp-table stages."""
+    out = []
+    for name, body in (
+        ("pqx", _PQ_X_SQL),
+        (
+            "pqc0",
+            f"SELECT m, vec_id AS j, d, q AS c FROM pqx"
+            f" WHERE vec_id < {_PQ_KC}",
+        ),
+        (
+            "pqa1",
+            f"""SELECT vec_id, m, min(dist * {_PQ_KC} + j) % {_PQ_KC} AS j
+            FROM (SELECT x.vec_id, x.m, c.j,
+                         sum((x.q - c.c) * (x.q - c.c)) AS dist
+                  FROM pqx x JOIN pqc0 c ON c.m = x.m AND c.d = x.d
+                  GROUP BY 1, 2, 3)
+            GROUP BY 1, 2""",
+        ),
+        (
+            "pqc1",
+            """SELECT x.m, a.j, x.d,
+                      (2 * sum(x.q) + count(*)) // (2 * count(*)) AS c
+            FROM pqx x JOIN pqa1 a
+              ON a.vec_id = x.vec_id AND a.m = x.m
+            GROUP BY 1, 2, 3""",
+        ),
+        ("pqcodes", _PQ_CODES_SQL),
+    ):
+        out.append(f"CREATE OR REPLACE TEMP TABLE {name} AS {body}")
+    return out
+
+
+def _pq_train(spark: SparkSession, sf: str, base: DataFrame | None = None):
+    """Spark side of the shared PQ trainer: returns the persisted
+    exploded tick relation, the refined codebook, and the final
+    (vec_id, m, code) assignment — used by pq_codebook_sse and
+    ann_ivfpq_topk.  ``base`` (the kmeans trainer's persisted
+    (vec_id, q-array) relation — SAME floor(v*100)+128 ticks) lets a
+    composing query derive the explode from one shared FileScan."""
+    if base is not None:
+        src = base.select(
+            "vec_id", F.posexplode("q").alias("pos", "qv")
+        )
+    else:
+        src = t(spark, sf, "embeddings").select(
+            "vec_id", F.posexplode("embedding").alias("pos", "v")
+        ).select(
+            "vec_id",
+            "pos",
+            (F.floor(F.col("v").cast("double") * 100) + 128)
+            .cast("long")
+            .alias("qv"),
+        )
+    # the exploded tick relation feeds FOUR passes (init filter, two
+    # assignments, one update) — persist it once so the executed plan
+    # carries a single FileScan (and at scale four passes read the
+    # compact int cache instead of re-reading + re-exploding parquet)
+    x = (
+        src.select(
+            "vec_id",
+            F.expr(f"pos div {_PQ_D}").alias("m"),
+            (F.col("pos") % _PQ_D).alias("d"),
+            F.col("qv").cast("long").alias("q"),
+        )
+        .persist()
+    )
+    c0 = x.filter(F.col("vec_id") < _PQ_KC).select(
+        "m", F.col("vec_id").alias("j"), "d", F.col("q").alias("c")
+    )
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        """(vec_id, m, code) packed argmin under codebook cb."""
+        d = (
+            x.join(F.broadcast(cb), ["m", "d"])
+            .groupBy("vec_id", "m", "j")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        return d.groupBy("vec_id", "m").agg(
+            F.min(F.col("dist") * _PQ_KC + F.col("j")).alias("code")
+        )
+
+    a1 = _assign(c0)
+    c1 = (
+        x.join(
+            a1.select("vec_id", "m", (F.col("code") % _PQ_KC).alias("j")),
+            ["vec_id", "m"],
+        )
+        .groupBy("m", "j", "d")
+        .agg(
+            F.expr("(2 * sum(q) + count(*)) div (2 * count(*))").alias("c")
+        )
+    )
+    return x, c1, _assign
+
 
 @query(
     "pq_codebook_sse",
     oracle=f"""
-    WITH x AS ({_PQ_X_SQL}),
-    c0 AS (SELECT m, vec_id AS j, d, q AS c FROM x
-           WHERE vec_id < {_PQ_KC}),
-    a1 AS (
-      SELECT vec_id, m, min(dist * {_PQ_KC} + j) % {_PQ_KC} AS j FROM (
-        SELECT x.vec_id, x.m, c.j, sum((x.q - c.c) * (x.q - c.c)) AS dist
-        FROM x JOIN c0 c ON c.m = x.m AND c.d = x.d GROUP BY 1, 2, 3)
-      GROUP BY 1, 2),
-    c1 AS (
-      SELECT x.m, a.j, x.d,
-             (2 * sum(x.q) + count(*)) // (2 * count(*)) AS c
-      FROM x JOIN a1 a ON a.vec_id = x.vec_id AND a.m = x.m
-      GROUP BY 1, 2, 3),
-    f AS (
-      SELECT vec_id, m, min(dist * {_PQ_KC} + j) AS code FROM (
-        SELECT x.vec_id, x.m, c.j, sum((x.q - c.c) * (x.q - c.c)) AS dist
-        FROM x JOIN c1 c ON c.m = x.m AND c.d = x.d GROUP BY 1, 2, 3)
-      GROUP BY 1, 2)
+    WITH {_PQ_CHAIN_SQL},
+    f AS ({_PQ_CODES_SQL})
     SELECT CAST(f.m AS BIGINT) AS subspace,
            CAST(f.code % {_PQ_KC} AS BIGINT) AS code,
            CAST(count(*) AS BIGINT) AS n_members,
            CAST(sum(f.code // {_PQ_KC}) AS BIGINT) AS sse,
            CAST(min(l.l1) AS BIGINT) AS centroid_l1
-    FROM f JOIN (SELECT m, j, sum(c) AS l1 FROM c1 GROUP BY 1, 2) l
+    FROM f JOIN (SELECT m, j, sum(c) AS l1 FROM pqc1 GROUP BY 1, 2) l
       ON l.m = f.m AND l.j = f.code % {_PQ_KC}
     GROUP BY 1, 2
     """,
+    staged_oracle=_pq_stages()
+    + [
+        f"""
+    SELECT CAST(f.m AS BIGINT) AS subspace,
+           CAST(f.code % {_PQ_KC} AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(f.code // {_PQ_KC}) AS BIGINT) AS sse,
+           CAST(min(l.l1) AS BIGINT) AS centroid_l1
+    FROM pqcodes f
+    JOIN (SELECT m, j, sum(c) AS l1 FROM pqc1 GROUP BY 1, 2) l
+      ON l.m = f.m AND l.j = f.code % {_PQ_KC}
+    GROUP BY 1, 2
+    """
+    ],
 )
 def pq_codebook_sse(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization codebook (Jégou et al. 2011, "Product
@@ -274,53 +407,7 @@ def pq_codebook_sse(spark: SparkSession, sf: str) -> DataFrame:
     N·M, each a 4-field integer tuple; no window over raw rows, no
     all-pairs anything.  Int64: dist <= D·256² = 524k, packed ×Kc+j
     fine; SSE sum <= N·M·524k ≈ 2e14 at the 100× replica."""
-    emb = t(spark, sf, "embeddings")
-    # the exploded tick relation feeds FOUR passes (init filter, two
-    # assignments, one update) — persist it once so the executed plan
-    # carries a single FileScan (and at scale four passes read the
-    # compact int cache instead of re-reading + re-exploding parquet)
-    x = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        F.expr(f"pos div {_PQ_D}").alias("m"),
-        (F.col("pos") % _PQ_D).alias("d"),
-        (F.floor(F.col("v").cast("double") * 100) + 128)
-        .cast("long")
-        .alias("q"),
-    ).persist()
-    c0 = x.filter(F.col("vec_id") < _PQ_KC).select(
-        "m", F.col("vec_id").alias("j"), "d", F.col("q").alias("c")
-    )
-
-    def _assign(cb: DataFrame) -> DataFrame:
-        """(vec_id, m, code) packed argmin under codebook cb."""
-        d = (
-            x.join(F.broadcast(cb), ["m", "d"])
-            .groupBy("vec_id", "m", "j")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
-                ).alias("dist")
-            )
-        )
-        return d.groupBy("vec_id", "m").agg(
-            F.min(F.col("dist") * _PQ_KC + F.col("j")).alias("code")
-        )
-
-    a1 = _assign(c0)
-    c1 = (
-        x.join(
-            a1.select(
-                "vec_id", "m", (F.col("code") % _PQ_KC).alias("j")
-            ),
-            ["vec_id", "m"],
-        )
-        .groupBy("m", "j", "d")
-        .agg(
-            F.expr("(2 * sum(q) + count(*)) div (2 * count(*))").alias("c")
-        )
-    )
+    _x, c1, _assign = _pq_train(spark, sf)
     f = _assign(c1)
     l1 = c1.groupBy("m", "j").agg(F.sum("c").alias("l1"))
     return (
@@ -625,5 +712,182 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
             (F.substring(F.col("mp"), 1, 7).cast("long") - _COS_SHIFT)
             .cast("long")
             .alias("cos_e6"),
+        )
+    )
+
+
+# --- IVF-PQ composed ANN: coarse k-means probe pruning + PQ
+# asymmetric-distance top-k — the production vector-index shape
+# (FAISS IVFADC; Jégou et al. 2011 §IV).  Everything integer: the
+# query LUT and every ADC distance are exact sums of squared ticks.
+_IVFPQ_NQ = 3  # query vectors (vec_id < NQ)
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 5
+
+
+def _ivfpq_tail_sql(x: str, last_m: str, asg: str, codes: str, pqx: str,
+                    pqc1: str) -> str:
+    return f"""
+    qd AS (
+      SELECT x.vec_id AS qid, m.j,
+             sum((x.q - m.m) * (x.q - m.m)) AS dist
+      FROM {x} x JOIN {last_m} m USING (dim)
+      WHERE x.vec_id < {_IVFPQ_NQ} GROUP BY 1, 2),
+    probes AS (
+      SELECT qid, j AS cluster FROM (
+        SELECT qid, j,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist, j) AS rn
+        FROM qd) WHERE rn <= {_IVFPQ_NPROBE}),
+    lut AS (
+      SELECT x.vec_id AS qid, c.m, c.j,
+             sum((x.q - c.c) * (x.q - c.c)) AS ad
+      FROM {pqx} x JOIN {pqc1} c ON c.m = x.m AND c.d = x.d
+      WHERE x.vec_id < {_IVFPQ_NQ} GROUP BY 1, 2, 3),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN {asg} a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.qid),
+    jc AS (SELECT vec_id, m, code % {_PQ_KC} AS j FROM {codes}),
+    adc AS (
+      SELECT c.qid, c.vec_id, CAST(sum(l.ad) AS BIGINT) AS adc
+      FROM cand c
+      JOIN jc k ON k.vec_id = c.vec_id
+      JOIN lut l ON l.qid = c.qid AND l.m = k.m AND l.j = k.j
+      GROUP BY 1, 2)
+    SELECT qid AS query_id, vec_id AS neighbor_id, adc,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc, vec_id) AS rn
+          FROM adc)
+    WHERE rn <= {_IVFPQ_TOPK}"""
+
+
+def _ivfpq_oracle() -> str:
+    from .mlops import _KM_T
+
+    return (
+        "WITH "
+        + _km_chain_sql()
+        + f",\n    asg AS ({_km_asg_sql('x', f'm{_KM_T}')}),\n    "
+        + _PQ_CHAIN_SQL
+        + f",\n    codes AS ({_PQ_CODES_SQL}),"
+        + _ivfpq_tail_sql("x", f"m{_KM_T}", "asg", "codes", "pqx", "pqc1")
+    )
+
+
+def _ivfpq_oracle_staged() -> list[str]:
+    from .mlops import _KM_T
+
+    stages = _km_oracle_staged()[:-1] + _pq_stages()
+    stages.append(
+        "CREATE OR REPLACE TEMP TABLE ivf_asg AS "
+        + _km_asg_sql("km_x", f"km_m{_KM_T}")
+    )
+    stages.append(
+        "WITH "
+        + _ivfpq_tail_sql(
+            "km_x", f"km_m{_KM_T}", "ivf_asg", "pqcodes", "pqx", "pqc1"
+        ).lstrip()
+    )
+    return stages
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    staged_oracle=_ivfpq_oracle_staged(),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor (the FAISS IVFADC shape,
+    Jégou et al. 2011 §IV): the coarse k-means quantizer prunes the
+    corpus to nprobe=2 of K=4 inverted lists, and distances inside the
+    probed lists are ASYMMETRIC-DISTANCE lookups — per query, one
+    M×Kc table of exact integer subspace distances (the LUT), and
+    each candidate costs M table lookups instead of a 64-dim dot.
+    Composes the two shared trainers (mlops._km_train coarse,
+    llm7._pq_train fine) — one audited implementation of each, per
+    the BPE-duplication lesson; the PQ explode derives from the
+    kmeans trainer's persisted tick relation, so the executed plan
+    carries ONE embeddings FileScan.  Ranks break ties on
+    neighbor_id; every distance is an exact BIGINT, so the oracle
+    replays the whole index bit-for-bit (ann_ivf_topk_portable is the
+    flat-IVF cousin; this adds the PQ compression that makes 100 TB
+    of vectors fit an index at all).
+
+    Scale: corpus-side work is the two trainer passes + ONE shuffle
+    of the code table into the probed-candidate join; driver state is
+    the K×64 centroid matrix, the M×Kc×D codebook, and an NQ×M×Kc
+    LUT — all constant-size.  At 100 TB: K and nprobe grow with
+    corpus (K ≈ √N lists), the LUT stays per-query constant, and
+    candidates per query are |list|·nprobe — the pruning IS the
+    index."""
+    base, cents = _km_train(spark, sf)
+    asg = base.select(
+        "vec_id",
+        (_km_code_col(cents) % _KM_K).cast("long").alias("cluster"),
+    )
+    _x, c1, _assign = _pq_train(spark, sf, base=base)
+    codes = _assign(c1).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("m").cast("long").alias("m"),
+        (F.col("code") % _PQ_KC).cast("long").alias("j"),
+    )
+    qrows = {
+        int(r["vec_id"]): [int(v) for v in r["q"]]
+        for r in base.filter(F.col("vec_id") < _IVFPQ_NQ).collect()
+    }
+    cb: dict[tuple[int, int], dict[int, int]] = {}
+    for r in c1.collect():
+        cb.setdefault((int(r["m"]), int(r["j"])), {})[int(r["d"])] = int(
+            r["c"]
+        )
+    probes = []
+    lut = []
+    for qid, qv in sorted(qrows.items()):
+        dists = sorted(
+            (
+                sum((qv[d] - m[d]) ** 2 for d in range(len(qv))),
+                j,
+            )
+            for j, m in cents.items()
+        )
+        probes += [(qid, j) for _, j in dists[:_IVFPQ_NPROBE]]
+        for (m, j), c in sorted(cb.items()):
+            lut.append(
+                (
+                    qid,
+                    m,
+                    j,
+                    sum(
+                        (qv[m * _PQ_D + d] - c[d]) ** 2 for d in sorted(c)
+                    ),
+                )
+            )
+    probes_df = spark.createDataFrame(
+        probes, "qid long, cluster long"
+    )
+    lut_df = spark.createDataFrame(lut, "qid long, m long, j long, ad long")
+    cand = (
+        F.broadcast(probes_df)
+        .join(asg, "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut_df), ["qid", "m", "j"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("ad").cast("long").alias("adc"))
+    )
+    w = W.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc",
+            F.col("rn").cast("long").alias("rn"),
         )
     )

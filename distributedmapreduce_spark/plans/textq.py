@@ -1131,3 +1131,101 @@ def ndcg_at_10(spark: SparkSession, sf: str) -> DataFrame:
             .alias("ndcg_e6"),
         )
     )
+
+
+_RAKE_TOPK = 25
+
+
+@query(
+    "rake_keyword_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i AS pos, ws[u.i] AS w,
+             list_contains({list(_STOPWORDS)!r}, ws[u.i]) AS stop
+      FROM toks, unnest(range(1, len(ws) + 1)) AS u(i)),
+    runs AS (
+      SELECT doc_id, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run_id
+      FROM pos WHERE NOT stop),
+    plens AS (
+      SELECT w,
+             count(*) OVER (PARTITION BY doc_id, run_id) AS plen
+      FROM runs),
+    ws AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM plens GROUP BY 1)
+    SELECT w AS word, freq, deg,
+           CAST(deg * 10000 // freq AS BIGINT) AS rake_e4
+    FROM ws
+    ORDER BY rake_e4 DESC, word
+    LIMIT {_RAKE_TOPK}
+    """,
+)
+def rake_keyword_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): split each document into
+    candidate phrases at stopword boundaries (maximal runs of
+    non-stopwords — the run id is the pos − row_number gap trick, the
+    sessionization idiom applied to token positions), then score each
+    word by deg/freq, where deg(w) = Σ length of every phrase
+    containing w and freq(w) = occurrence count.  High scores mark
+    words that travel in long content phrases — keyword material —
+    vs. words that appear alone.  Published as deg·1e4 // freq exact
+    ticks, top-25 by (score, word).
+
+    Scale: both windows run per-document (token positions, then the
+    (doc, run) phrase-length count — doc-bounded, the standard
+    text-pipeline partitions; no self-join, one documents scan); the
+    word aggregate is vocabulary-cardinality; the final top-25 is a
+    TakeOrdered sort-limit, not a global rank window."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != ""
+        ).alias("ws"),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.col("w").isin(*_STOPWORDS).alias("stop"),
+    )
+    wr = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        pos.filter(~F.col("stop"))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("pos") - F.row_number().over(wr)).alias("run_id"),
+        )
+    )
+    # phrase length as a window over the (doc, run) partition — one
+    # pass, no self-join, one documents FileScan in the executed plan
+    plens = runs.select(
+        "w",
+        F.count(F.lit(1))
+        .over(W.partitionBy("doc_id", "run_id"))
+        .alias("plen"),
+    )
+    ws = plens.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    return (
+        ws.select(
+            F.col("w").alias("word"),
+            "freq",
+            "deg",
+            F.expr("deg * 10000 div freq").cast("long").alias("rake_e4"),
+        )
+        .orderBy(F.desc("rake_e4"), "word")
+        .limit(_RAKE_TOPK)
+    )

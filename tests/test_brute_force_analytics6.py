@@ -355,3 +355,342 @@ def test_permutation_matches_brute_force(rows):
         (1 + n_ge) * 1_000_000 // (_PERM_P + 1),
     )
     assert got == [exp]
+
+
+# --- walk-count centrality ---------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(g_strategy)
+def test_walk_counts_match_brute_force(pairs):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(len(pairs))),
+            "o_custkey": [c for c, _ in pairs],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": list(range(len(pairs))),
+            "l_partkey": [p for _, p in pairs],
+        }
+    )
+    got = sorted(
+        _oracle("walk_count_centrality", {"orders": orders, "lineitem": li})
+    )
+    cp = {(c, p) for c, p in pairs}
+    buyers = defaultdict(set)
+    for c, p in cp:
+        buyers[p].add(c)
+    adj = defaultdict(set)
+    for p, cs in buyers.items():
+        if len(cs) <= 15:
+            for a in cs:
+                for b in cs:
+                    if a < b:
+                        adj[a].add(b)
+                        adj[b].add(a)
+    w = {v: len(nb) for v, nb in adj.items()}
+    w2 = {v: sum(w[u] for u in nb) for v, nb in adj.items()}
+    w3 = {v: sum(w2[u] for u in nb) for v, nb in adj.items()}
+    exp = sorted((v, w[v], w2[v], w3[v]) for v in adj)
+    assert got == exp
+
+
+# --- Hilbert clustering key --------------------------------------------
+
+from datetime import date, timedelta  # noqa: E402
+
+from distributedmapreduce_spark.plans.analytics import _H_BITS  # noqa: E402
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x // s) % 2 == 1 else 0
+        ry = 1 if (y // s) % 2 == 1 else 0
+        d += s * s * (ry if rx == 0 else 3 - ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_bijective_and_adjacent():
+    """The Python replay of the registered algorithm is a TRUE
+    Hilbert curve on the full grid: bijective onto [0, n²) and every
+    consecutive pair of indices maps to grid-adjacent cells."""
+    n = 1 << _H_BITS
+    # full check on a 16x16 subgrid embedding plus spot distances on
+    # the full 256x256 grid (full n² adjacency is 65k cells — cheap)
+    cells = {(x, y): _xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert sorted(cells.values()) == list(range(n * n))
+    inv = {d: xy for xy, d in cells.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+hil_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),  # custkey
+        st.integers(min_value=0, max_value=20000),  # epoch day
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(hil_strategy)
+def test_hilbert_matches_brute_force(rows):
+    n = 1 << _H_BITS
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(len(rows))),
+            "o_custkey": [c for c, _ in rows],
+            "o_orderdate": [
+                date(1970, 1, 1) + timedelta(days=d) for _, d in rows
+            ],
+        }
+    )
+    got = sorted(_oracle("hilbert_cluster_orders", {"orders": orders}))
+    exp = sorted(
+        (i, _xy2d(n, c % n, d % n)) for i, (c, d) in enumerate(rows)
+    )
+    assert got == exp
+
+
+# --- RAKE keyword scores -----------------------------------------------
+
+from distributedmapreduce_spark.plans.textq import (  # noqa: E402
+    _RAKE_TOPK,
+    _STOPWORDS,
+)
+
+_RAKE_VOCAB = list(_STOPWORDS[:4]) + ["scan", "join", "agg", "sort", "row"]
+
+rake_strategy = st.lists(
+    st.lists(st.sampled_from(_RAKE_VOCAB), min_size=1, max_size=15),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rake_strategy)
+def test_rake_matches_brute_force(docs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": [" ".join(ws) for ws in docs],
+        }
+    )
+    got = _oracle("rake_keyword_scores", {"documents": pdf})
+    freq = Counter()
+    deg = Counter()
+    for ws in docs:
+        phrase: list[str] = []
+        for w in ws + [None]:
+            if w is None or w in _STOPWORDS:
+                for pw in phrase:
+                    freq[pw] += 1
+                    deg[pw] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    scored = sorted(
+        (w, freq[w], deg[w], deg[w] * 10000 // freq[w]) for w in freq
+    )
+    exp = sorted(scored, key=lambda r: (-r[3], r[0]))[:_RAKE_TOPK]
+    assert sorted(got) == sorted(exp)
+
+
+# --- group-median imputation -------------------------------------------
+
+from distributedmapreduce_spark.plans.analytics6 import (  # noqa: E402
+    _CR_W,
+    _IMP_MISS_MOD,
+)
+
+imp_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # flag bucket
+        st.integers(min_value=100, max_value=90000),  # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(imp_strategy)
+def test_impute_matches_brute_force(rows):
+    li = pd.DataFrame(
+        {
+            "l_orderkey": list(range(len(rows))),
+            "l_linenumber": [1] * len(rows),
+            "l_returnflag": ["AR"[f] for f, _ in rows],
+            "l_extendedprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    got = sorted(_oracle("impute_group_median", {"lineitem": li}))
+    exp = []
+    for fl in sorted({"AR"[f] for f, _ in rows}):
+        vals = []
+        for i, (f, c) in enumerate(rows):
+            if "AR"[f] != fl:
+                continue
+            miss = _md5_u32("na", i * 8 + 1) % _IMP_MISS_MOD == 0
+            vals.append((c, miss))
+        present = sorted(c for c, m in vals if not m)
+        if not present:
+            continue  # group drops out (no median joins back)
+        # lower median: smallest value with 2*cum >= total
+        tw, cum, med = len(present), 0, None
+        for v in present:
+            cum += 1
+            if 2 * cum >= tw:
+                med = v
+                break
+        n_imp = sum(1 for _, m in vals if m)
+        total = sum(med if m else c for c, m in vals)
+        exp.append((fl, len(present), n_imp, med, total))
+    assert got == sorted(exp)
+
+
+# --- Mann-Kendall -------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(sax_strategy)
+def test_mann_kendall_matches_brute_force(rows):
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": [
+                date(1970, 1, 1) + timedelta(days=d) for d, _ in rows
+            ],
+            "o_totalprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    got = _oracle("mann_kendall_trend", {"orders": orders})
+    day_c = defaultdict(int)
+    for d, c in rows:
+        day_c[d] += c
+    xs = [x for _, x in sorted(day_c.items())]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(xs).values()
+        if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    if var18 == 0:
+        z = 0
+    else:
+        corr = 1 if s > 0 else -1 if s < 0 else 0
+        z = math.floor(
+            (float(s) - corr) / math.sqrt(var18 / 18.0) * 1_000_000
+        )
+    assert got == [(n, s, var18, z)]
+
+
+# --- weighted percentiles ----------------------------------------------
+
+wp_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # flag bucket
+        st.integers(min_value=100, max_value=90000),  # cents
+        st.integers(min_value=1, max_value=9),  # quantity weight
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(wp_strategy)
+def test_weighted_percentiles_match_brute_force(rows):
+    li = pd.DataFrame(
+        {
+            "l_orderkey": list(range(len(rows))),
+            "l_linenumber": [1] * len(rows),
+            "l_returnflag": ["AR"[f] for f, _, _ in rows],
+            "l_extendedprice": [c / 100.0 for _, c, _ in rows],
+            "l_quantity": [q for _, _, q in rows],
+        }
+    )
+    got = sorted(
+        _oracle("weighted_percentiles_price", {"lineitem": li})
+    )
+    exp = []
+    for fl in sorted({"AR"[f] for f, _, _ in rows}):
+        pts = sorted(
+            (c, q) for f, c, q in rows if "AR"[f] == fl
+        )
+        tw = sum(q for _, q in pts)
+        qs = {}
+        for k in (1, 2, 3):
+            cum = 0
+            for c, q in pts:
+                cum += q
+                if 4 * cum >= k * tw:
+                    qs[k] = c
+                    break
+        exp.append((fl, tw, qs[1], qs[2], qs[3]))
+    assert got == sorted(exp)
+
+
+# --- Croston ------------------------------------------------------------
+
+cr_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # part bucket
+        st.integers(min_value=0, max_value=60),  # epoch day
+        st.integers(min_value=1, max_value=9),  # quantity
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(cr_strategy)
+def test_croston_matches_brute_force(rows):
+    li = pd.DataFrame(
+        {
+            "l_partkey": [p for p, _, _ in rows],
+            "l_shipdate": [
+                date(1970, 1, 1) + timedelta(days=d) for _, d, _ in rows
+            ],
+            "l_quantity": [q for _, _, q in rows],
+        }
+    )
+    got = sorted(_oracle("croston_demand_forecast", {"lineitem": li}))
+    wk = defaultdict(int)
+    for p, d, q in rows:
+        wk[(p, d // 7)] += q
+    exp = []
+    for p in sorted({p for p, _ in wk}):
+        occ = sorted((w, z) for (pp, w), z in wk.items() if pp == p)
+        if len(occ) < 2:
+            continue
+        zs = [z for _, z in occ]
+        ivs = [occ[i][0] - occ[i - 1][0] for i in range(1, len(occ))]
+        z_w = sum(
+            zs[-1 - a] * _CR_W[a] for a in range(min(8, len(zs)))
+        )
+        p_w = sum(
+            ivs[-1 - a] * _CR_W[a] for a in range(min(8, len(ivs)))
+        )
+        exp.append((p, len(occ), z_w, p_w, z_w * 10000 // p_w))
+    assert got == sorted(exp)

@@ -282,3 +282,122 @@ def test_hard_negative_matches_brute_force(rows):
         (_HN_ID0 + a, labels[a], _HN_ID0 - key[1], key[0])
         for a, key in exp.items()
     )
+
+
+# --- IVF-PQ composition -------------------------------------------------
+
+from distributedmapreduce_spark.plans.llm7 import (  # noqa: E402
+    _IVFPQ_NPROBE,
+    _IVFPQ_NQ,
+    _IVFPQ_TOPK,
+)
+
+
+def _pq_replay(vecs):
+    """Codebook + final codes, replaying _PQ_CHAIN_SQL/_PQ_CODES_SQL."""
+    q = _quant(vecs)
+    sub = {
+        (i, idx // _PQ_D, idx % _PQ_D): t
+        for i, v in enumerate(q)
+        for idx, t in enumerate(v)
+    }
+    subspaces = sorted({m for (_, m, _) in sub})
+
+    def vec_sub(i, m):
+        return {d: t for (vi, mm, d), t in sub.items() if vi == i and mm == m}
+
+    cents = {
+        (m, j): vec_sub(j, m) for m in subspaces for j in range(_PQ_KC)
+    }
+
+    def assign(cb):
+        out = {}
+        for i in range(len(q)):
+            for m in subspaces:
+                vs = vec_sub(i, m)
+                out[(i, m)] = (
+                    min(
+                        sum((vs[d] - c[d]) ** 2 for d in c) * _PQ_KC + j
+                        for (mm, j), c in cb.items()
+                        if mm == m
+                    )
+                    % _PQ_KC
+                )
+        return out
+
+    a1 = assign(cents)
+    upd = defaultdict(list)
+    for (i, m), j in a1.items():
+        upd[(m, j)].append(vec_sub(i, m))
+    c1 = {
+        key: {
+            d: (2 * sum(vs[d] for vs in members) + len(members))
+            // (2 * len(members))
+            for d in members[0]
+        }
+        for key, members in upd.items()
+    }
+    return c1, assign(c1)
+
+
+@settings(max_examples=20, deadline=None)
+@given(vecs_strategy)
+def test_ivfpq_matches_brute_force(vecs):
+    vecs = _nonzero(vecs)
+    got = sorted(_oracle("ann_ivfpq_topk", _emb_df(vecs)))
+    dim = len(vecs[0])
+    q = _quant(vecs)
+    asg = _km_assign(vecs)
+    # final centroids — rerun the trainer to keep them
+    from distributedmapreduce_spark.plans.mlops import _KM_K, _KM_T
+
+    cents = {j: list(q[j]) for j in range(_KM_K)}
+
+    def code_of(v, cb):
+        return min(
+            sum((a - b) * (a - b) for a, b in zip(v, m)) * _KM_K + j
+            for j, m in cb.items()
+        )
+
+    for _ in range(_KM_T):
+        members = defaultdict(list)
+        for v in q:
+            members[code_of(v, cents) % _KM_K].append(v)
+        cents = {
+            j: [
+                (2 * sum(col) + len(vs)) // (2 * len(vs))
+                for col in zip(*vs)
+            ]
+            for j, vs in members.items()
+        }
+    c1, codes = _pq_replay(vecs)
+    exp = []
+    for qid in range(min(_IVFPQ_NQ, len(vecs))):
+        qv = q[qid]
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, m)), j)
+            for j, m in cents.items()
+        )
+        probe = {j for _, j in dists[:_IVFPQ_NPROBE]}
+        lut = {
+            (m, j): sum(
+                (qv[m * _PQ_D + d] - c[d]) ** 2 for d in sorted(c)
+            )
+            for (m, j), c in c1.items()
+        }
+        cand = [
+            v
+            for v in range(len(vecs))
+            if v != qid and asg[v] in probe
+        ]
+        n_sub = (dim + _PQ_D - 1) // _PQ_D
+        scored = sorted(
+            (
+                sum(lut[(m, codes[(v, m)])] for m in range(n_sub)),
+                v,
+            )
+            for v in cand
+        )
+        for rn, (adc, v) in enumerate(scored[:_IVFPQ_TOPK], start=1):
+            exp.append((qid, v, adc, rn))
+    assert got == sorted(exp)

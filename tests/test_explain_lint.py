@@ -70,6 +70,9 @@ BNLJ_BY_DESIGN = {
     "isotonic_calibration",  # bins² minimax triangle: bounded panel
     "sax_weekly_revenue",  # 1-row quartile-breakpoint panel broadcast
     "permutation_test_spend",  # 1-row observed-statistic broadcast
+    # calendar-bounded day-pair theta join (~2.4k-row broadcast) +
+    # three 1-row statistic panels
+    "mann_kendall_trend",
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "kendall_tau_qty_price",  # bounded contingency cells x cells panel
@@ -186,6 +189,12 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "token_budget_select": {"documents": 3},
     "tpch_q11_important_part_value": {"lineitem": 2},
     "weighted_median_price": {"lineitem": 2},  # total-weight scalar branch
+    # same two-phase bucket discipline as weighted_median_price:
+    # totals pass + boundary-bucket pass
+    "weighted_percentiles_price": {"lineitem": 2},
+    # stats pass (present-value median histogram) + repair pass BY
+    # DESIGN — the mahalanobis/price_decile two-scan shape
+    "impute_group_median": {"lineitem": 2},
     "tpch_q15_top_supplier": {"lineitem": 2},
     "tpch_q17_small_quantity_revenue": {"lineitem": 2},
     "tpch_q18_large_volume_customer": {"lineitem": 2},
