@@ -439,3 +439,83 @@ def funnel_stage_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CLAMP_SCHEMA = (
+    "user_id long, n_events long, final_s long,"
+    " final_balance long, peak_balance long"
+)
+_CLAMP_STATE_SCHEMA = "us array<long>, eid array<long>, dc array<long>"
+
+
+def _clamped_balance_fn(key, pdfs, state: GroupState):
+    """Zero-clamped running balance per user with UPDATE semantics:
+    state holds the user's full (ts, event_id, delta) history; every
+    batch merges its rows in, re-sorts, and re-emits the user's
+    summary — so a late-arriving older event retro-corrects the whole
+    Lindley recursion (which is NONLINEAR: a late debit can change
+    every subsequent clamp, so nothing short of replay-from-history
+    is correct).  The replay is the literal b_t = max(0, b_{t-1} +
+    d_t) recursion; the batch twin computes the reflection closed
+    form b_t = S_t − min(0, min_{k<=t} S_k) — the parity test pins
+    the identity between the two formulations on real data.  At
+    production scale, state truncates to (watermark-old prefix's
+    final balance + recent tail): the recursion only needs the
+    running balance at the eviction boundary, a constant."""
+    (user_id,) = key
+    if state.exists:
+        us, eid, dc = (list(x) for x in state.get)
+    else:
+        us, eid, dc = [], [], []
+    for pdf in pdfs:
+        us += [int(x) for x in pdf["us"]]
+        eid += [int(x) for x in pdf["event_id"]]
+        dc += [int(x) for x in pdf["dc"]]
+    order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
+    us = [us[i] for i in order]
+    eid = [eid[i] for i in order]
+    dc = [dc[i] for i in order]
+    state.update((us, eid, dc))
+    s = bal = peak = 0
+    for d in dc:
+        s += d
+        bal = max(0, bal + d)
+        peak = max(peak, bal)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [len(dc)],
+            "final_s": [s],
+            "final_balance": [bal],
+            "peak_balance": [peak],
+        }
+    )
+
+
+def clamped_balance_stateful(events: DataFrame) -> DataFrame:
+    """STREAMING twin of plans/analytics4.py::clamped_running_balance
+    — the prepaid-wallet / queue-backlog Lindley recursion maintained
+    incrementally (applyInPandasWithState, update mode).  The 12th
+    stream==batch parity (tests/test_streaming.py) pins that the
+    streaming literal recursion equals the batch reflection
+    closed-form — the strongest kind of twin: two DIFFERENT
+    formulations of a nonlinear sequential operator agreeing on real
+    data."""
+    d = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("long"))
+        .alias("dc"),
+    )
+    return d.groupBy("user_id").applyInPandasWithState(
+        _clamped_balance_fn,
+        outputStructType=CLAMP_SCHEMA,
+        stateStructType=_CLAMP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -95,3 +95,26 @@ def test_events_ts_oracles_are_microsecond_pinned():
         if mentions_events and mentions_ts and EVENTS_US not in sql:
             unpinned.append(name)
     assert not unpinned, unpinned
+
+
+def test_hugeint_double_cast_matches_python(con):
+    """The int128 sufficient-statistic construct (spearman: Spark
+    decimal(38,0) sums == DuckDB HUGEINT sums, consumed via CAST(x AS
+    DOUBLE) in the rho chain) relies on HUGEINT→DOUBLE being
+    round-to-nearest exactly like Python's int→float — including
+    values past 2^63 where BIGINT would have overflowed.  Pin it."""
+    vals = [
+        0,
+        1,
+        2**53 + 1,
+        2**63 - 1,
+        2**63 + 12345,
+        5 * 10**19 + 7,
+        2**90 + 999,
+    ]
+    for v in vals:
+        got = con.sql(
+            f"SELECT CAST(CAST({v // 2} AS HUGEINT) * 2 + {v % 2}"
+            " AS DOUBLE)"
+        ).fetchone()[0]
+        assert got == float(v), (v, got)

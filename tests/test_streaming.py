@@ -288,3 +288,67 @@ def test_funnel_fn_retrocorrects_across_batches():
         out2.first_purchase_us.iloc[0],
         out2.funnel_stage.iloc[0],
     ) == (50, 100, 200, 3)
+
+
+def test_stream_clamped_balance_matches_batch(spark):
+    """12th stream==batch parity: the streaming LITERAL Lindley
+    recursion (replay-from-history state) must equal the batch
+    reflection closed form b_t = S_t - min(0, min S_k) — two
+    different formulations of the same nonlinear operator."""
+    stream = SW.stream_events(spark, SF)
+    out = SW.run_stream_to_table(
+        SW.clamped_balance_stateful(stream), "t_clamp", "update"
+    )
+    latest = {
+        r.user_id: (r.n_events, r.final_s, r.final_balance,
+                    r.peak_balance)
+        for r in out.collect()
+    }
+    batch = QUERIES["clamped_running_balance"](spark, SF)
+    expect = {
+        r.user_id: (r.n_events, r.final_s, r.final_balance,
+                    r.peak_balance)
+        for r in batch.collect()
+    }
+    assert latest == expect
+
+
+def test_clamped_balance_fn_corrects_across_batches():
+    """A late debit arriving in batch 2 must retro-correct the whole
+    clamp chain (nonlinearity: the late event changes every later
+    clamp, not just a window sum)."""
+    import pandas as pd
+
+    from distributedmapreduce_spark.streaming.windows import (
+        _clamped_balance_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {"us": [10, 30], "event_id": [2, 3], "dc": [100, -40]}
+    )
+    out1 = next(_clamped_balance_fn((7,), [b1], st)).iloc[0]
+    assert (out1.final_s, out1.final_balance, out1.peak_balance) == (
+        60, 60, 100,
+    )
+    # batch 2: a LATE large debit at us=20 — replayed order is
+    # +100, -500 (clamps to 0), -40 (clamps to 0): final 0, peak 100.
+    # A window-sum mental model would give max(0, -440) the same, but
+    # the peak and the clamp CHAIN only come out right via replay.
+    b2 = pd.DataFrame({"us": [20], "event_id": [1], "dc": [-500]})
+    out2 = next(_clamped_balance_fn((7,), [b2], st)).iloc[0]
+    assert (out2.n_events, out2.final_s, out2.final_balance,
+            out2.peak_balance) == (3, -440, 0, 100)
