@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .core import query, t
 from .llm import _emb_lsh_oracle_bucket, _EMB_LSH_BANDS, embedding_band_buckets
-from ..functions.vector import cosine as _cosine
+from ..functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm
 from .mlops import (
     _KM_K,
     _KM_X_SQL,
@@ -160,28 +160,34 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
     asg = base.select(
         "vec_id", (_km_code_col(cents) % _KM_K).alias("cluster")
     )
-    # one persisted vector projection: the pair join reads it twice
-    # and the keeper join-back twice more
+    # one persisted vector projection WITH the L2 norm precomputed —
+    # the pair stage reads it twice and the keeper join-back twice
+    # more, and lifting the norm out of the per-pair cosine removes
+    # two of the three HOF folds per candidate pair (numerically
+    # identical: the same sqrt values, cached per vector instead of
+    # recomputed per pair — the oracle's n CTE already lifts them)
     n = (
         t(spark, sf, "embeddings")
-        .select("vec_id", "embedding")
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
         .persist()
     )
     m = (
         asg.join(n, "vec_id")
-        .select("vec_id", "cluster", "embedding")
+        .select("vec_id", "cluster", "embedding", "nrm")
     )
     a = m.select(
         F.col("vec_id").alias("keep_cand"),
         "cluster",
         F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
     )
     b = m.select(
         F.col("vec_id").alias("pruned"),
         "cluster",
         F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
     )
-    cos = _cosine(F.col("e_a"), F.col("e_b"))
+    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     pr = (
         a.join(b, "cluster")
         .filter(F.col("keep_cand") < F.col("pruned"))
@@ -192,11 +198,17 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.min("keep_cand").alias("keeper"))
     )
+    kcos = F.floor(
+        _dot(F.col("e_k"), F.col("e_p"))
+        / (F.col("n_k") * F.col("n_p"))
+        * 1_000_000
+    ).cast("long")
     return (
         pr.join(
             n.select(
                 F.col("vec_id").alias("keeper"),
                 F.col("embedding").alias("e_k"),
+                F.col("nrm").alias("n_k"),
             ),
             "keeper",
         )
@@ -204,6 +216,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
             n.select(
                 F.col("vec_id").alias("pruned"),
                 F.col("embedding").alias("e_p"),
+                F.col("nrm").alias("n_p"),
             ),
             "pruned",
         )
@@ -211,7 +224,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pruned").alias("vec_id"),
             "cluster",
             "keeper",
-            _cos_e6(F.col("e_k"), F.col("e_p")).alias("keeper_cos_e6"),
+            kcos.alias("keeper_cos_e6"),
         )
     )
 
@@ -640,7 +653,12 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     # parquet re-reads
     emb = (
         t(spark, sf, "embeddings")
-        .select("vec_id", "label", "embedding")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+        )
         .persist()
     )
     lbl = emb.select("vec_id", "label")
@@ -659,12 +677,18 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("vec_id").alias("anchor"), "neg")
         .distinct()
     )
-    n = emb.select("vec_id", "embedding")
+    n = emb.select("vec_id", "embedding", "nrm")
+    cos_e6 = F.floor(
+        _dot(F.col("e_a"), F.col("e_b"))
+        / (F.col("n_a") * F.col("n_b"))
+        * 1_000_000
+    ).cast("long")
     p = (
         cand.join(
             n.select(
                 F.col("vec_id").alias("anchor"),
                 F.col("embedding").alias("e_a"),
+                F.col("nrm").alias("n_a"),
             ),
             "anchor",
         )
@@ -672,6 +696,7 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
             n.select(
                 F.col("vec_id").alias("neg"),
                 F.col("embedding").alias("e_b"),
+                F.col("nrm").alias("n_b"),
             ),
             "neg",
         )
@@ -681,7 +706,7 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
             "label",
             F.concat(
                 F.lpad(
-                    (_cos_e6(F.col("e_a"), F.col("e_b")) + _COS_SHIFT)
+                    (cos_e6 + _COS_SHIFT)
                     .cast("string"),
                     7,
                     "0",
