@@ -1341,3 +1341,235 @@ def croston_demand_forecast(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_w").cast("long"),
         F.expr("z_w * 10000 div p_w").cast("long").alias("forecast_e4"),
     )
+
+
+# --- Benjamini-Hochberg FDR across per-brand permutation tests: the
+# multiple-testing correction every metrics platform needs once it
+# runs one test per segment.  Permutations are md5-u32 deterministic
+# (the permutation_test_spend machinery, randomization unit = order),
+# so the whole p-value VECTOR is oracle-checkable.
+_BH_P = 32  # permutations per brand
+_BH_ALPHA_E1 = 1  # alpha = 0.1
+
+
+def _bh_stage_sqls() -> list[str]:
+    """Materialized twin of the BH oracle: the chained form
+    re-inlines the order aggregate and its x(P+1) permutation fan-out
+    once per downstream reference (observed at 24 GB RSS / 30+ min at
+    the 10x replica before this twin existed) — each stage computes
+    exactly once (the SCALE.md §9j discipline)."""
+    ok = """
+      SELECT p.p_brand AS brand, l.l_orderkey AS okey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2"""
+    st = f"""
+      SELECT brand, perm,
+             abs(CASE WHEN sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) = 0
+                        OR sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) = 0
+                      THEN 0
+                      ELSE (sum(CASE WHEN g = 1 THEN y ELSE 0 END)
+                            * 10000)
+                           // sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                         - (sum(CASE WHEN g = 0 THEN y ELSE 0 END)
+                            * 10000)
+                           // sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                 END) AS stat_e4
+      FROM (
+        SELECT brand, y, r.range AS perm,
+               CASE WHEN r.range = 0 THEN okey % 2
+                    ELSE {_md5_u32_sql("bh", f"(okey * {_BH_P + 1} + r.range)")}
+                         % 2 END AS g
+        FROM bh_ok CROSS JOIN range(0, {_BH_P + 1}) r)
+      GROUP BY 1, 2"""
+    pv = f"""
+      SELECT s.brand,
+             CAST((1 + sum(CASE WHEN s.perm > 0
+                                 AND s.stat_e4 >= o.stat_e4
+                           THEN 1 ELSE 0 END)) * 1000000
+                  // {_BH_P + 1} AS BIGINT) AS p_e6
+      FROM bh_st s
+      JOIN (SELECT brand, stat_e4 FROM bh_st WHERE perm = 0) o
+        ON o.brand = s.brand
+      GROUP BY 1"""
+    final = f"""
+    WITH rk AS (
+      SELECT brand, p_e6,
+             row_number() OVER (ORDER BY p_e6, brand) AS i,
+             count(*) OVER () AS m
+      FROM bh_pv),
+    thr AS (
+      SELECT CAST(coalesce(max(CASE WHEN p_e6 * m * 10
+                                      <= i * 1000000 * {_BH_ALPHA_E1}
+                                THEN i END), 0) AS BIGINT) AS kmax
+      FROM rk)
+    SELECT rk.brand, rk.p_e6, CAST(rk.i AS BIGINT) AS p_rank,
+           CAST(CASE WHEN rk.i <= thr.kmax THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM rk CROSS JOIN thr"""
+    return [
+        f"CREATE OR REPLACE TEMP TABLE bh_ok AS {ok}",
+        f"CREATE OR REPLACE TEMP TABLE bh_st AS {st}",
+        f"CREATE OR REPLACE TEMP TABLE bh_pv AS {pv}",
+        final,
+    ]
+
+
+@query(
+    "bh_fdr_brand_tests",
+    oracle=f"""
+    WITH ok AS (
+      SELECT p.p_brand AS brand, l.l_orderkey AS okey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    lab AS (
+      SELECT ok.brand, ok.y, r.range AS perm,
+             CASE WHEN r.range = 0 THEN ok.okey % 2
+                  ELSE {_md5_u32_sql("bh", f"(ok.okey * {_BH_P + 1} + r.range)")}
+                       % 2 END AS g
+      FROM ok CROSS JOIN range(0, {_BH_P + 1}) r),
+    st AS (
+      SELECT brand, perm,
+             abs(CASE WHEN sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) = 0
+                        OR sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) = 0
+                      THEN 0
+                      ELSE (sum(CASE WHEN g = 1 THEN y ELSE 0 END)
+                            * 10000)
+                           // sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                         - (sum(CASE WHEN g = 0 THEN y ELSE 0 END)
+                            * 10000)
+                           // sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                 END) AS stat_e4
+      FROM lab GROUP BY 1, 2),
+    pv AS (
+      SELECT s.brand,
+             CAST((1 + sum(CASE WHEN s.perm > 0
+                                 AND s.stat_e4 >= o.stat_e4
+                           THEN 1 ELSE 0 END)) * 1000000
+                  // {_BH_P + 1} AS BIGINT) AS p_e6
+      FROM st s JOIN (SELECT brand, stat_e4 FROM st WHERE perm = 0) o
+        ON o.brand = s.brand
+      GROUP BY 1),
+    rk AS (
+      SELECT brand, p_e6,
+             row_number() OVER (ORDER BY p_e6, brand) AS i,
+             count(*) OVER () AS m
+      FROM pv),
+    thr AS (
+      SELECT CAST(coalesce(max(CASE WHEN p_e6 * m * 10
+                                      <= i * 1000000 * {_BH_ALPHA_E1}
+                                THEN i END), 0) AS BIGINT) AS kmax
+      FROM rk)
+    SELECT rk.brand, rk.p_e6, CAST(rk.i AS BIGINT) AS p_rank,
+           CAST(CASE WHEN rk.i <= thr.kmax THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM rk CROSS JOIN thr
+    """,
+    staged_oracle=_bh_stage_sqls(),
+)
+def bh_fdr_brand_tests(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control across 25 per-brand permutation
+    tests (order-level spend difference between even/odd orderkeys —
+    a true null by construction, so rejections measure the procedure,
+    not the data): each brand gets an md5-deterministic 32-round
+    permutation p-value (randomization unit = the ORDER, aggregated
+    before the fan-out so resampling cost scales with orders, not
+    line items), then the classic step-up rule rejects the k smallest
+    p-values where p_(i) <= i·α/m (α = 0.1, evaluated in exact
+    integer ticks: p_e6·m·10 <= i·1e6).  The multiple-testing closer
+    of the inference battery (permutation, SPRT, KS/MW, chi², ANOVA,
+    CUPED, Mann-Kendall...).
+
+    Scale: per-order totals first (one scan), ×(P+1) fan-out on the
+    ORDER aggregate; the statistic table is brands×(P+1) rows; BH
+    itself is a window over the m-row p-value table (m = 25 brands —
+    the safe-by-value aggregate regime)."""
+    ok = (
+        t(spark, sf, "lineitem")
+        .join(
+            t(spark, sf, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_orderkey").alias("okey"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    lab = ok.withColumn(
+        "perm", F.explode(F.sequence(F.lit(0), F.lit(_BH_P)))
+    ).select(
+        "brand",
+        "y",
+        "perm",
+        F.when(F.col("perm") == 0, F.col("okey") % 2)
+        .otherwise(
+            _md5_u32(
+                "bh", F.col("okey") * (_BH_P + 1) + F.col("perm")
+            )
+            % 2
+        )
+        .alias("g"),
+    )
+    st = lab.groupBy("brand", "perm").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("y")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("y")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0"),
+    ).select(
+        "brand",
+        "perm",
+        F.abs(
+            F.when((F.col("n1") == 0) | (F.col("n0") == 0), F.lit(0))
+            .otherwise(
+                F.expr("(s1 * 10000) div n1 - (s0 * 10000) div n0")
+            )
+        ).alias("stat_e4"),
+    )
+    obs = st.filter(F.col("perm") == 0).select(
+        "brand", F.col("stat_e4").alias("obs_e4")
+    )
+    pv = (
+        st.join(F.broadcast(obs), "brand")
+        .groupBy("brand")
+        .agg(
+            F.expr(
+                "CAST((1 + sum(CASE WHEN perm > 0 AND stat_e4 >= obs_e4"
+                f" THEN 1 ELSE 0 END)) * 1000000 div {_BH_P + 1}"
+                " AS BIGINT)"
+            ).alias("p_e6")
+        )
+    )
+    rk = pv.select(
+        "brand",
+        "p_e6",
+        F.row_number().over(W.orderBy("p_e6", "brand")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    thr = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_e6") * F.col("m") * 10
+                    <= F.col("i") * 1_000_000 * _BH_ALPHA_E1,
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("kmax")
+    )
+    return rk.crossJoin(F.broadcast(thr)).select(
+        "brand",
+        "p_e6",
+        F.col("i").cast("long").alias("p_rank"),
+        (F.col("i") <= F.col("kmax")).cast("long").alias("rejected"),
+    )

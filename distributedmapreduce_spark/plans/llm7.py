@@ -916,3 +916,86 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH x AS (
+      SELECT label, vec_id % 2 AS half, u.i AS dim,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 100) AS BIGINT)
+               + 128 AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    s AS (
+      SELECT label, half, dim, CAST(sum(q) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY 1, 2, 3),
+    j AS (
+      SELECT r.label, r.dim, r.sq AS sr, r.n AS nr, c.sq AS sc,
+             c.n AS nc
+      FROM s r JOIN s c
+        ON c.label = r.label AND c.dim = r.dim
+       AND r.half = 0 AND c.half = 1)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(min(nr) AS BIGINT) AS n_ref,
+           CAST(min(nc) AS BIGINT) AS n_cur,
+           CAST(sum(abs(sr * nc - sc * nr)) * 10000
+                // (min(nr) * min(nc)) AS BIGINT) AS l1_drift_e4
+    FROM j GROUP BY 1
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding-space drift between two halves of the
+    corpus (even/odd vec_id standing in for reference vs current
+    snapshot): the L1 distance between the halves' per-label
+    centroids over integer-tick coordinates, computed CROSS-MULTIPLIED
+    (Σ_d |s_ref·n_cur − s_cur·n_ref|, one exact integer — no rational
+    means anywhere) and published in 1e-4 ticks of the per-dim mean
+    gap.  The embedding-space companion of psi_feature_drift: when a
+    retrained encoder or a corpus shift moves a class's centroid, this
+    is the number that alarms.
+
+    Scale: one scan → (label × half × 64) sufficient statistics —
+    corpus-independent cardinality; the half-vs-half join and the L1
+    fold run on that tiny table.  Int64: |s·n| ≤ 256·N·N/2 ≈ 5e15 at
+    the 100× replica (N = 2e5), ×1e4 staying inside int64 because the
+    division by n_r·n_c happens on the SUMMED drift (≈ 64·mean-gap
+    ≤ 64·256·1e4 ≈ 1.6e8 after the divide)."""
+    x = t(spark, sf, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        (F.floor(F.col("v").cast("double") * 100) + 128)
+        .cast("long")
+        .alias("q"),
+    )
+    # both halves fold in ONE conditional aggregate — no half-vs-half
+    # self-join, one embeddings FileScan (labels missing a half drop
+    # via the nr/nc > 0 filter, matching the oracle's inner join)
+    s = x.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("sr"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nr"),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+    )
+    j = s.filter((F.col("nr") > 0) & (F.col("nc") > 0))
+    return j.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.min("nr").cast("long").alias("n_ref"),
+        F.min("nc").cast("long").alias("n_cur"),
+        F.expr(
+            "CAST(sum(abs(sr * nc - sc * nr)) * 10000"
+            " div (min(nr) * min(nc)) AS BIGINT)"
+        ).alias("l1_drift_e4"),
+    )

@@ -694,3 +694,82 @@ def test_croston_matches_brute_force(rows):
         )
         exp.append((p, len(occ), z_w, p_w, z_w * 10000 // p_w))
     assert got == sorted(exp)
+
+
+# --- BH-FDR across brand permutation tests ------------------------------
+
+from distributedmapreduce_spark.plans.analytics6 import (  # noqa: E402
+    _BH_ALPHA_E1,
+    _BH_P,
+)
+
+bh_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # brand bucket
+        st.integers(min_value=1, max_value=6),  # orderkey
+        st.integers(min_value=100, max_value=50000),  # cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(bh_strategy)
+def test_bh_fdr_matches_brute_force(rows):
+    li = pd.DataFrame(
+        {
+            "l_partkey": list(range(len(rows))),
+            "l_orderkey": [o for _, o, _ in rows],
+            "l_extendedprice": [c / 100.0 for _, _, c in rows],
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": list(range(len(rows))),
+            "p_brand": [f"Brand#{b}" for b, _, _ in rows],
+        }
+    )
+    got = sorted(
+        _oracle("bh_fdr_brand_tests", {"lineitem": li, "part": part})
+    )
+    y = defaultdict(int)
+    for b, o, c in rows:
+        y[(f"Brand#{b}", o)] += c
+
+    def stat(brand, labels):
+        s1 = sum(v for (bb, o), v in y.items() if bb == brand and labels[o])
+        n1 = sum(1 for (bb, o) in y if bb == brand and labels[o])
+        s0 = sum(
+            v for (bb, o), v in y.items() if bb == brand and not labels[o]
+        )
+        n0 = sum(1 for (bb, o) in y if bb == brand and not labels[o])
+        if n1 == 0 or n0 == 0:
+            return 0
+        return abs(s1 * 10000 // n1 - s0 * 10000 // n0)
+
+    brands = sorted({b for b, _ in y})
+    pvals = {}
+    for brand in brands:
+        okeys = {o for bb, o in y if bb == brand}
+        obs = stat(brand, {o: o % 2 == 1 for o in okeys})
+        n_ge = 0
+        for p in range(1, _BH_P + 1):
+            labels = {
+                o: _md5_u32("bh", o * (_BH_P + 1) + p) % 2 == 1
+                for o in okeys
+            }
+            if stat(brand, labels) >= obs:
+                n_ge += 1
+        pvals[brand] = (1 + n_ge) * 1_000_000 // (_BH_P + 1)
+    m = len(brands)
+    ranked = sorted(pvals.items(), key=lambda kv: (kv[1], kv[0]))
+    kmax = 0
+    for i, (_, p) in enumerate(ranked, start=1):
+        if p * m * 10 <= i * 1_000_000 * _BH_ALPHA_E1:
+            kmax = i
+    exp = sorted(
+        (b, p, i, 1 if i <= kmax else 0)
+        for i, (b, p) in enumerate(ranked, start=1)
+    )
+    assert got == exp

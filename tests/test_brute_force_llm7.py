@@ -401,3 +401,29 @@ def test_ivfpq_matches_brute_force(vecs):
         for rn, (adc, v) in enumerate(scored[:_IVFPQ_TOPK], start=1):
             exp.append((qid, v, adc, rn))
     assert got == sorted(exp)
+
+
+# --- embedding centroid drift -------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(vecs_strategy)
+def test_centroid_drift_matches_brute_force(vecs):
+    labels = [i % 3 for i in range(len(vecs))]
+    got = sorted(
+        _oracle("embedding_centroid_drift", _emb_df(vecs, labels))
+    )
+    q = _quant(vecs)
+    exp = []
+    for lab in sorted(set(labels)):
+        ref = [q[i] for i in range(len(q)) if labels[i] == lab and i % 2 == 0]
+        cur = [q[i] for i in range(len(q)) if labels[i] == lab and i % 2 == 1]
+        if not ref or not cur:
+            continue  # half missing: the inner join drops the label
+        nr, nc = len(ref), len(cur)
+        drift = sum(
+            abs(sum(col_r) * nc - sum(col_c) * nr)
+            for col_r, col_c in zip(zip(*ref), zip(*cur))
+        )
+        exp.append((lab, nr, nc, drift * 10000 // (nr * nc)))
+    assert got == exp

@@ -73,6 +73,7 @@ BNLJ_BY_DESIGN = {
     # calendar-bounded day-pair theta join (~2.4k-row broadcast) +
     # three 1-row statistic panels
     "mann_kendall_trend",
+    "bh_fdr_brand_tests",  # 1-row BH-threshold panel broadcast
     "join_key_skew_profile",
     "keyness_lang_drift",  # vocab-totals row: scalar broadcast
     "kendall_tau_qty_price",  # bounded contingency cells x cells panel
