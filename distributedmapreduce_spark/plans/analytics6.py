@@ -1573,3 +1573,202 @@ def bh_fdr_brand_tests(spark: SparkSession, sf: str) -> DataFrame:
         F.col("i").cast("long").alias("p_rank"),
         (F.col("i") <= F.col("kmax")).cast("long").alias("rejected"),
     )
+
+
+@query(
+    "mixture_effective_sample_size",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_e6
+      FROM s),
+    a AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(n * w_e6) AS BIGINT) AS sw,
+             sum(CAST(n AS HUGEINT) * w_e6 * w_e6) AS sw2
+      FROM w)
+    SELECT total,
+           CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                      / CAST(sw2 AS DOUBLE)) AS BIGINT) AS ess,
+           CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                      / CAST(sw2 AS DOUBLE) / CAST(total AS DOUBLE)
+                      * 1000000) AS BIGINT) AS ess_ratio_e6
+    FROM a
+    """,
+)
+def mixture_effective_sample_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Effective sample size of a temperature-weighted corpus mixture
+    (the sqrt-temperature upweighting of source_mixture fame): every
+    document in source s carries weight w_s = floor(√n_s · 1e6), and
+    ESS = (Σ w_i)² / Σ w_i² = (Σ n_s·w_s)² / (Σ n_s·w_s²) — the
+    number that says how many "real" samples the reweighted mixture
+    is worth (ESS/N → 1 means weights are nearly uniform; → small
+    means a few sources dominate).  The diagnostic every
+    mixture-balancing pipeline should print next to its weights.
+    Integer discipline: w is an exact floor tick; Σ n·w stays int64
+    (≈1.5e17 at the 100× replica); Σ n·w² accumulates int128 (DuckDB
+    HUGEINT == the Spark decimal(38,0) below — the spearman
+    construct); the published ESS is one double chain on those exact
+    integers (CUPED discipline).
+
+    Scale: one scan to a source-cardinality aggregate; everything
+    after is a handful of rows."""
+    s = t(spark, sf, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = s.select(
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("w_e6"),
+    )
+    a = w.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("w_e6")).cast("long").alias("sw"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)")
+            * F.col("w_e6")
+            * F.col("w_e6")
+        ).alias("sw2"),
+    )
+    return a.select(
+        "total",
+        F.floor(
+            F.col("sw").cast("double")
+            * F.col("sw").cast("double")
+            / F.col("sw2").cast("double")
+        )
+        .cast("long")
+        .alias("ess"),
+        F.floor(
+            F.col("sw").cast("double")
+            * F.col("sw").cast("double")
+            / F.col("sw2").cast("double")
+            / F.col("total").cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("ess_ratio_e6"),
+    )
+
+
+# --- decision-stump split evaluation: exact Gini gain per candidate
+# price-bucket threshold for the returnflag label — the
+# feature-selection / tree-induction primitive.
+_STUMP_BW = 65536  # cents per candidate-split bucket
+
+
+@query(
+    "gini_split_gain_price",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               // {_STUMP_BW} AS b,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    h AS (
+      SELECT b, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM li GROUP BY 1),
+    c AS (
+      SELECT b,
+             sum(pos) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING) AS pl,
+             sum(neg) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING) AS nl,
+             sum(pos) OVER () AS p,
+             sum(neg) OVER () AS n
+      FROM h),
+    g AS (
+      SELECT b, CAST(pl AS BIGINT) AS pos_left,
+             CAST(nl AS BIGINT) AS neg_left,
+             CAST(2 * CAST(p AS HUGEINT) * n * 1000000
+                  // (p + n) AS BIGINT)
+             - CAST(2 * CAST(pl AS HUGEINT) * nl * 1000000
+                    // (pl + nl) AS BIGINT)
+             - CAST(2 * CAST(p - pl AS HUGEINT) * (n - nl) * 1000000
+                    // (p + n - pl - nl) AS BIGINT) AS gain_e6
+      FROM c
+      WHERE pl + nl > 0 AND pl + nl < p + n)
+    SELECT b AS split_bucket, pos_left, neg_left, gain_e6,
+           CAST(CASE WHEN gain_e6 = max(gain_e6) OVER () THEN 1
+                ELSE 0 END AS BIGINT) AS is_best
+    FROM g
+    """,
+)
+def gini_split_gain_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Decision-stump split evaluation: for every candidate price
+    threshold (bucket boundary), the exact Gini impurity gain of
+    splitting lineitem on price < threshold against the
+    returnflag='R' label — the primitive inside every tree inducer
+    and feature-importance report.  Weighted Gini is computed
+    unnormalized-exact: side impurity mass = 2·pos·neg/n_side, so
+    gain_e6 = 2e6·[PN/(P+N) − pl·nl/(pl+nl) − pr·nr/(pr+nr)], each
+    term an int128-safe cross-multiplication (pos·neg ≈ 9e14 at the
+    100× replica; ×1e6 needs HUGEINT == Spark decimal(38,0) — the
+    spearman construct) with one integer division per term.  The
+    degenerate all-left/all-right thresholds are excluded; is_best
+    flags the argmax row(s).
+
+    Scale: one scan to the price-bucket histogram (domain-bounded:
+    cents range / 65536 ≈ tens of rows); every window runs over that
+    histogram.  This is the per-feature histogram pass a distributed
+    GBDT (LightGBM-style) runs to pick splits."""
+    li = t(spark, sf, "lineitem").select(
+        F.expr(
+            f"CAST(round(l_extendedprice * 100) AS BIGINT)"
+            f" div {_STUMP_BW}"
+        ).alias("b"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    h = li.groupBy("b").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    wprev = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    c = h.select(
+        "b",
+        F.sum("pos").over(wprev).alias("pl"),
+        F.sum("neg").over(wprev).alias("nl"),
+        F.sum("pos").over(W.partitionBy()).alias("p"),
+        F.sum("neg").over(W.partitionBy()).alias("n"),
+    )
+    gain = (
+        F.expr(
+            "CAST(2 * CAST(p AS DECIMAL(38,0)) * n * 1000000"
+            " div (p + n) AS BIGINT)"
+        )
+        - F.expr(
+            "CAST(2 * CAST(pl AS DECIMAL(38,0)) * nl * 1000000"
+            " div (pl + nl) AS BIGINT)"
+        )
+        - F.expr(
+            "CAST(2 * CAST(p - pl AS DECIMAL(38,0)) * (n - nl) * 1000000"
+            " div (p + n - pl - nl) AS BIGINT)"
+        )
+    )
+    g = (
+        c.filter(
+            (F.col("pl") + F.col("nl") > 0)
+            & (F.col("pl") + F.col("nl") < F.col("p") + F.col("n"))
+        )
+        .select(
+            F.col("b").alias("split_bucket"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("nl").cast("long").alias("neg_left"),
+            gain.alias("gain_e6"),
+        )
+    )
+    return g.select(
+        "split_bucket",
+        "pos_left",
+        "neg_left",
+        "gain_e6",
+        (F.col("gain_e6") == F.max("gain_e6").over(W.partitionBy()))
+        .cast("long")
+        .alias("is_best"),
+    )

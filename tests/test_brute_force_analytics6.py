@@ -773,3 +773,85 @@ def test_bh_fdr_matches_brute_force(rows):
         for i, (b, p) in enumerate(ranked, start=1)
     )
     assert got == exp
+
+
+# --- mixture effective sample size ---------------------------------------
+
+ess_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["web", "books", "code"]),  # source
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ess_strategy)
+def test_mixture_ess_matches_brute_force(rows):
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(len(rows))),
+            "source": [s for (s,) in rows],
+        }
+    )
+    got = _oracle("mixture_effective_sample_size", {"documents": docs})
+    ns = Counter(s for (s,) in rows)
+    ws = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in ns.items()}
+    total = len(rows)
+    sw = sum(n * ws[s] for s, n in ns.items())
+    sw2 = sum(n * ws[s] ** 2 for s, n in ns.items())
+    ess = math.floor(float(sw) * float(sw) / float(sw2))
+    ratio = math.floor(
+        float(sw) * float(sw) / float(sw2) / float(total) * 1_000_000
+    )
+    assert got == [(total, ess, ratio)]
+
+
+# --- Gini split gain ------------------------------------------------------
+
+from distributedmapreduce_spark.plans.analytics6 import _STUMP_BW  # noqa: E402
+
+stump_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=100, max_value=300000),  # cents
+        st.booleans(),  # label R?
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(stump_strategy)
+def test_gini_split_gain_matches_brute_force(rows):
+    li = pd.DataFrame(
+        {
+            "l_extendedprice": [c / 100.0 for c, _ in rows],
+            "l_returnflag": ["R" if r else "A" for _, r in rows],
+        }
+    )
+    got = sorted(_oracle("gini_split_gain_price", {"lineitem": li}))
+    h = defaultdict(lambda: [0, 0])
+    for c, r in rows:
+        h[c // _STUMP_BW][0 if r else 1] += 1
+    P = sum(p for p, _ in h.values())
+    N = sum(n for _, n in h.values())
+    raw = []
+    pl = nl = 0
+    for b in sorted(h):
+        if 0 < pl + nl < P + N:
+            gain = (
+                2 * P * N * 1_000_000 // (P + N)
+                - 2 * pl * nl * 1_000_000 // (pl + nl)
+                - 2 * (P - pl) * (N - nl) * 1_000_000
+                // (P + N - pl - nl)
+            )
+            raw.append((b, pl, nl, gain))
+        pl += h[b][0]
+        nl += h[b][1]
+    best = max((g for *_, g in raw), default=None)
+    exp = sorted(
+        (b, pl, nl, g, 1 if g == best else 0) for b, pl, nl, g in raw
+    )
+    assert got == exp
