@@ -257,9 +257,11 @@ def hilbert_cluster_orders(spark: SparkSession, sf: str) -> DataFrame:
     with the n-reflection rotation unrolled into 8 pure-arithmetic
     steps — no bitwise ops, no negatives, one generated expression
     template for both engines (only the integer-division token
-    differs, and the domain is nonnegative where trunc == floor).  Bijectivity and the
-    neighbor-adjacency property are pinned by a hypothesis test on
-    the full 16x16 grid (tests/test_brute_force_analytics6.py).
+    differs, and the domain is nonnegative where trunc == floor).
+    Bijectivity and the neighbor-adjacency property are EXHAUSTIVELY
+    verified on the full 256x256 grid (_H_BITS=8; every consecutive
+    index pair checked grid-adjacent —
+    tests/test_brute_force_analytics6.py).
 
     Scale: map-only (one scan, zero shuffles) — like
     zorder_cluster_orders this emits the key; at 100 TB it feeds

@@ -1250,7 +1250,10 @@ def _cr_scatter_sql(src: str, val: str) -> str:
       JOIN ep ON ep.pk = l.pk AND ep.rn = l.n_occ - 1 AND ep.hb = 1
       WHERE l.n_occ >= 2)
     SELECT pk AS partkey, n_occ, z_w, p_w,
-           CAST(z_w * 10000 // p_w AS BIGINT) AS forecast_e4
+           CAST(z_w * (256 - (1 << CAST(8 - least(8, n_occ - 1) AS INT)))
+                * 10000
+                // (p_w * (256 - (1 << CAST(8 - least(8, n_occ) AS INT))))
+                AS BIGINT) AS forecast_e4
     FROM j
     """,
 )
@@ -1259,8 +1262,16 @@ def croston_demand_forecast(spark: SparkSession, sf: str) -> DataFrame:
     per part, the truncated power-of-2 EWMA of demand SIZES (z, over
     the last 8 demand occasions) and of inter-demand INTERVALS (p,
     over the last 8 intervals), both at the part's latest occasion;
-    the forecast per week is z/p, published as z_w·1e4 // p_w exact
-    ticks (both EWMAs carry the same Σw=255 scale, so it cancels).
+    the forecast per week is z/p, published as
+    (z_w·Σw_p·1e4) // (p_w·Σw_z) exact ticks where Σw_z / Σw_p are
+    each EWMA's ACTUAL truncated weight sum 256 − 2^(8−m)
+    (m = min(8, #terms)): z_w sums min(8, n_occ) weights while p_w
+    sums min(8, n_occ−1), so the scales only cancel for parts with
+    ≥ 9 occasions — short-history parts need the explicit
+    normalization or the forecast inflates by the weight-sum ratio
+    (1.5× at n_occ = 2; driver ADVICE r06).  For n_occ ≥ 9 both sums
+    are 255 and the ratio reduces to the unnormalized z_w·1e4 // p_w
+    exactly (floor of an identical rational).
     The ewma_pow2_user_spend scatter applied to occasion RANK instead
     of calendar age — which is exactly what distinguishes Croston
     from plain smoothing: sparse SKUs decay per demand event, not per
@@ -1339,7 +1350,14 @@ def croston_demand_forecast(spark: SparkSession, sf: str) -> DataFrame:
         "n_occ",
         F.col("z_w").cast("long"),
         F.col("p_w").cast("long"),
-        F.expr("z_w * 10000 div p_w").cast("long").alias("forecast_e4"),
+        F.expr(
+            "z_w * (256 - shiftleft(1, CAST(8 - least(8, n_occ - 1)"
+            " AS INT))) * 10000"
+            " div (p_w * (256 - shiftleft(1, CAST(8 - least(8, n_occ)"
+            " AS INT))))"
+        )
+        .cast("long")
+        .alias("forecast_e4"),
     )
 
 

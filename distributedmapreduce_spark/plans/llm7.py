@@ -516,11 +516,11 @@ def mmr_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     stages.
 
     Scale: the corpus-sized work is ONE broadcast-query scan (rel) +
-    a TakeOrdered top-20 — identical shape to cosine_topk_bruteforce;
-    everything after operates on the 20-row candidate set (20·19
-    directed sims computed distributed, then collected — bounded by
-    the CONSTANT candidate count, like the kmeans centroid collect),
-    and the greedy K-step loop runs driver-side over ≤ 20×20 ints.
+    a TakeOrdered top-20 that carries the embedding payload, and the
+    survivor set is PERSISTED — so the candidate collect and the
+    20·19 directed sims both read the 20 cached rows (one corpus scan
+    total, verified by the executed-plan scan budget); the greedy
+    K-step loop runs driver-side over ≤ 20×20 ints.
     At 100 TB the candidate set still has 20 rows: MMR cost is
     independent of corpus size once recall has pruned."""
     emb = t(spark, sf, "embeddings")
@@ -528,20 +528,26 @@ def mmr_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = n.filter(F.col("vec_id") == _MMR_QV).select(
         F.col("embedding").alias("q_emb")
     )
+    # the embedding column rides THROUGH the top-20 TakeOrdered and the
+    # survivor set is persisted, so the sims stage reads 20 cached rows
+    # instead of rebuilding cand from rel (which re-ran the corpus scan
+    # + TakeOrdered lineage a second time — driver ADVICE r06)
     rel = (
         n.filter(F.col("vec_id") != _MMR_QV)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
+            "embedding",
             _cos_e6(F.col("embedding"), F.col("q_emb")).alias("rel_e6"),
         )
     )
-    cand = rel.orderBy(F.desc("rel_e6"), "vec_id").limit(_MMR_CAND)
-    ce = cand.join(n, "vec_id")
-    a = ce.select(
+    cand = (
+        rel.orderBy(F.desc("rel_e6"), "vec_id").limit(_MMR_CAND).persist()
+    )
+    a = cand.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("e_a")
     )
-    b = ce.select(
+    b = cand.select(
         F.col("vec_id").alias("vb"), F.col("embedding").alias("e_b")
     )
     sims = (
@@ -552,7 +558,8 @@ def mmr_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     cand_rows = {
-        int(r["vec_id"]): int(r["rel_e6"]) for r in cand.collect()
+        int(r["vec_id"]): int(r["rel_e6"])
+        for r in cand.select("vec_id", "rel_e6").collect()
     }
     sim_rows = {
         (int(r["va"]), int(r["vb"])): int(r["sim_e6"])

@@ -445,46 +445,81 @@ CLAMP_SCHEMA = (
     "user_id long, n_events long, final_s long,"
     " final_balance long, peak_balance long"
 )
-_CLAMP_STATE_SCHEMA = "us array<long>, eid array<long>, dc array<long>"
+_CLAMP_STATE_SCHEMA = (
+    "base_n long, base_s long, base_bal long, base_peak long, "
+    "us array<long>, eid array<long>, dc array<long>"
+)
 
 
 def _clamped_balance_fn(key, pdfs, state: GroupState):
-    """Zero-clamped running balance per user with UPDATE semantics:
-    state holds the user's full (ts, event_id, delta) history; every
-    batch merges its rows in, re-sorts, and re-emits the user's
-    summary — so a late-arriving older event retro-corrects the whole
-    Lindley recursion (which is NONLINEAR: a late debit can change
-    every subsequent clamp, so nothing short of replay-from-history
-    is correct).  The replay is the literal b_t = max(0, b_{t-1} +
-    d_t) recursion; the batch twin computes the reflection closed
-    form b_t = S_t − min(0, min_{k<=t} S_k) — the parity test pins
-    the identity between the two formulations on real data.  At
-    production scale, state truncates to (watermark-old prefix's
-    final balance + recent tail): the recursion only needs the
-    running balance at the eviction boundary, a constant."""
+    """Zero-clamped running balance per user with UPDATE semantics
+    and BOUNDED state: the folded watermark-old prefix as four
+    scalars (base_n, base_s, base_bal, base_peak) plus the mutable
+    tail of (ts, event_id, delta) rows at or above the watermark.
+    Every batch merges its rows into the tail (DEDUP'd by event_id —
+    an at-least-once source redelivering a retained event adds
+    nothing), re-sorts the tail, and replays the literal Lindley
+    recursion b_t = max(0, b_{t-1} + d_t) ON TOP of the folded base —
+    so a late-arriving older event retro-corrects every subsequent
+    clamp (the recursion is NONLINEAR; nothing short of replay over
+    the still-mutable suffix is correct).  After emission, tail rows
+    with event time strictly below the current watermark fold into
+    the base: Spark drops rows later than the watermark before they
+    reach this function, so the folded prefix can never be reordered
+    by a future arrival and its contribution is a constant — state
+    size is O(in-watermark tail), not O(history) (redelivery of an
+    already-folded event is likewise dropped by the watermark gate,
+    so forgetting folded event_ids is safe).  The batch twin computes
+    the reflection closed form b_t = S_t − min(0, min_{k<=t} S_k);
+    the parity test pins the identity between the two formulations on
+    real data, and tests/test_streaming.py drives the fold + dedup
+    paths directly."""
     (user_id,) = key
     if state.exists:
-        us, eid, dc = (list(x) for x in state.get)
+        bn, bs, bb, bp, us, eid, dc = state.get
+        us, eid, dc = list(us), list(eid), list(dc)
     else:
+        bn = bs = bb = bp = 0
         us, eid, dc = [], [], []
+    seen = set(eid)
     for pdf in pdfs:
-        us += [int(x) for x in pdf["us"]]
-        eid += [int(x) for x in pdf["event_id"]]
-        dc += [int(x) for x in pdf["dc"]]
+        for u, e, d in zip(pdf["us"], pdf["event_id"], pdf["dc"]):
+            e = int(e)
+            if e in seen:
+                continue
+            seen.add(e)
+            us.append(int(u))
+            eid.append(e)
+            dc.append(int(d))
     order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
     us = [us[i] for i in order]
     eid = [eid[i] for i in order]
     dc = [dc[i] for i in order]
-    state.update((us, eid, dc))
-    s = bal = peak = 0
+    s, bal, peak = bs, bb, bp
     for d in dc:
         s += d
         bal = max(0, bal + d)
         peak = max(peak, bal)
+    # fold the watermark-old prefix into the running base scalars;
+    # with no watermark configured PySpark RAISES from the accessor
+    # (rather than returning 0), and the whole tail stays mutable
+    try:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+    except Exception:  # noqa: BLE001 — [CANNOT_WITHOUT] no-watermark
+        wm_us = 0
+    cut = 0
+    while cut < len(us) and us[cut] < wm_us:
+        cut += 1
+    for d in dc[:cut]:
+        bs += d
+        bb = max(0, bb + d)
+        bp = max(bp, bb)
+    bn += cut
+    state.update((bn, bs, bb, bp, us[cut:], eid[cut:], dc[cut:]))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
-            "n_events": [len(dc)],
+            "n_events": [bn + len(dc) - cut],
             "final_s": [s],
             "final_balance": [bal],
             "peak_balance": [peak],

@@ -424,8 +424,8 @@ def test_hilbert_bijective_and_adjacent():
     Hilbert curve on the full grid: bijective onto [0, n²) and every
     consecutive pair of indices maps to grid-adjacent cells."""
     n = 1 << _H_BITS
-    # full check on a 16x16 subgrid embedding plus spot distances on
-    # the full 256x256 grid (full n² adjacency is 65k cells — cheap)
+    # exhaustive check on the full 256x256 grid (_H_BITS=8): all 65k
+    # cells checked bijective AND every consecutive pair adjacent
     cells = {(x, y): _xy2d(n, x, y) for x in range(n) for y in range(n)}
     assert sorted(cells.values()) == list(range(n * n))
     inv = {d: xy for xy, d in cells.items()}
@@ -692,7 +692,14 @@ def test_croston_matches_brute_force(rows):
         p_w = sum(
             ivs[-1 - a] * _CR_W[a] for a in range(min(8, len(ivs)))
         )
-        exp.append((p, len(occ), z_w, p_w, z_w * 10000 // p_w))
+        # each EWMA normalized by its ACTUAL truncated weight sum
+        # (256 - 2^(8-m)); for >= 9 occasions both are 255 and the
+        # ratio reduces to the unnormalized z_w*1e4 // p_w exactly
+        ws_z = sum(_CR_W[: min(8, len(zs))])
+        ws_p = sum(_CR_W[: min(8, len(ivs))])
+        exp.append(
+            (p, len(occ), z_w, p_w, z_w * ws_p * 10000 // (p_w * ws_z))
+        )
     assert got == sorted(exp)
 
 

@@ -323,20 +323,7 @@ def test_clamped_balance_fn_corrects_across_batches():
         _clamped_balance_fn,
     )
 
-    class FakeState:
-        def __init__(self):
-            self.exists = False
-            self._v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-            self.exists = True
-
-    st = FakeState()
+    st = FakeGroupState()
     b1 = pd.DataFrame(
         {"us": [10, 30], "event_id": [2, 3], "dc": [100, -40]}
     )
@@ -352,3 +339,69 @@ def test_clamped_balance_fn_corrects_across_batches():
     out2 = next(_clamped_balance_fn((7,), [b2], st)).iloc[0]
     assert (out2.n_events, out2.final_s, out2.final_balance,
             out2.peak_balance) == (3, -440, 0, 100)
+
+
+class FakeGroupState:
+    """Minimal GroupState stand-in for driving the stateful fns
+    directly: exists/get/update plus the watermark accessor the
+    clamped-balance eviction reads."""
+
+    def __init__(self, watermark_ms: int = 0):
+        self.exists = False
+        self._v = None
+        self._wm = watermark_ms
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_clamped_balance_fn_folds_watermark_prefix_and_dedups():
+    """State eviction + at-least-once guard (driver ADVICE r06): rows
+    below the watermark fold into four base scalars (state no longer
+    grows with history), a redelivered retained event_id is ignored,
+    and the emitted summary equals the full-history replay
+    throughout."""
+    import pandas as pd
+
+    from distributedmapreduce_spark.streaming.windows import (
+        _clamped_balance_fn,
+    )
+
+    st = FakeGroupState(watermark_ms=0)
+    b1 = pd.DataFrame(
+        {"us": [10, 30], "event_id": [2, 3], "dc": [100, -40]}
+    )
+    next(_clamped_balance_fn((7,), [b1], st))
+    # no watermark yet: whole tail retained, nothing folded
+    assert st.get[0] == 0 and len(st.get[4]) == 2
+    # watermark advances past us=30 (25 us == 0.025 ms -> use ms
+    # granularity: us < wm_ms*1000); wm 1 ms = 1000 us covers both
+    st._wm = 1
+    b2 = pd.DataFrame(
+        {"us": [2000, 20], "event_id": [5, 1], "dc": [70, -500]}
+    )
+    out2 = next(_clamped_balance_fn((7,), [b2], st)).iloc[0]
+    # full-history replay: +100@10, -500@20 (clamp 0), -40@30
+    # (clamp 0), +70@2000 -> final 70, peak 100, sum -370
+    assert (out2.n_events, out2.final_s, out2.final_balance,
+            out2.peak_balance) == (4, -370, 70, 100)
+    # rows at us=10,20,30 are below the 1000-us watermark: folded
+    bn, bs, bb, bp, us, eid, dc = st.get
+    assert (bn, bs, bb, bp) == (3, -440, 0, 100)
+    assert (list(us), list(eid), list(dc)) == ([2000], [5], [70])
+    # redelivery of a RETAINED event is deduped by event_id; a fresh
+    # event still lands, and the summary stays full-history-correct
+    b3 = pd.DataFrame(
+        {"us": [2000, 3000], "event_id": [5, 6], "dc": [70, 5]}
+    )
+    out3 = next(_clamped_balance_fn((7,), [b3], st)).iloc[0]
+    assert (out3.n_events, out3.final_s, out3.final_balance,
+            out3.peak_balance) == (5, -365, 75, 100)
