@@ -557,31 +557,38 @@ def _emb_band_buckets():
     )
 
 
+def _emb_lsh_auto_bits(n: int) -> int:
+    """bits-per-band on the scale path: target ~64 vectors per
+    band-bucket, 4-bit floor (the fixture recipe), 16-bit cap."""
+    return max(_EMB_LSH_BITS, min(16, (max(n, 1) // 64).bit_length()))
+
+
 def embedding_band_buckets(
-    emb: DataFrame, bits_per_band: int | None = _EMB_LSH_BITS
+    emb: DataFrame, bits_per_band: int | None = None
 ) -> DataFrame:
     """(vec_id, band, bucket) — the sign-LSH blocking stage of
     dedup_embedding_cosine, exposed for diagnostics
     (tools/pair_growth.py).
 
-    ``bits_per_band=None`` enables the SCALE path: bits grow with
+    ``bits_per_band=None`` (the DEFAULT — the production path since
+    round 7) is the SCALE mode: bits grow with
     log2(corpus / target-bucket-size) so the 2^bits bucket space keeps
     pace with the corpus and per-band bucket size stays ~constant —
-    with the default fixed 4 bits the bucket space is a CONSTANT 256
-    cells and candidate pairs grow quadratically (measured in SCALE.md
-    §9b).  Bits 0..3 stay the raw component signs (bit-compatible with
-    the fixed recipe and its DuckDB oracle); bits >= 4 are signs of
-    deterministic coordinate-difference hyperplanes
+    with a fixed 4 bits the bucket space is a CONSTANT 256 cells and
+    candidate pairs grow quadratically (measured in SCALE.md §9b).
+    Bits 0..3 stay the raw component signs (bit-compatible with the
+    fixed recipe); bits >= 4 are signs of deterministic
+    coordinate-difference hyperplanes
     sign(x[p] - x[q]) = sign((e_p - e_q) . x) — a valid cosine-LSH
     family that needs no stored random planes, stays JVM-side, and is
-    SQL-portable.  More bits trade recall per band (p^bits match
-    probability) for bucket size; the registry query keeps the fixed
-    4-bit recipe because the driver's sf0.01 corpus is small enough
-    that auto mode picks 4 bits there anyway."""
+    SQL-portable, so the DuckDB oracles replay the SAME auto blocking
+    at any scale (_emb_lsh_oracle_bucket_auto computes bits from
+    count(*) with the identical integer thresholds).  More bits trade
+    recall per band (p^bits match probability) for bucket size; pass
+    an explicit ``bits_per_band`` only for fixture pins and
+    diagnostics."""
     if bits_per_band is None:
-        n = emb.count()
-        # target ~64 vectors per band-bucket; 4-bit floor, 16-bit cap
-        bits_per_band = max(4, min(16, (max(n, 1) // 64).bit_length()))
+        bits_per_band = _emb_lsh_auto_bits(emb.count())
     dim = 64
 
     def _bit(b: int, j: int):
@@ -615,13 +622,57 @@ def _emb_lsh_oracle_bucket(prefix: str = "") -> str:
     return terms
 
 
+def _emb_lsh_bits_sql() -> str:
+    """The auto bits-per-band as a 1-row DuckDB relation — integer
+    threshold CASE, no float log anywhere, replicating
+    _emb_lsh_auto_bits exactly: bit_length(count // 64) clamped to
+    [4, 16] (bit_length(x) = b  <=>  x in [2^(b-1), 2^b))."""
+    x = "(count(*) // 64)"
+    cases = " ".join(
+        f"WHEN {x} >= {1 << (b - 1)} THEN {b}" for b in range(16, 4, -1)
+    )
+    return f"SELECT CASE {cases} ELSE {_EMB_LSH_BITS} END AS bits FROM embeddings"
+
+
+def _emb_lsh_oracle_bucket_auto(prefix: str = "") -> str:
+    """DuckDB band-bucket expression for the AUTO (corpus-scaled)
+    blocking: bits 0..3 are the raw component signs (identical to the
+    fixed recipe), bits 4..15 are the deterministic
+    coordinate-difference hyperplane signs, each gated on
+    ``nb.bits`` — the enclosing query must CROSS JOIN the 1-row nb
+    relation (_emb_lsh_bits_sql).  Gated terms contribute 0 when
+    j >= bits, so the expression evaluates the same packed integer as
+    the Spark side at every corpus size.  (For j >= 4 the two probe
+    positions p=(band·4+7j)%64 and q=(band·4+13j+1)%64 differ by the
+    odd constant 6j+1 mod 64 and can never collide, so no p==q
+    adjustment is needed.)"""
+    terms = []
+    for j in range(16):
+        if j < _EMB_LSH_BITS:
+            terms.append(
+                f"CAST({prefix}embedding[band*{_EMB_LSH_BITS} + {j + 1}]"
+                f" > 0 AS INT) * {1 << j}"
+            )
+        else:
+            p = f"((band*{_EMB_LSH_BITS} + {j * 7}) % 64) + 1"
+            q = f"((band*{_EMB_LSH_BITS} + {j * 13 + 1}) % 64) + 1"
+            terms.append(
+                f"CASE WHEN {j} < nb.bits THEN"
+                f" CAST({prefix}embedding[{p}] > {prefix}embedding[{q}]"
+                f" AS INT) * {1 << j} ELSE 0 END"
+            )
+    return " + ".join(terms)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH ex AS (
+    WITH nb AS ({_emb_lsh_bits_sql()}),
+    ex AS (
       SELECT vec_id, r.range AS band,
-             {_emb_lsh_oracle_bucket()} AS bucket
-      FROM embeddings CROSS JOIN range(0, {_EMB_LSH_BANDS}) r),
+             {_emb_lsh_oracle_bucket_auto()} AS bucket
+      FROM embeddings CROSS JOIN range(0, {_EMB_LSH_BANDS}) r
+      CROSS JOIN nb),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM ex a JOIN ex b
@@ -639,14 +690,18 @@ def _emb_lsh_oracle_bucket(prefix: str = "") -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup: cosine >= 0.4 among pairs sharing at least
-    one LSH band bucket (16 bands x 4 sign bits).  Candidate generation
-    is a bucketed equi-join — NO all-pairs join anywhere in the plan:
-    pair fan-out is bounded by band-bucket size, and at scale the bits
-    per band grow with log(corpus) to keep buckets small (the earlier
-    label-blocked formulation divided the quadratic pair count by a
-    small constant without bounding it).  Candidates are then verified
-    with exact cosine; the DuckDB oracle computes the identical
-    blocking, so the hash-match is exact by construction at any SF."""
+    one LSH band bucket (16 bands, CORPUS-SCALED bits per band —
+    bit_length(count/64) clamped to [4, 16], the
+    embedding_band_buckets auto mode that is the production default
+    since round 7).  Candidate generation is a bucketed equi-join —
+    NO all-pairs join anywhere in the plan: pair fan-out is bounded by
+    band-bucket size, and the 2^bits bucket space grows with the
+    corpus so per-bucket size stays ~constant (a fixed 4 bits made
+    candidate pairs quadratic — SCALE.md §9b; driver VERDICT r06
+    "what's wrong" #1).  Candidates are then verified with exact
+    cosine; the DuckDB oracle computes the identical auto blocking —
+    bits from the same integer thresholds on count(*) — so the
+    hash-match is exact by construction at any SF."""
     emb = t(spark, sf, "embeddings")
     ex = embedding_band_buckets(emb)
     cand = (

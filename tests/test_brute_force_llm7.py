@@ -92,7 +92,13 @@ def _quant(vecs):
 
 def _km_assign(vecs):
     """Exact replay of the shared Lloyd trainer's final assignment
-    (mirrors tests/test_brute_force_mlops.py::_km_python)."""
+    (mirrors tests/test_brute_force_mlops.py::_km_python).  The
+    replica fixes K=_KM_K, which equals the production AUTO K only
+    while the fixture stays under _KM_TARGET vectors — assert the
+    regime so a future strategy change can't silently diverge."""
+    from distributedmapreduce_spark.plans.mlops import _KM_TARGET
+
+    assert len(vecs) < _KM_TARGET, "fixture left the auto-K=4 regime"
     q = _quant(vecs)
     cents = {j: list(q[j]) for j in range(_KM_K)}
 

@@ -65,7 +65,13 @@ def _quant(vecs):
 
 
 def _km_python(vecs):
-    """Naive replay of the exact integer Lloyd definition."""
+    """Naive replay of the exact integer Lloyd definition (K=_KM_K —
+    valid only while the fixture stays under _KM_TARGET vectors, the
+    auto-K=4 regime; asserted so strategy growth can't silently
+    diverge from the production auto mode)."""
+    from distributedmapreduce_spark.plans.mlops import _KM_TARGET
+
+    assert len(vecs) < _KM_TARGET, "fixture left the auto-K=4 regime"
     q = _quant(vecs)
     cents = {j: list(q[j]) for j in range(_KM_K)}
 
@@ -520,3 +526,30 @@ def test_conformal_intervals_brute_force(rows):
             (dw, len(vs), sea[dw], p90, sea[dw] - p90, sea[dw] + p90)
         )
     assert got == sorted(exp)
+
+
+# --- literal vs Arrow-batched assignment parity ---------------------------
+
+
+def test_km_code_pandas_path_matches_literal(spark):
+    """The K > _KM_LIT_CAP assignment (Arrow-batched numpy packed
+    argmin) must be bit-identical to the literal codegen expression —
+    the equivalence that makes the corpus-scaled auto-K path exact:
+    past 64 centroids every caller silently switches implementation,
+    so the two forms are pinned equal on the real trained state."""
+    from distributedmapreduce_spark.plans.mlops import (
+        _km_code_col,
+        _km_train,
+    )
+
+    base, cents, k = _km_train(spark, "/root/testdata/sf0.01")
+    lit = base.select(
+        "vec_id", _km_code_col(cents, k).alias("code")
+    )
+    pnd = base.select(
+        "vec_id",
+        _km_code_col(cents, k, force_pandas=True).alias("code"),
+    )
+    assert lit.exceptAll(pnd).count() == 0
+    assert pnd.exceptAll(lit).count() == 0
+    base.unpersist()

@@ -53,15 +53,15 @@ def test_simhash_paired_candidates_subset_and_hamming3_complete(spark):
 
 
 def test_embedding_auto_bits_matches_fixed_at_small_corpus(spark):
-    """At a corpus small enough that auto mode picks 4 bits, the
-    buckets must be bit-identical to the fixed production recipe
-    (the compatibility claim that lets the registry query stay on
-    the oracle-checked fixed path)."""
+    """At a corpus small enough that auto mode (now the DEFAULT —
+    bits_per_band=None) picks 4 bits, the buckets must be
+    bit-identical to the legacy fixed 4-bit recipe (the compatibility
+    claim that keeps tiny-fixture brute-force replicas valid)."""
     emb = load_table(spark, "embeddings", SF_DIR_001)
     n = emb.count()
     auto_bits = max(4, min(16, (max(n, 1) // 64).bit_length()))
-    fixed = embedding_band_buckets(emb)
-    auto = embedding_band_buckets(emb, bits_per_band=None)
+    fixed = embedding_band_buckets(emb, bits_per_band=4)
+    auto = embedding_band_buckets(emb)
     if auto_bits == 4:
         assert fixed.exceptAll(auto).count() == 0
         assert auto.exceptAll(fixed).count() == 0

@@ -108,34 +108,33 @@ def main() -> None:
             ["q", "qval"],
             "doc_id",
         )
-        results.setdefault("embedding_cosine", {})[n] = _bucket_stats(
+        # the legacy fixed recipe, kept for the quadratic contrast
+        results.setdefault("embedding_cosine_fixed4", {})[n] = _bucket_stats(
             embedding_band_buckets(
-                load_table(spark, "embeddings", sf)
+                load_table(spark, "embeddings", sf), bits_per_band=4
             ),
             ["band", "bucket"],
             "vec_id",
         )
-        # the scale path: bits-per-band grows with log2(corpus)
+        # the PRODUCTION path (default since r07): bits-per-band
+        # grows with log2(corpus)
         results.setdefault("embedding_cosine_auto", {})[n] = _bucket_stats(
-            embedding_band_buckets(
-                load_table(spark, "embeddings", sf), bits_per_band=None
-            ),
+            embedding_band_buckets(load_table(spark, "embeddings", sf)),
             ["band", "bucket"],
             "vec_id",
         )
-        # semdedup: k-means clusters ARE the blocking buckets; with
-        # the oracle-pinned fixed K the pair growth is quadratic by
-        # design (the paper's production shape grows K with corpus)
+        # semdedup: k-means clusters ARE the blocking buckets; the
+        # default trainer now grows K with the corpus (K ≈ N/128
+        # clamped to [4, 64]) per the paper's production shape
         from distributedmapreduce_spark.plans.mlops import (
-            _KM_K,
             _km_code_col,
             _km_train,
         )
 
-        base, cents = _km_train(spark, sf)
+        base, cents, k = _km_train(spark, sf)
         results.setdefault("semdedup_kmeans", {})[n] = _bucket_stats(
             base.select(
-                "vec_id", (_km_code_col(cents) % _KM_K).alias("cluster")
+                "vec_id", (_km_code_col(cents, k) % k).alias("cluster")
             ),
             ["cluster"],
             "vec_id",
