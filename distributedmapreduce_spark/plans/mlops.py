@@ -229,12 +229,23 @@ def _km_train(
     (the BPE-trainer-duplication lesson, VERDICT r05 'what's wrong'
     #4)."""
     base = _km_quantized(spark, sf).persist()
+    # ONE setup job folds corpus count (for auto-K), dimensionality,
+    # and the seed rows (prefiltered to the _KM_CAP ceiling — at most
+    # 4096×64 ints ≈ 2 MB of driver state, corpus-independent)
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("q")).alias("dims"),
+        F.collect_list(
+            F.when(F.col("vec_id") < _KM_CAP, F.struct("vec_id", "q"))
+        ).alias("seeds"),
+    ).first()
     if k is None:
-        k = _km_auto_k(base.count())
-    dims = int(base.select(F.size("q")).head()[0])
+        k = _km_auto_k(int(row["n"]))
+    dims = int(row["dims"])
     cents: dict[int, list[int]] = {
-        int(r["vec_id"]): [int(v) for v in r["q"]]
-        for r in base.filter(F.col("vec_id") < k).collect()
+        int(s["vec_id"]): [int(v) for v in s["q"]]
+        for s in row["seeds"]
+        if int(s["vec_id"]) < k
     }
     for _ in range(_KM_T):
         assigned = base.select(
