@@ -91,7 +91,23 @@ def main() -> int:
     versions = {"duckdb": duckdb.__version__, "pyspark": pyspark.__version__}
     print(f"engines: {versions}")
 
-    only = set(sys.argv[1:])
+    # --json PATH: also write a driver-schema verdict map
+    # {name: {rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err}} covering every query run — the
+    # CORRECTNESS_LOCAL_r{N}.json artifact (VERDICT r06 next-round #1:
+    # verdicts for the registry queries the driver's 50-per-round
+    # sample has never reached).  hash_match here is the full
+    # order-insensitive multiset compare — strictly stronger than a
+    # value hash.
+    args = sys.argv[1:]
+    json_out: str | None = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    verdicts: dict[str, dict] = {}
+
+    only = set(args)
     if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
         # driver-parity mode: a bare SparkSession with NONE of the
         # engine factory's settings — every query must still pass
@@ -149,6 +165,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
+            verdicts[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark: {e}"[:300],
+            }
             continue
         if name not in oracles:
             print(
@@ -157,6 +181,14 @@ def main() -> int:
             )
             if len(srows) == 0:
                 print(f"WARN  {name}: zero rows")
+            verdicts[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             if name in staged:
@@ -170,6 +202,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            verdicts[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb: {e}"[:300],
+            }
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
@@ -181,6 +221,14 @@ def main() -> int:
         status = "PASS " if (ok_cols and ok_count and ok_vals) else "FAIL "
         if status == "FAIL ":
             failures.append(name)
+        verdicts[name] = {
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_vals,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else (scols, dcols)} "
@@ -195,6 +243,12 @@ def main() -> int:
         if not (ok_cols and ok_count and ok_vals):
             _write_diff_artifact(name, scols, srows, dcols, drows, versions)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(verdicts, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(verdicts)} verdicts)")
     return 1 if failures else 0
 
 
