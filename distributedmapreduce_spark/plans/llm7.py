@@ -685,6 +685,10 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     )
     lbl = emb.select("vec_id", "label")
     ex = embedding_band_buckets(emb).join(lbl, "vec_id")
+    # the anchor's label rides the candidate generator (functionally
+    # dependent on anchor, so the distinct cardinality is unchanged)
+    # — the verify stage then needs only the two vector join-backs,
+    # not a third label join
     cand = (
         ex.join(
             ex.select(
@@ -696,7 +700,7 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
             ["band", "bucket"],
         )
         .filter(F.col("label") != F.col("nlabel"))
-        .select(F.col("vec_id").alias("anchor"), "neg")
+        .select(F.col("vec_id").alias("anchor"), "neg", "label")
         .distinct()
     )
     n = emb.select("vec_id", "embedding", "nrm")
@@ -722,7 +726,6 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
             ),
             "neg",
         )
-        .join(lbl.select(F.col("vec_id").alias("anchor"), "label"), "anchor")
         .select(
             "anchor",
             "label",
