@@ -72,3 +72,58 @@ def test_embedding_auto_bits_matches_fixed_at_small_corpus(spark):
             auto.select("bucket").distinct().count()
             >= fixed.select("bucket").distinct().count()
         )
+
+
+def test_lsh_bits_sql_matches_python_formula():
+    """The oracle's integer-threshold CASE (_emb_lsh_bits_sql) must
+    equal the Spark-side auto-bits formula for every corpus-size
+    regime, including both clamp edges and the power-of-two
+    boundaries — this equality is what makes the dynamic oracles
+    exact at any scale."""
+    import duckdb
+
+    from distributedmapreduce_spark.plans.llm import (
+        _emb_lsh_auto_bits,
+        _emb_lsh_bits_sql,
+    )
+
+    sql = _emb_lsh_bits_sql()
+    ns = (
+        list(range(0, 200))
+        + [63, 64, 65, 1023, 1024, 1025]
+        + [64 * (1 << b) + d for b in range(3, 17) for d in (-1, 0, 1)]
+    )
+    con = duckdb.connect()
+    for n in ns:
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT * FROM range({max(n, 0)})"
+        )
+        (got,) = con.execute(sql).fetchone()
+        assert got == _emb_lsh_auto_bits(n), (n, got)
+
+
+def test_km_k_sql_matches_python_formula():
+    """Same pin for the Lloyd trainer's auto-K: the km_k CTE must
+    equal _km_auto_k for every corpus size, including the clamp
+    edges."""
+    import duckdb
+
+    from distributedmapreduce_spark.plans.mlops import (
+        _KM_K_CTE,
+        _km_auto_k,
+    )
+
+    con = duckdb.connect()
+    ns = (
+        list(range(0, 300))
+        + [511, 512, 513, 8191, 8192, 8193]
+        + [128 * 4096 - 1, 128 * 4096, 128 * 4096 + 1, 10**7]
+    )
+    for n in ns:
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT * FROM range({n})"
+        )
+        (got,) = con.execute(_KM_K_CTE).fetchone()
+        assert got == _km_auto_k(n), (n, got)

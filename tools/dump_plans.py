@@ -223,6 +223,20 @@ SHOWCASE = [
         "factored out so the scoring join touches only model-present "
         "(word, lang) pairs — no dense doc x vocab grid",
     ),
+    (
+        "dedup_embedding_cosine",
+        "corpus-scaled sign-LSH blocking (r07 default): bucketed "
+        "equi-join candidate generation — no cartesian anywhere; "
+        "bits-per-band grow with log2(corpus) so the bucket space "
+        "tracks the corpus and pair growth stays ~linear",
+    ),
+    (
+        "semdedup_cluster_prune",
+        "cluster-blocked semantic dedup (r07 auto-K default): "
+        "K ≈ N/128 Lloyd clusters block the pairwise cosine; "
+        "within-cluster join only, two-phase argmin keeper, one "
+        "persisted vector projection with lifted norms",
+    ),
 ]
 
 
