@@ -771,12 +771,28 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
 # (FAISS IVFADC; Jégou et al. 2011 §IV).  Everything integer: the
 # query LUT and every ADC distance are exact sums of squared ticks.
 _IVFPQ_NQ = 3  # query vectors (vec_id < NQ)
-_IVFPQ_NPROBE = 2
+_IVFPQ_NPROBE = 2  # the k=4 fixture resolution of _ivfpq_nprobe
 _IVFPQ_TOPK = 5
+
+# corpus-scaled probe count: nprobe = max(2, floor(sqrt(K))) — the
+# standard IVF cost/recall shape (per-query candidates ≈ √K · |list|
+# ∝ √N under auto-K, instead of a fixed 2-list probe whose probed
+# fraction collapses as K grows).  IEEE sqrt is correctly rounded, so
+# floor(sqrt) of a perfect square is exact in both engines; the
+# Python twin uses math.isqrt (identical for k ≤ 2^52).  At the
+# k=4 fixture floor this resolves to the legacy nprobe=2.
+_IVFPQ_NPROBE_SQL = "greatest(2, CAST(floor(sqrt({k})) AS INT))"
+
+
+def _ivfpq_nprobe(k: int) -> int:
+    import math
+
+    return max(2, math.isqrt(k))
 
 
 def _ivfpq_tail_sql(x: str, last_m: str, asg: str, codes: str, pqx: str,
-                    pqc1: str) -> str:
+                    pqc1: str, k: str = _KM_KX) -> str:
+    nprobe = _IVFPQ_NPROBE_SQL.format(k=k)
     return f"""
     qd AS (
       SELECT x.vec_id AS qid, m.j,
@@ -788,7 +804,7 @@ def _ivfpq_tail_sql(x: str, last_m: str, asg: str, codes: str, pqx: str,
         SELECT qid, j,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY dist, j) AS rn
-        FROM qd) WHERE rn <= {_IVFPQ_NPROBE}),
+        FROM qd) WHERE rn <= {nprobe}),
     lut AS (
       SELECT x.vec_id AS qid, c.m, c.j,
              sum((x.q - c.c) * (x.q - c.c)) AS ad
@@ -851,8 +867,9 @@ def _ivfpq_oracle_staged() -> list[str]:
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ approximate nearest neighbor (the FAISS IVFADC shape,
     Jégou et al. 2011 §IV): the coarse k-means quantizer prunes the
-    corpus to nprobe=2 of K inverted lists (K corpus-scaled,
-    ≈ count/128 clamped to [4, 64] — the shared auto trainer), and
+    corpus to nprobe = max(2, ⌊√K⌋) of K inverted lists (both
+    corpus-scaled — K ≈ count/128 clamped to [4, 4096] via the shared
+    auto trainer, so per-query candidates ≈ √K·|list| ∝ √N), and
     distances inside the probed lists are ASYMMETRIC-DISTANCE
     lookups — per query, one
     M×Kc table of exact integer subspace distances (the LUT), and
@@ -906,7 +923,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
             )
             for j, m in cents.items()
         )
-        probes += [(qid, j) for _, j in dists[:_IVFPQ_NPROBE]]
+        probes += [(qid, j) for _, j in dists[: _ivfpq_nprobe(k)]]
         for (m, j), c in sorted(cb.items()):
             lut.append(
                 (

@@ -127,3 +127,23 @@ def test_km_k_sql_matches_python_formula():
         )
         (got,) = con.execute(_KM_K_CTE).fetchone()
         assert got == _km_auto_k(n), (n, got)
+
+
+def test_ivfpq_nprobe_sql_matches_python_formula():
+    """nprobe = max(2, floor(sqrt(K))): the SQL expression and the
+    Python twin must agree for every K in the auto range, including
+    perfect squares (IEEE sqrt is correctly rounded, so the floor
+    can't straddle a square boundary)."""
+    import duckdb
+
+    from distributedmapreduce_spark.plans.llm7 import (
+        _IVFPQ_NPROBE_SQL,
+        _ivfpq_nprobe,
+    )
+
+    con = duckdb.connect()
+    for k in list(range(4, 200)) + [255, 256, 257, 4095, 4096]:
+        (got,) = con.execute(
+            f"SELECT {_IVFPQ_NPROBE_SQL.format(k=k)}"
+        ).fetchone()
+        assert got == _ivfpq_nprobe(k), (k, got)
