@@ -93,6 +93,9 @@ TIER2 = [
     "hard_negative_mining",
     # the composed IVF-PQ index: both trainers + probe/ADC search
     "ann_ivfpq_topk",
+    # round-7 addition: the corpus-scaled sign-LSH near-dup flagship
+    # (auto bits-per-band became the production default this round)
+    "dedup_embedding_cosine",
 ]
 
 
