@@ -462,18 +462,28 @@ def cosine_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("ann_lsh_topk", oracle=None)  # seeded hyperplanes; not SQL-portable
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 8-bit sign signature
-    (hyperplanes drawn once from a fixed-seed generator — deterministic
-    across runs), bucket on signature, exact cosine only within the
-    query's bucket.  The scale path: both sides shuffle on the bucket
-    key, no cross join anywhere.  Signature = one (batch x dim) @
-    (dim x 8) matmul per Arrow batch; the builtin-HOF formulation was
+    """Approximate NN via random-hyperplane LSH: CORPUS-SCALED sign
+    signature — bit_length(count/64) planes clamped to [8, 24], drawn
+    once from a fixed-seed generator as a 24-plane pool whose prefix
+    is used (so growing the corpus EXTENDS the signature without
+    changing the bits already assigned) — bucket on signature, exact
+    cosine only within the query's bucket.  The fixed 8-bit signature
+    this replaces saturated at 256 buckets, so bucket size (and the
+    exact-rerank cost) grew linearly with the corpus; under the auto
+    width the expected bucket size stays ~constant (the
+    embedding_band_buckets discipline applied to the single-signature
+    probe).  The scale path: both sides shuffle on the bucket key, no
+    cross join anywhere.  Signature = one (batch x dim) @ (dim x 24)
+    matmul per Arrow batch; the builtin-HOF formulation was
     interpreted per element and 4x slower."""
     import numpy as np
 
     emb = t(spark, sf, "embeddings")
-    dim, n_planes = 64, 8
-    planes = np.random.RandomState(42).standard_normal((n_planes, dim))
+    dim = 64
+    n_planes = max(8, min(24, (max(emb.count(), 1) // 64).bit_length()))
+    planes = np.random.RandomState(42).standard_normal((24, dim))[
+        :n_planes
+    ]
     pow2 = 1 << np.arange(n_planes)
 
     def _sig_fn(col):
@@ -622,16 +632,17 @@ def _emb_lsh_oracle_bucket(prefix: str = "") -> str:
     return terms
 
 
-def _emb_lsh_bits_sql() -> str:
-    """The auto bits-per-band as a 1-row DuckDB relation — integer
+def _emb_lsh_bits_sql(lo: int = _EMB_LSH_BITS, hi: int = 16) -> str:
+    """The auto signature width as a 1-row DuckDB relation — integer
     threshold CASE, no float log anywhere, replicating
-    _emb_lsh_auto_bits exactly: bit_length(count // 64) clamped to
-    [4, 16] (bit_length(x) = b  <=>  x in [2^(b-1), 2^b))."""
+    bit_length(count // 64) clamped to [lo, hi]
+    (bit_length(x) = b  <=>  x in [2^(b-1), 2^b)).  Defaults are the
+    banded-LSH recipe; ann_lsh_topk_portable passes [8, 24]."""
     x = "(count(*) // 64)"
     cases = " ".join(
-        f"WHEN {x} >= {1 << (b - 1)} THEN {b}" for b in range(16, 4, -1)
+        f"WHEN {x} >= {1 << (b - 1)} THEN {b}" for b in range(hi, lo, -1)
     )
-    return f"SELECT CASE {cases} ELSE {_EMB_LSH_BITS} END AS bits FROM embeddings"
+    return f"SELECT CASE {cases} ELSE {lo} END AS bits FROM embeddings"
 
 
 def _emb_lsh_oracle_bucket_auto(prefix: str = "") -> str:
@@ -1303,22 +1314,40 @@ def stratified_sample_portable(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-_PANN_BITS = 8  # portable ANN signature width
+_PANN_BITS = 8  # portable ANN signature floor (auto grows to 24)
+_PANN_BITS_CAP = 24  # 2j+1 index stays < 48 < dim at the cap
 _PANN_K = 3  # neighbors per query
 _PANN_NQ = 10  # query set: vec_id < 10 (same as ann_lsh_topk)
 
 
+def _pann_auto_bits(n: int) -> int:
+    return max(_PANN_BITS, min(_PANN_BITS_CAP, (max(n, 1) // 64).bit_length()))
+
+
 def _pann_oracle() -> str:
+    # bits 8..23 gate on the corpus-scaled width (nb CTE), exactly
+    # like the banded dedup oracle — same integer thresholds as
+    # _pann_auto_bits, different clamp [8, 24]
     bucket_terms = " + ".join(
-        f"(CASE WHEN CAST(embedding[{2 * j + 1}] AS DOUBLE)"
-        f" - CAST(embedding[{2 * j + 2}] AS DOUBLE) > 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(_PANN_BITS)
+        (
+            f"(CASE WHEN CAST(embedding[{2 * j + 1}] AS DOUBLE)"
+            f" - CAST(embedding[{2 * j + 2}] AS DOUBLE) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            if j < _PANN_BITS
+            else (
+                f"(CASE WHEN {j} < nb.bits AND"
+                f" CAST(embedding[{2 * j + 1}] AS DOUBLE)"
+                f" - CAST(embedding[{2 * j + 2}] AS DOUBLE) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        )
+        for j in range(_PANN_BITS_CAP)
     )
     return f"""
-    WITH sig AS (
+    WITH nb AS ({_emb_lsh_bits_sql(_PANN_BITS, _PANN_BITS_CAP)}),
+    sig AS (
       SELECT vec_id, CAST({bucket_terms} AS BIGINT) AS bucket
-      FROM embeddings),
+      FROM embeddings CROSS JOIN nb),
     pos AS (
       SELECT vec_id, i - 1 AS i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5)
@@ -1359,10 +1388,14 @@ def _pann_oracle() -> str:
 def ann_lsh_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
     """ANN with a fully ORACLE-CHECKED pipeline — the hash-verified
     twin of ann_lsh_topk (whose seeded-numpy hyperplanes are
-    engine-internal): the 8-bit signature uses deterministic
+    engine-internal): the CORPUS-SCALED signature
+    (bit_length(count/64) clamped to [8, 24] — so the bucket space
+    tracks the corpus and within-bucket rerank cost stays ~constant,
+    matching the production twin's auto width) uses deterministic
     coordinate-DIFFERENCE hyperplanes sign(x[2j] − x[2j+1]) — a valid
     cosine-LSH family needing no stored planes (same trick as
-    embedding_band_buckets' scale mode) — and the within-bucket
+    embedding_band_buckets' auto mode; the oracle's nb CTE computes
+    the identical width from count(*)) — and the within-bucket
     rerank is an exact INTEGER-quantized cosine (dot and norms as
     int64 sums of 1e4-tick products; the only doubles are one
     division and two sqrts over identical integers on both engines).
@@ -1371,12 +1404,13 @@ def ann_lsh_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
     bucket, top-k by (cos, id) window per query — no cross join, no
     stored model state."""
     emb = t(spark, sf, "embeddings")
+    bits = _pann_auto_bits(emb.count())
     qarr = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1e4 + F.lit(0.5)).cast("long"),
     )
     bucket = None
-    for j in range(_PANN_BITS):
+    for j in range(bits):
         b = (
             F.col("embedding")[2 * j].cast("double")
             - F.col("embedding")[2 * j + 1].cast("double")

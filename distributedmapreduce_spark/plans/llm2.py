@@ -141,8 +141,10 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("ann_ivf_topk", oracle=None)  # float reduction order -> rows-only
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF approximate NN: K=16 inverted lists, nprobe=4, with the index
-    PERSISTED between runs (operators/index_store.py).
+    """IVF approximate NN: corpus-scaled K ≈ count/128 inverted lists
+    (16-list floor) probed at nprobe = max(4, ⌊√K⌋), with the index
+    PERSISTED between runs (operators/index_store.py — K is part of
+    the index fingerprint, so a corpus-size change rebuilds it).
 
     Index build (first run per corpus fingerprint only): deterministic
     seed centroids (the K lowest vec_ids), one Lloyd refinement (numpy
@@ -163,7 +165,15 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
 
     emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
-    k_lists, n_probe, top_k = 16, 4, 5
+    # corpus-scaled lists + probes (r07): K ≈ count/128 with a
+    # 16-list floor (the legacy fixture value — sf0.01 output is
+    # unchanged) and nprobe = max(4, ⌊√K⌋), the same cost/recall
+    # shape as ann_ivfpq_topk
+    import math
+
+    n_vec = emb.count()
+    k_lists = max(16, min(4096, n_vec // 128))
+    n_probe, top_k = max(4, math.isqrt(k_lists)), 5
     src = os.path.join(sf, "embeddings.parquet")
 
     def _unit(m: "np.ndarray") -> "np.ndarray":
@@ -273,18 +283,36 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 # Portable (oracle-checked) IVF — deterministic twin of ann_ivf_topk
 # ---------------------------------------------------------------------------
 
-_PIVF_K = 8  # coarse centroids
-_PIVF_NPROBE = 2  # probed inverted lists per query
+_PIVF_K = 8  # coarse-centroid floor (auto grows with the corpus)
+_PIVF_K_CAP = 4096
+_PIVF_NPROBE = 2  # the k=8 fixture resolution of _pivf_nprobe
 _PIVF_TOPK = 3
 _PIVF_NQ = 10  # queries: vec_id < 10
+
+
+def _pivf_k(n: int) -> int:
+    """Corpus-scaled list count, twin of the oracle's pk CTE."""
+    return max(_PIVF_K, min(_PIVF_K_CAP, n // 128))
+
+
+def _pivf_nprobe(k: int) -> int:
+    import math
+
+    return max(_PIVF_NPROBE, math.isqrt(k))
 
 
 def _pivf_oracle() -> str:
     from .llm3 import _md5_uniform_sql
 
     u = _md5_uniform_sql("ivfc", "vec_id")
+    kx = "(SELECT k FROM pk)"
+    nprobe = f"greatest({_PIVF_NPROBE}, CAST(floor(sqrt({kx})) AS INT))"
     return f"""
-    WITH pos AS (
+    WITH pk AS (
+      SELECT greatest({_PIVF_K}, least({_PIVF_K_CAP}, count(*) // 128))
+               AS k
+      FROM embeddings),
+    pos AS (
       SELECT vec_id, i - 1 AS i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4 + 0.5)
                   AS BIGINT) AS qx
@@ -293,7 +321,7 @@ def _pivf_oracle() -> str:
             FROM pos GROUP BY vec_id),
     cent AS (
       SELECT vec_id AS cid FROM embeddings
-      ORDER BY {u}, vec_id LIMIT {_PIVF_K}),
+      ORDER BY {u}, vec_id LIMIT {kx}),
     cos AS (
       SELECT a.vec_id, c.cid,
              CAST(floor(CAST(sum(a.qx * b.qx) AS BIGINT)
@@ -317,7 +345,7 @@ def _pivf_oracle() -> str:
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY cos_e6 DESC, cid) AS rn
         FROM cos WHERE vec_id < {_PIVF_NQ})
-      WHERE rn <= {_PIVF_NPROBE}),
+      WHERE rn <= {nprobe}),
     cand AS (
       SELECT p.query_id, m.vec_id AS neighbor_id
       FROM probes p JOIN assign m ON m.cid = p.cid
@@ -346,11 +374,14 @@ def _pivf_oracle() -> str:
 def ann_ivf_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with a fully ORACLE-CHECKED pipeline — hash-verified
     twin of ann_ivf_topk (whose k-means centroids are seeded-numpy
-    engine state): the K=8 coarse centroids are the K corpus vectors
-    with the smallest md5 uniforms (deterministic random init — IVF
-    without the Lloyd iterations, which is exactly the 'IVF-FLAT,
-    random init' baseline), assignment/probing/rerank all use the
-    exact integer-quantized cosine of ann_lsh_topk_portable.  Scale
+    engine state): the CORPUS-SCALED K ≈ count/128 coarse centroids
+    (8-list floor; nprobe = max(2, ⌊√K⌋) — the oracle's pk CTE
+    computes the same integers from count(*)) are the K corpus
+    vectors with the smallest md5 uniforms (deterministic random
+    init — IVF without the Lloyd iterations, which is exactly the
+    'IVF-FLAT, random init' baseline), assignment/probing/rerank all
+    use the exact integer-quantized cosine of
+    ann_lsh_topk_portable.  Scale
     shape identical to the production IVF: assignment is a broadcast
     join against K centroid vectors (linear, map-side); the search
     probes nprobe inverted lists, never the whole corpus; the rerank
@@ -367,10 +398,12 @@ def ann_ivf_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    k = _pivf_k(emb.count())
+    nprobe = _pivf_nprobe(k)
     tagged = emb.select("vec_id", qarr.alias("q")).withColumn("nn", nn)
     cent = (
         tagged.orderBy(_md5_uniform("ivfc", F.col("vec_id")), "vec_id")
-        .limit(_PIVF_K)
+        .limit(k)
         .select(
             F.col("vec_id").alias("cid"),
             F.col("q").alias("cq"),
@@ -410,7 +443,7 @@ def ann_ivf_topk_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
     probes = (
         ranked.filter(
-            (F.col("vec_id") < _PIVF_NQ) & (F.col("rn") <= _PIVF_NPROBE)
+            (F.col("vec_id") < _PIVF_NQ) & (F.col("rn") <= nprobe)
         )
         .select(
             F.col("vec_id").alias("query_id"),

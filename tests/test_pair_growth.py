@@ -147,3 +147,29 @@ def test_ivfpq_nprobe_sql_matches_python_formula():
             f"SELECT {_IVFPQ_NPROBE_SQL.format(k=k)}"
         ).fetchone()
         assert got == _ivfpq_nprobe(k), (k, got)
+
+
+def test_pann_bits_sql_matches_python_formula():
+    """The [8, 24]-clamped width of ann_lsh_topk_portable: same
+    integer-threshold CASE generator, different bounds — swept over
+    both clamp edges and the power-of-two boundaries."""
+    import duckdb
+
+    from distributedmapreduce_spark.plans.llm import (
+        _emb_lsh_bits_sql,
+        _pann_auto_bits,
+    )
+
+    sql = _emb_lsh_bits_sql(8, 24)
+    ns = (
+        list(range(0, 200))
+        + [64 * (1 << b) + d for b in range(6, 25) for d in (-1, 0, 1)]
+    )
+    con = duckdb.connect()
+    for n in ns:
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT * FROM range({max(n, 0)})"
+        )
+        (got,) = con.execute(sql).fetchone()
+        assert got == _pann_auto_bits(n), (n, got)
