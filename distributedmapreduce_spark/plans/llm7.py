@@ -166,7 +166,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
     (the explain lint verifies cartesian-freedom on the executed
     plan).  Output similarity is floor(cos*1e6) — both engines floor
     the same double, so the gate is exact."""
-    base, cents, k = _km_train(spark, sf)
+    base, cents, k, _low = _km_train(spark, sf)
     asg = base.select(
         "vec_id", (_km_code_col(cents, k) % k).alias("cluster")
     )
@@ -893,7 +893,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     switches to the table-driven broadcast-join form pq_codebook_sse
     already uses), the LUT stays per-query constant, and candidates
     per query are |list|·nprobe — the pruning IS the index."""
-    base, cents, k = _km_train(spark, sf)
+    base, cents, k, low = _km_train(spark, sf)
     asg = base.select(
         "vec_id",
         (_km_code_col(cents, k) % k).cast("long").alias("cluster"),
@@ -904,10 +904,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("m").cast("long").alias("m"),
         (F.col("code") % _PQ_KC).cast("long").alias("j"),
     )
-    qrows = {
-        int(r["vec_id"]): [int(v) for v in r["q"]]
-        for r in base.filter(F.col("vec_id") < _IVFPQ_NQ).collect()
-    }
+    # query vectors come from the trainer's setup aggregate (they are
+    # a subset of its low-id seed rows) — no extra collect job
+    qrows = {i: q for i, q in low.items() if i < _IVFPQ_NQ}
     cb: dict[tuple[int, int], dict[int, int]] = {}
     for r in c1.collect():
         cb.setdefault((int(r["m"]), int(r["j"])), {})[int(r["d"])] = int(

@@ -216,10 +216,14 @@ def _km_code_col(
 
 def _km_train(
     spark: SparkSession, sf: str, k: int | None = None
-) -> tuple[DataFrame, dict[int, list[int]], int]:
+) -> tuple[DataFrame, dict[int, list[int]], int, dict[int, list[int]]]:
     """Run the T-round Lloyd trainer ONCE: returns the persisted
-    quantized base table, the final centroid matrix, and the K it
-    trained with.  ``k=None`` (the default) is the AUTO mode —
+    quantized base table, the final centroid matrix, the K it
+    trained with, and the low-id raw tick rows (vec_id < _KM_CAP —
+    the setup aggregate already carries them, so a composing query
+    needing raw query vectors, e.g. ann_ivfpq_topk's vec_id < NQ
+    query set, reads them without another job).  ``k=None`` (the
+    default) is the AUTO mode —
     K ≈ count / _KM_TARGET clamped to [_KM_K, _KM_CAP], matching the
     km_k CTE the dynamic oracles compute — so cluster size (and
     every consumer's per-cluster candidate volume) stays ~constant
@@ -242,10 +246,11 @@ def _km_train(
     if k is None:
         k = _km_auto_k(int(row["n"]))
     dims = int(row["dims"])
+    low_rows: dict[int, list[int]] = {
+        int(s["vec_id"]): [int(v) for v in s["q"]] for s in row["seeds"]
+    }
     cents: dict[int, list[int]] = {
-        int(s["vec_id"]): [int(v) for v in s["q"]]
-        for s in row["seeds"]
-        if int(s["vec_id"]) < k
+        i: list(q) for i, q in low_rows.items() if i < k
     }
     for _ in range(_KM_T):
         assigned = base.select(
@@ -266,7 +271,7 @@ def _km_train(
             ]
             for r in rows
         }
-    return base, cents, k
+    return base, cents, k, low_rows
 
 
 @query(
@@ -301,7 +306,7 @@ def kmeans_int8_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     engines share — VERDICT r06 "what's wrong" #1) and the T-round
     loop is data-independent, so raising either is linear.
     """
-    base, cents, k = _km_train(spark, sf)
+    base, cents, k, _low = _km_train(spark, sf)
     l1 = {j: sum(m) for j, m in cents.items()}
     l1_map = F.create_map(
         *[F.lit(v) for jl in sorted(l1.items()) for v in jl]
@@ -749,7 +754,7 @@ def coreset_centroid_topk(spark: SparkSession, sf: str) -> DataFrame:
     window, so the low-cardinality partition spec never funnels the
     corpus through one task (the lint's _BOUNDED_STOP recognizes
     exactly this shape)."""
-    base, cents, k = _km_train(spark, sf)
+    base, cents, k, _low = _km_train(spark, sf)
     f = base.select(
         "vec_id", _km_code_col(cents, k).alias("code")
     ).select(

@@ -542,7 +542,7 @@ def test_km_code_pandas_path_matches_literal(spark):
         _km_train,
     )
 
-    base, cents, k = _km_train(spark, "/root/testdata/sf0.01")
+    base, cents, k, _low = _km_train(spark, "/root/testdata/sf0.01")
     lit = base.select(
         "vec_id", _km_code_col(cents, k).alias("code")
     )

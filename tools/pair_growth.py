@@ -131,7 +131,7 @@ def main() -> None:
             _km_train,
         )
 
-        base, cents, k = _km_train(spark, sf)
+        base, cents, k, _low = _km_train(spark, sf)
         results.setdefault("semdedup_kmeans", {})[n] = _bucket_stats(
             base.select(
                 "vec_id", (_km_code_col(cents, k) % k).alias("cluster")
