@@ -151,7 +151,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
     key-shifted replica range — id-scaled packings are not
     100 TB-safe, two-phase aggregation is.)  Clusters come from the
     shared integer-tick Lloyd trainer (mlops._km_train — AUTO
-    K ≈ count/128 clamped to [4, 64], T=3, deterministic first-K
+    K ≈ count/128 clamped to [4, 4096], T=3, deterministic first-K
     init), so the DuckDB oracle replays the identical training chain
     bit-for-bit (its km_k CTE computes the same K from count(*));
     the staged twin materializes each Lloyd round once for the scales

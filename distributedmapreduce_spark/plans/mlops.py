@@ -280,7 +280,7 @@ def _km_train(
     staged_oracle=_km_oracle_staged(),
 )
 def kmeans_int8_lloyd(spark: SparkSession, sf: str) -> DataFrame:
-    """Lloyd k-means (AUTO K ≈ count/128 clamped to [4, 64], T=3
+    """Lloyd k-means (AUTO K ≈ count/128 clamped to [4, 4096], T=3
     rounds) over integer-tick embedding coordinates — the coarse
     quantizer an embedding lake trains for IVF partitioning and data
     maps.  Everything is exact integer
