@@ -182,19 +182,30 @@ _ROLL_7D_US = 7 * 86_400 * 1_000_000
 
 
 def _rolling_spend_fn(key, pdfs, state: GroupState):
-    """Trailing-7-day spend per purchase with UPDATE semantics: state
-    holds the user's purchase history (sorted triplet arrays); every
-    batch merges its rows in and re-emits the trailing sum for EVERY
-    event, so a late-arriving older purchase retro-corrects the sums
-    of the events inside its 7-day shadow (the memory-sink reader
-    keeps the last emit per event_id).  RANGE-frame semantics match
-    the batch twin exactly: the window for event i is all purchases
-    with us in [us_i - 7d, us_i] INCLUSIVE of same-instant peers,
-    computed by prefix sums + bisect over the sorted history.  State
-    is one user's purchase history — at production scale evict
-    entries older than the watermark minus 7d; the operator's math is
-    unchanged by eviction because evicted rows can no longer fall in
-    any live event's window."""
+    """Trailing-7-day spend per purchase with UPDATE semantics and
+    BOUNDED state: state holds the user's purchase rows inside the
+    7-day-past-watermark horizon (sorted triplet arrays, DEDUP'd by
+    event_id — an at-least-once source redelivering a retained row
+    adds nothing); every batch merges its rows in and re-emits the
+    trailing sum for EVERY retained event, so a late-arriving older
+    purchase retro-corrects the sums of the events inside its 7-day
+    shadow (the memory-sink reader keeps the last emit per event_id).
+    RANGE-frame semantics match the batch twin exactly: the window
+    for event i is all purchases with us in [us_i - 7d, us_i]
+    INCLUSIVE of same-instant peers, computed by prefix sums + bisect
+    over the sorted history.  Watermark discipline, two cutoffs:
+    events BELOW the watermark are FINAL — no future arrival can sit
+    inside their window (Spark drops later-late rows, so every future
+    contributor has ts ≥ wm > us_event) — so they stop being
+    re-emitted (their last emission already holds the final value);
+    rows below wm − 7d additionally leave state entirely, because
+    every event that will still be emitted has us ≥ wm and a window
+    floor ≥ wm − 7d.  Rows in the [wm − 7d, wm) shadow are retained
+    as CONTRIBUTORS only — still summed into live windows, no longer
+    emitted.  Redelivery of an evicted row is dropped by the
+    watermark gate, so forgetting evicted event_ids is safe.  With no
+    watermark configured the whole history is retained and re-emitted
+    (the fn drives both modes — tests/test_streaming.py)."""
     import bisect
 
     (user_id,) = key
@@ -202,27 +213,42 @@ def _rolling_spend_fn(key, pdfs, state: GroupState):
         us, eid, cents = (list(x) for x in state.get)
     else:
         us, eid, cents = [], [], []
+    seen = set(eid)
     for pdf in pdfs:
-        us += [int(x) for x in pdf["us"]]
-        eid += [int(x) for x in pdf["event_id"]]
-        cents += [int(x) for x in pdf["cents"]]
+        for u, e, c in zip(pdf["us"], pdf["event_id"], pdf["cents"]):
+            e = int(e)
+            if e in seen:
+                continue
+            seen.add(e)
+            us.append(int(u))
+            eid.append(e)
+            cents.append(int(c))
     order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
     us = [us[i] for i in order]
     eid = [eid[i] for i in order]
     cents = [cents[i] for i in order]
-    state.update((us, eid, cents))
+    try:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+    except Exception:  # noqa: BLE001 — [CANNOT_WITHOUT] no-watermark
+        wm_us = 0
+    cut = bisect.bisect_left(us, wm_us - _ROLL_7D_US)
+    state.update((us[cut:], eid[cut:], cents[cut:]))
     pref = [0]
     for c in cents:
         pref.append(pref[-1] + c)
+    # emit only the still-mutable events (us >= watermark); their
+    # windows are computed over the FULL retained history, including
+    # the shadow contributors below the watermark
+    emit = bisect.bisect_left(us, wm_us)
     sums = [
         pref[bisect.bisect_right(us, u)]
         - pref[bisect.bisect_left(us, u - _ROLL_7D_US)]
-        for u in us
+        for u in us[emit:]
     ]
     yield pd.DataFrame(
         {
-            "user_id": [user_id] * len(us),
-            "event_id": eid,
+            "user_id": [user_id] * (len(us) - emit),
+            "event_id": eid[emit:],
             "spend_7d_c": sums,
         }
     )

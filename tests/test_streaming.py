@@ -405,3 +405,53 @@ def test_clamped_balance_fn_folds_watermark_prefix_and_dedups():
     out3 = next(_clamped_balance_fn((7,), [b3], st)).iloc[0]
     assert (out3.n_events, out3.final_s, out3.final_balance,
             out3.peak_balance) == (5, -365, 75, 100)
+
+
+def test_rolling_spend_fn_evicts_horizon_and_dedups():
+    """Same bounded-state discipline as the clamped balance: rows
+    older than watermark − 7d evict after their final emission, a
+    redelivered retained event_id is ignored, and every emitted sum
+    equals the full-history RANGE-frame value."""
+    import pandas as pd
+
+    from distributedmapreduce_spark.streaming.windows import (
+        _ROLL_7D_US,
+        _rolling_spend_fn,
+    )
+
+    day = 86_400 * 1_000_000
+    st = FakeGroupState(watermark_ms=0)
+    b1 = pd.DataFrame(
+        {
+            "us": [0, 3 * day, 6 * day],
+            "event_id": [1, 2, 3],
+            "cents": [100, 50, 25],
+        }
+    )
+    out1 = next(_rolling_spend_fn((7,), [b1], st))
+    assert dict(zip(out1.event_id, out1.spend_7d_c)) == {
+        1: 100,
+        2: 150,
+        3: 175,
+    }
+    assert len(st.get[0]) == 3  # no watermark: everything retained
+    # watermark advances to day 9: events below the watermark are
+    # FINAL and stop re-emitting (their batch-1 values stand); rows
+    # below 9d-7d=2d evict from state; the [2d, 9d) shadow stays as
+    # contributors only; a redelivery of retained event 2 is deduped;
+    # the new purchase at day 9 sums the full 7d window INCLUDING the
+    # shadow contributors
+    st._wm = (9 * day) // 1000
+    b2 = pd.DataFrame(
+        {"us": [3 * day, 9 * day], "event_id": [2, 4], "cents": [50, 10]}
+    )
+    out2 = next(_rolling_spend_fn((7,), [b2], st))
+    assert dict(zip(out2.event_id, out2.spend_7d_c)) == {4: 85}
+    us, eid, cents = st.get
+    assert list(eid) == [2, 3, 4]  # event 1 (us=0 < 2d) evicted
+    # event 1's redelivery after eviction would be dropped by the
+    # watermark gate in Spark; batch 3 re-emits only the live event,
+    # its sum unchanged over the retained shadow
+    b3 = pd.DataFrame({"us": [], "event_id": [], "cents": []})
+    out3 = next(_rolling_spend_fn((7,), [b3], st))
+    assert dict(zip(out3.event_id, out3.spend_7d_c)) == {4: 85}
