@@ -177,15 +177,27 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "embeddings.parquet")
 
     def _unit(m: "np.ndarray") -> "np.ndarray":
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
+        # zero-norm guard: a centroid whose cluster lost every member
+        # in the Lloyd refinement stays all-zero; dividing by its norm
+        # would yield a NaN row, and argmax over a matrix with a NaN
+        # column assigns EVERY vector to the dead cluster (silent
+        # index corruption at any K, and auto-K seeds up to 4096
+        # clusters).  Keeping the row at zero instead leaves its
+        # similarity at 0, and assign_udf masks it to -inf below.
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0.0, 1.0, n)
 
     def assign_udf(centroids: "np.ndarray"):
         cn = _unit(centroids)
+        dead = np.linalg.norm(centroids, axis=1) == 0.0
 
         @F.pandas_udf("int")
         def assign(col: pd.Series) -> pd.Series:
             m = _unit(np.vstack(col.to_numpy()))
-            return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+            sims = m @ cn.T
+            if dead.any():
+                sims[:, dead] = -np.inf
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
         return assign
 
@@ -246,10 +258,13 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # query set is small by contract, like cosine_topk_bruteforce)
     q_rows = emb.filter(F.col("vec_id") < 10).collect()
     c1n = _unit(c1)
+    dead_c = np.linalg.norm(c1, axis=1) == 0.0
     probe_rows = []
     for r in q_rows:
         q = np.asarray(r.embedding, dtype="float64")
         sims = (q / np.linalg.norm(q)) @ c1n.T
+        # never probe a dead (memberless) centroid's empty list
+        sims[dead_c] = -np.inf
         for c in np.argsort(-sims)[:n_probe]:
             probe_rows.append((r.vec_id, int(c), [float(x) for x in q]))
     probes = spark.createDataFrame(

@@ -103,6 +103,12 @@ def main() -> int:
     json_out: str | None = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print(
+                "usage: check_oracle.py [--json OUT_PATH] [query ...]",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     verdicts: dict[str, dict] = {}

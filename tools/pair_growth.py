@@ -125,7 +125,7 @@ def main() -> None:
         )
         # semdedup: k-means clusters ARE the blocking buckets; the
         # default trainer now grows K with the corpus (K ≈ N/128
-        # clamped to [4, 64]) per the paper's production shape
+        # clamped to [4, 4096]) per the paper's production shape
         from distributedmapreduce_spark.plans.mlops import (
             _km_code_col,
             _km_train,
