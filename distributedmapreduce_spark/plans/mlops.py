@@ -50,19 +50,25 @@ _KM_T = 3
 # "what's wrong" #1): K ≈ N / target-cluster-size so per-cluster
 # member count — and with it the Σ|c|² candidate volume of every
 # cluster-blocked consumer (semdedup) — stays ~constant as the corpus
-# grows.  Assignment switches implementation at _KM_LIT_CAP: up to 64
+# grows.  Assignment switches implementation at _KM_LIT_CAP: up to 8
 # centroids it is K×64 literal arithmetic inside whole-stage codegen;
 # beyond that, an Arrow-batched numpy arg-min over the broadcast
 # centroid matrix (one (B×64)·(64×K) integer matmul per batch — the
 # FAISS coarse-assign shape), bit-identical to the literal packing by
 # construction (parity-pinned in tests/test_brute_force_mlops.py).
+# The cap was measured, not guessed (SCALE.md §10b): literal cost
+# grows linearly in K while the Arrow pass is ~flat (fixed Python
+# worker round-trip + one matmul), and the break-even sits at K≈8-15
+# across 500/2k/20k-vector corpora — literal still wins at the K=4
+# floor the small fixtures resolve to, Arrow wins at every auto-K
+# regime above it.
 # _KM_CAP bounds driver state (K×64 int64 ≈ 2 MB at the cap); past
 # ~4096 lists a production index moves to two-level coarse
 # quantization, out of scope here.  Both engines compute K from the
 # same integer formula on count(*), so the dynamic oracles stay
 # bit-exact at any scale.
 _KM_TARGET = 128
-_KM_LIT_CAP = 64
+_KM_LIT_CAP = 8
 _KM_CAP = 4096
 _KM_K_CTE = (
     f"SELECT greatest({_KM_K}, least({_KM_CAP},"
@@ -296,8 +302,10 @@ def kmeans_int8_lloyd(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: the quantized table is computed ONCE and persisted (one
     FileScan in every executed plan); each round is one map-side
-    assignment pass (K×64 literal arithmetic inside codegen — no
-    join, no shuffle on the vectors) plus a groupBy(j) with 64
+    assignment pass (literal codegen arithmetic at K ≤ 8, an
+    Arrow-batched integer matmul argmin above — the measured
+    break-even, SCALE.md §10b; no join, no shuffle on the vectors)
+    plus a groupBy(j) with 64
     per-dim integer sums, so per-round shuffle traffic is K×65
     BIGINTs per map task.  Driver state is the K×64 centroid matrix —
     constant.  At 100 TB the per-round cost is T corpus passes over

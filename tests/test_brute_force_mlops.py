@@ -535,7 +535,8 @@ def test_km_code_pandas_path_matches_literal(spark):
     """The K > _KM_LIT_CAP assignment (Arrow-batched numpy packed
     argmin) must be bit-identical to the literal codegen expression —
     the equivalence that makes the corpus-scaled auto-K path exact:
-    past 64 centroids every caller silently switches implementation,
+    past _KM_LIT_CAP centroids (8, the measured break-even —
+    SCALE.md §10b) every caller silently switches implementation,
     so the two forms are pinned equal on the real trained state."""
     from distributedmapreduce_spark.plans.mlops import (
         _km_code_col,
