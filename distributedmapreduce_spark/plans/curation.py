@@ -1069,20 +1069,27 @@ def curation_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
         ws.alias("ws"),
         F.size(ws).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
-    )
+    ).persist()  # tokenized corpus: audit spine + the k-chain both read it
     tok = feat.filter(F.col("n_tokens") > 0)
     wk = W.partitionBy("fp")
     k2 = (
         tok.withColumn("keeper", F.min("doc_id").over(wk))
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "ws", "n_tokens", "n_distinct")
+        .persist()  # exact-dedup keepers: psh_pairs self-join ×2 + k3 + flag
     )
     drops = (
         psh_pairs(k2.select("doc_id", "ws"))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    k3 = k2.join(drops, "doc_id", "left_anti")
+    # near-dup survivors: without this persist the psh_pairs blocking
+    # re-executes once per downstream branch (f3 flag, quality gate,
+    # budget prefix — measured 3× at sf0.1, 4.4 s → 2.0 s with the
+    # three persists; SCALE.md §10d).  At 100 TB these are
+    # MEMORY_AND_DISK caches of ≤ corpus-sized frames — the standard
+    # cache-vs-recompute call for a 5-consumer DAG node.
+    k3 = k2.join(drops, "doc_id", "left_anti").persist()
     k4 = k3.filter(
         _P3_Q_DEN * F.col("n_distinct") >= _P3_Q_NUM * F.col("n_tokens")
     ).select(
