@@ -652,23 +652,28 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     so the two queries share one audited candidate generator that
     keeps per-bucket fan-out ~constant as the corpus grows; the fixed
     4-bit recipe was quadratic-pair-growth — VERDICT r06 "what's
-    wrong" #1).  The argmax is a
-    fixed-width digit-string max — lpad(cos_e6 + 1e6, 7) ||
-    lpad(1e18−1 − neg_id, 18) — so ties on cosine break to the
-    SMALLEST negative id in both engines, and no id magnitude below
-    1e18 can overflow anything (the integer packing this replaced
-    broke at key-shifted replica ids).  Anchors with no cross-label
-    bucket-mate are absent (at training time they fall back to
-    in-batch negatives).
+    wrong" #1).  The argmax is a lexicographic struct max —
+    max(struct(cos_e6 + 1e6, 1e18−1 − neg_id)) — so ties on cosine
+    break to the SMALLEST negative id, and id-domain safety is
+    structural: the two BIGINT fields never mix, so no id magnitude
+    below 1e18 can overflow anything (a single packed integer broke
+    at key-shifted replica ids in r07; r08 retired the 25-char
+    digit-string successor for this struct, which makes the same
+    selection at 16 shuffle bytes/row — the oracle keeps the
+    SQL-portable digit-string form, the OUTPUT is bit-identical).
+    Anchors with no cross-label bucket-mate are absent (at training
+    time they fall back to in-batch negatives).
 
     Scale: candidate volume is band-bucket-bounded (pair growth
     audited in SCALE.md §9b for this exact blocker); per-candidate
     work is one codegen dot product; the reduce is a single
     groupBy(anchor) max over packed BIGINTs.  Bits-per-band grow with
     log(corpus) on the scale path (embedding_band_buckets auto mode),
-    keeping per-bucket fan-out constant.  The 25-char packed string
-    triples per-row shuffle bytes vs a BIGINT — the price of an
-    id-domain-safe single-pass argmax."""
+    keeping per-bucket fan-out constant.  The candidate .distinct()
+    before the vector join-backs is measured load-bearing, not
+    hygiene: dropping it read 8.6–9.5 s vs 2.3–2.5 s at sf0.1
+    (SCALE.md §10e) because every duplicate then rides the two wide
+    embedding joins."""
     # one projected base persisted: the bucket explode reads it twice
     # (self-join sides) and the verify stage joins vectors back twice
     # more — a single FileScan + compact cache instead of four
@@ -729,18 +734,20 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "anchor",
             "label",
-            F.concat(
-                F.lpad(
-                    (cos_e6 + _COS_SHIFT)
-                    .cast("string"),
-                    7,
-                    "0",
-                ),
-                F.lpad(
-                    (F.lit(_HN_ID_CEIL) - F.col("neg")).cast("string"),
-                    18,
-                    "0",
-                ),
+            # struct max IS the lexicographic (cos DESC, neg ASC)
+            # argmax: Spark orders structs field-by-field, so
+            # max(struct(cos_e6, ceil − neg)) picks the highest
+            # cosine and breaks ties to the SMALLEST negative id —
+            # the same selection the 25-char digit-string packing
+            # made, at 16 shuffle bytes per row instead of 25 + a
+            # string comparator, and with the id-domain safety now
+            # structural (two independent BIGINT fields, nothing to
+            # overflow).  Measured 2.51 → 2.26 s at sf0.1
+            # (SCALE.md §10e); output bit-identical (exceptAll ∅
+            # both ways vs the string form).
+            F.struct(
+                (cos_e6 + _COS_SHIFT).alias("c"),
+                (F.lit(_HN_ID_CEIL) - F.col("neg")).alias("ni"),
             ).alias("packed"),
         )
     )
@@ -753,15 +760,10 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (
-                F.lit(_HN_ID_CEIL)
-                - F.substring(F.col("mp"), 8, 18).cast("long")
-            )
+            (F.lit(_HN_ID_CEIL) - F.col("mp.ni"))
             .cast("long")
             .alias("hard_negative"),
-            (F.substring(F.col("mp"), 1, 7).cast("long") - _COS_SHIFT)
-            .cast("long")
-            .alias("cos_e6"),
+            (F.col("mp.c") - _COS_SHIFT).cast("long").alias("cos_e6"),
         )
     )
 
