@@ -713,7 +713,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     cosine; the DuckDB oracle computes the identical auto blocking —
     bits from the same integer thresholds on count(*) — so the
     hash-match is exact by construction at any SF."""
-    emb = t(spark, sf, "embeddings")
+    # one projected persist: the bucket self-join reads it twice and
+    # the exact-cosine verify joins vectors back twice more — a
+    # single FileScan + compact cache instead of four parquet
+    # re-reads (the hard_negative_mining discipline; measured 2.78 →
+    # 2.51 s at sf0.1, SCALE.md §10f), and the auto-bits count() is
+    # a cache hit instead of a scan
+    emb = (
+        t(spark, sf, "embeddings")
+        .select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+        .persist()
+    )
     ex = embedding_band_buckets(emb)
     cand = (
         ex.join(
@@ -726,9 +738,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("vec_id").alias("vec_a"), "vec_b")
         .distinct()
     )
-    n = emb.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
+    n = emb.select("vec_id", "embedding", "nrm")
     cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         cand.join(

@@ -125,7 +125,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "boilerplate_shingle_score": {"documents": 2},
     "cosine_topk_bruteforce": {"embeddings": 2},
     "curation_pipeline_v3": {"documents": 4},
-    "dedup_embedding_cosine": {"embeddings": 3},
     "dedup_minhash_portable": {"documents": 2},
     "dedup_simhash": {"documents": 2},
     "dup_span_detect": {"documents": 2},
