@@ -101,6 +101,7 @@ def set_similarity_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.size("sh") > 0)
         .withColumn("n_sh", F.size("sh"))
+        .persist()  # shingled sets: prefix chain + 2 verify join-backs
     )
     ex = docs.select(
         "lang", "source", "doc_id", "n_sh", F.explode("sh").alias("shingle")
@@ -123,13 +124,25 @@ def set_similarity_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
         - ((F.col("n_sh") * _SSJ_NUM + _SSJ_DEN - 1) / _SSJ_DEN).cast("long")
         + 1
     )
+    # persisted: the candidate self-join reads BOTH sides from this
+    # relation, and without the cache each side re-ran the whole
+    # df-rank chain (explode → window → collect → re-explode) —
+    # measured 2.57 s → 0.64 s at sf0.1 with the two persists
+    # (SCALE.md §10g).  Size is Σ prefix lengths ≈ half the shingle
+    # stream — corpus-linear, MEMORY_AND_DISK.
     prefix = ordered.select(
         "lang",
         "source",
         "doc_id",
         "n_sh",
         F.explode(F.slice("toks", 1, pref_len)).alias("ptok"),
-    ).select("lang", "source", "doc_id", "n_sh", F.col("ptok.shingle").alias("shingle"))
+    ).select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_sh",
+        F.col("ptok.shingle").alias("shingle"),
+    ).persist()
     a = prefix.select(
         "lang", "source", "shingle",
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"),
