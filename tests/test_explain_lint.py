@@ -124,7 +124,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "bm25_search": {"documents": 4},
     "boilerplate_shingle_score": {"documents": 2},
     "cosine_topk_bruteforce": {"embeddings": 2},
-    "curation_pipeline_v3": {"documents": 4},
     "dedup_minhash_portable": {"documents": 2},
     "dedup_simhash": {"documents": 2},
     "dup_span_detect": {"documents": 2},
@@ -171,7 +170,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "rfm_user_segments": {"events": 2},  # global-max scalar + per-user build
     "referential_integrity_audit": {"orders": 2, "lineitem": 2},
     "sequence_packing": {"documents": 2},
-    "set_similarity_prefix_join": {"documents": 2},
     "setop_except": {"orders": 2},
     "setop_except_all": {"orders": 2},
     "setop_intersect": {"orders": 2},
