@@ -188,14 +188,25 @@ def pmi_bigram_scores(spark: SparkSession, sf: str) -> DataFrame:
     aggregates (vocab², vocab, vocab) + a scalar total; the joins are
     on the aggregated tables, never on the raw bigram stream."""
     bg = _bigrams(spark, sf)
-    c12 = bg.groupBy("bigram").agg(
-        F.any_value("w1").alias("w1"),
-        F.any_value("w2").alias("w2"),
-        F.count(F.lit(1)).alias("n12"),
+    # c12 is the FULL bigram table (the n12 >= 5 filter applies only
+    # at publication), so the margins and the total are exact
+    # re-aggregations of it — Σ n12 by w1, by w2, and overall
+    # partition the same multiset the raw stream would count.  One
+    # persisted vocab²-bounded table therefore replaces FOUR corpus
+    # tokenization+bigram passes (c12/m1/m2/tot each re-derived bg
+    # before; scan budget 4 → 1, SCALE.md §10j).
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(
+            F.any_value("w1").alias("w1"),
+            F.any_value("w2").alias("w2"),
+            F.count(F.lit(1)).alias("n12"),
+        )
+        .persist()
     )
-    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    m2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
-    tot = bg.agg(F.count(F.lit(1)).alias("t"))
+    m1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    m2 = c12.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    tot = c12.agg(F.sum("n12").alias("t"))
     d = F.col("n12").cast("double") * F.col("t").cast("double") / (
         F.col("n1").cast("double") * F.col("n2").cast("double")
     )

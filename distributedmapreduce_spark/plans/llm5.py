@@ -340,10 +340,18 @@ def phrase_search_positions(spark: SparkSession, sf: str) -> DataFrame:
     distinguish "join filter" from "filter ... join".  Per phrase the
     postings filters are tiny selective scans of one shared index and
     every join is an equi-join — no theta join, no per-doc rescans."""
+    # persisted: this IS the shared positional index — without the
+    # cache every per-word postings filter re-tokenized the corpus
+    # (one FileScan per phrase word, 4 at the current phrase set;
+    # budget now default 1).  The cache is the (doc_id, pos, w)
+    # postings stream a real search stack materializes once.
     toks = (
         t(spark, sf, "documents")
         .select("doc_id", F.posexplode(_tokens("text", lowercase=True)))
-        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("w"))
+        .select(
+            "doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("w")
+        )
+        .persist()
     )
     results = []
     for phrase in _PHRASES:

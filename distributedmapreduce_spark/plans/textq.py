@@ -482,7 +482,16 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(_tokens_col_lower()).alias("word")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    # dl and tf are DOC-level aggregates with two consumers each
+    # (stats + the scoring join; df + the scoring join) — persisting
+    # them caps the plan at TWO tokenization passes instead of four,
+    # with only KB-scale caches (persisting the exploded token stream
+    # itself would be corpus-sized, the wrong trade; SCALE.md §10j)
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("doc_len"))
+        .persist()
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
@@ -490,6 +499,7 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         toks.filter(F.col("word").isin(*_SEARCH_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(

@@ -121,7 +121,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "benford_first_digit_audit": {"orders": 2},  # digit-total branch
     "bloom_semi_join_audit": {"customer": 4},
     "churn_training_set": {"events": 3},  # cutoff scalar + feat + label
-    "bm25_search": {"documents": 4},
+    "bm25_search": {"documents": 2},  # dl pass + tf pass (aggregates persisted)
     "boilerplate_shingle_score": {"documents": 2},
     "cosine_topk_bruteforce": {"embeddings": 2},
     "dedup_minhash_portable": {"documents": 2},
@@ -162,8 +162,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # id-ring bounds scalar + anchor side + negative side BY DESIGN
     # (bounds scan is vec_id-pruned; the join sides are the operator)
     "negative_sampling_pairs": {"embeddings": 3},
-    "phrase_search_positions": {"documents": 4},
-    "pmi_bigram_scores": {"documents": 4},
     "price_decile_assign": {"orders": 2},
     "price_histogram": {"orders": 2},
     "range_join_event_pairs": {"events": 2},
