@@ -896,9 +896,12 @@ def skipgram_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
     space."""
     docs = t(spark, sf, "documents")
     ws = tokens(F.col("text"), lowercase=True)
+    # persisted: both sides of the (doc_id, pos+k) adjacency join read
+    # the positional stream (the phrase_search_positions call — the
+    # cache IS the positional index; one tokenization pass, not three)
     pos = docs.select(
         "doc_id", F.posexplode(ws).alias("i", "w")
-    )
+    ).persist()
     a = pos.select(
         "doc_id",
         F.col("w").alias("center"),

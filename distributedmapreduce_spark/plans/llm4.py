@@ -138,8 +138,23 @@ def lm_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     scoring joins shuffle on bigram/w1 keys — at 100 TB the count
     tables are the small sides and AQE broadcast-converts them."""
     bg = _bigrams(spark, sf)
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # the unigram margin is an exact re-aggregation of the bigram
+    # table (Σ n12 by w1 — same multiset), so one persisted
+    # vocab²-bounded count table serves both model sides and the
+    # corpus bigram stream is generated twice (model build + the
+    # per-doc scoring join that inherently needs it), not three times
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(
+            F.any_value("w1").alias("c_w1"),
+            F.count(F.lit(1)).alias("n12"),
+        )
+        .persist()
+    )
+    c1 = (
+        c12.groupBy(F.col("c_w1").alias("w1"))
+        .agg(F.sum("n12").alias("n1"))
+    )
     return (
         bg.join(c12, "bigram")
         .join(c1, "w1")

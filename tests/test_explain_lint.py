@@ -151,7 +151,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "interval_max_concurrency_segmented": {"events": 3},
     "interval_overlap_join": {"events": 2},  # click/view interval self-join
     "knn_classify": {"embeddings": 2},
-    "lm_bigram_surprisal": {"documents": 3},
+    "lm_bigram_surprisal": {"documents": 2},  # model build + scoring pass
     # moment pass + scoring pass BY DESIGN (1-row panel broadcast back)
     "mahalanobis_outliers_qty_price": {"lineitem": 2},
     # one scan per ranking metric BY DESIGN (revenue vs distinct-order
@@ -174,7 +174,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "setop_intersect_all": {"orders": 2},
     "setop_union_distinct": {"orders": 2},
     "skew_salted_join_counts": {"events": 2},
-    "skipgram_training_pairs": {"documents": 3},
     "source_mixture_balance": {"documents": 2},
     "stream_dedup_counts": {"events": 2},
     "stream_join_click_purchase": {"events": 2},
