@@ -682,11 +682,16 @@ def _budget_prefix(s: DataFrame, budget: int) -> DataFrame:
     cumsum — bucket totals (tiny table) + a per-doc window over ONLY
     the single boundary bucket.  Input needs (doc_id, score in (0,1],
     n_tokens); all other columns pass through."""
+    # persisted: three consumers (bucket totals, the under-budget
+    # wholesale filter, the boundary-bucket window) otherwise each
+    # re-derive the scored stream — for token_budget_select that
+    # meant three corpus tokenization passes.  The cache is DOC-level
+    # (id, score, n_tokens + passthroughs), not the token arrays.
     s = s.withColumn(
         "bkt",
         (F.lit(_TB_BUCKETS - 1) - F.floor(F.col("score") * (_TB_BUCKETS - 1)))
         .cast("long"),
-    )
+    ).persist()
     btot = s.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
     wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     bbase = btot.select(

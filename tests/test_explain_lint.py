@@ -181,7 +181,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "temporal_scd2_lookup": {"events": 2},
     "time_bucket_gapfill": {"events": 3},
     "time_bucket_interpolate": {"events": 3},
-    "token_budget_select": {"documents": 3},
     "tpch_q11_important_part_value": {"lineitem": 2},
     "weighted_median_price": {"lineitem": 2},  # total-weight scalar branch
     # same two-phase bucket discipline as weighted_median_price:
