@@ -835,12 +835,16 @@ def churn_training_set(spark: SparkSession, sf: str) -> DataFrame:
     discipline (time-travel correctness) that separates a trainable
     snapshot from a leaky one.
 
-    Scale: the cutoff is a 1-row scalar broadcast (the
-    rfm_user_segments pattern — events scanned once for the scalar,
-    once for the build, audited {{events: 2}}); features and labels
-    are both per-user aggregates on the purchase stream, joined
-    per-user.  At 100 TB the same plan holds with the cutoff supplied
-    by the orchestrator instead of max(ts)."""
+    Scale: the cutoff is a 1-row scalar broadcast; the purchase
+    stream is ONE persisted filtered projection read by the scalar,
+    the feature build, and the label build (audited at the default
+    one events scan since round 8); features and labels are both
+    per-user aggregates on that stream, joined per-user.  At 100 TB
+    the same plan holds with the cutoff supplied by the orchestrator
+    instead of max(ts)."""
+    # persisted: the cutoff scalar, the feature build, and the label
+    # build all read the purchase stream — one filtered projection
+    # cache (purchases only, sub-corpus) instead of three event scans
     p = (
         t(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")
@@ -849,6 +853,7 @@ def churn_training_set(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_micros("ts").alias("us"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
+        .persist()
     )
     cut = p.agg(
         (

@@ -120,7 +120,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "asof_join_purchase_click": {"events": 2},
     "benford_first_digit_audit": {"orders": 2},  # digit-total branch
     "bloom_semi_join_audit": {"customer": 4},
-    "churn_training_set": {"events": 3},  # cutoff scalar + feat + label
     "bm25_search": {"documents": 2},  # dl pass + tf pass (aggregates persisted)
     "boilerplate_shingle_score": {"documents": 2},
     "cosine_topk_bruteforce": {"embeddings": 2},
