@@ -520,19 +520,27 @@ def event_rate_deviation(spark: SparkSession, sf: str) -> DataFrame:
     ticks.  Scale: one corpus aggregate, then windows over the tiny
     (buckets × types) grid."""
     ev = t(spark, sf, "events")
-    counts = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("wstart"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # the grid bounds and the type set both derive EXACTLY from the
+    # hourly count table: date_trunc is monotone so min/max(wstart)
+    # == trunc(min/max(ts)), and every event type appears in at least
+    # one bucket — one persisted (buckets × types)-bounded aggregate
+    # replaces three raw-event scans
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    bounds = counts.agg(
+        F.min("wstart").alias("lo"), F.max("wstart").alias("hi")
     )
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
             "wstart"
         )
     )
-    types = ev.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     filled = (
         grid.crossJoin(types)
         .join(F.broadcast(counts), ["wstart", "event_type"], "left")
@@ -724,12 +732,15 @@ def event_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
     then a broadcast join back; the event stream itself is never
     shuffled."""
     ev = t(spark, sf, "events")
+    # persisted: the percentile pass, the MAD deviation build, and
+    # the final scoring join all read this narrow projection — one
+    # events scan instead of three
     c = ev.select(
         "event_id",
         "event_type",
         "value",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
+    ).persist()
 
     def _rank_pick(df: DataFrame, col: str, qs: dict) -> DataFrame:
         w = W.partitionBy("event_type").orderBy(col, "event_id")

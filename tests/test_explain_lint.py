@@ -126,8 +126,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "dedup_minhash_portable": {"documents": 2},
     "dedup_simhash": {"documents": 2},
     "dup_span_detect": {"documents": 2},
-    "event_rate_deviation": {"events": 3},
-    "event_robust_outliers": {"events": 3},
     # two-phase boundary-rank selection BY DESIGN: bin-count pass +
     # boundary-row pass (the r06 window-funnel swap)
     "event_value_quantiles_exact": {"events": 2},
