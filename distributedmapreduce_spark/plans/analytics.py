@@ -49,19 +49,25 @@ def time_bucket_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     broadcast — get the broadcast hint.  At 100 TB a year of hourly
     buckets x 1000 types is still <9M rows — trivially broadcastable."""
     ev = t(spark, sf, "events")
-    counts = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("wstart"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # bounds and types derive exactly from the count table
+    # (date_trunc is monotone; every type has ≥1 bucket), so the
+    # persisted grid-sized aggregate replaces three raw-event scans
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    bounds = counts.agg(
+        F.min("wstart").alias("lo"), F.max("wstart").alias("hi")
     )
     grid = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("wstart")
     )
-    types = ev.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     dim = grid.crossJoin(types)
     return dim.join(
         F.broadcast(counts), ["wstart", "event_type"], "left"
@@ -1278,19 +1284,24 @@ def time_bucket_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     IGNORE NULLS frames are each one pass over that grid."""
     ev = t(spark, sf, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    buckets = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("wstart"), "event_type"
-    ).agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # same derivation as time_bucket_gapfill: bounds and types come
+    # from the persisted bucket table, one raw-event scan total
+    buckets = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+        )
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    bounds = buckets.agg(
+        F.min("wstart").alias("lo"), F.max("wstart").alias("hi")
     )
     grid = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("wstart")
     )
-    types = ev.select("event_type").distinct()
+    types = buckets.select("event_type").distinct()
     g = (
         grid.crossJoin(types)
         .join(F.broadcast(buckets), ["wstart", "event_type"], "left")

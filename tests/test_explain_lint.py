@@ -176,8 +176,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "stream_join_click_purchase": {"events": 2},
     "table_diff_cdc": {"orders": 3},
     "temporal_scd2_lookup": {"events": 2},
-    "time_bucket_gapfill": {"events": 3},
-    "time_bucket_interpolate": {"events": 3},
     "tpch_q11_important_part_value": {"lineitem": 2},
     "weighted_median_price": {"lineitem": 2},  # total-weight scalar branch
     # same two-phase bucket discipline as weighted_median_price:
