@@ -443,7 +443,13 @@ def table_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
     leaves the join — the emitted feed is O(changes), not O(table).
     With both versions bucketed on the key the join needs no
     exchange at all."""
-    orders = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    # persisted: v2's two synthesis branches and the v1 join side all
+    # read this 2-column projection — one orders scan instead of three
+    orders = (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .persist()
+    )
     v2 = (
         orders.filter(F.col("o_orderkey") % 11 != 0)
         .select(

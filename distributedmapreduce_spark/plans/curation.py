@@ -48,7 +48,13 @@ def merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     exchange disappears entirely, which is how a 100 TB MERGE stays
     I/O-bound instead of shuffle-bound.  The double `* 1.1` is a
     single IEEE multiply, bit-identical on both engines."""
-    orders = t(spark, sf, "orders")
+    # persisted: the update feed and both anti-join sides read this
+    # projection — one orders scan instead of three
+    orders = (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .persist()
+    )
     updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         F.lit("U").alias("o_orderstatus"),

@@ -154,7 +154,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # one scan per ranking metric BY DESIGN (revenue vs distinct-order
     # count aggregate to different shapes; both top-20 panels)
     "rbo_brand_rankings": {"lineitem": 2},
-    "merge_upsert_orders": {"orders": 3},
     "mv_incremental_refresh": {"events": 2},
     # id-ring bounds scalar + anchor side + negative side BY DESIGN
     # (bounds scan is vec_id-pruned; the join sides are the operator)
@@ -174,7 +173,6 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "source_mixture_balance": {"documents": 2},
     "stream_dedup_counts": {"events": 2},
     "stream_join_click_purchase": {"events": 2},
-    "table_diff_cdc": {"orders": 3},
     "temporal_scd2_lookup": {"events": 2},
     "tpch_q11_important_part_value": {"lineitem": 2},
     "weighted_median_price": {"lineitem": 2},  # total-weight scalar branch
