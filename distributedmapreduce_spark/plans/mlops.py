@@ -172,6 +172,22 @@ def _km_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Arrow-path Column memo: a pandas_udf closure is a FRESH Python
+# function per construction, so two invocations of the same query
+# never produce plan-equal assignment columns and CacheManager reuse
+# never fires for anything downstream (measured: semdedup's m-persist
+# LOST 0.3 s per run to cache re-materialization, SCALE.md §10i).
+# Returning the SAME Column object for identical (k, centroids,
+# force_pandas) restores plan equality — repeated invocations of a
+# query that persists an assignment-derived frame now hit the cache
+# (3.77 → 3.28 s for semdedup, §10l).  Keys are few (one per trained
+# state per corpus); the dict is cleared past a small cap as a leak
+# guard.  The literal path needs no memo — identical expr strings are
+# already plan-equal.
+_KM_COL_MEMO: dict[tuple, F.Column] = {}
+_KM_COL_MEMO_CAP = 64
+
+
 def _km_code_col(
     cents: dict[int, list[int]], k: int = _KM_K, force_pandas: bool = False
 ) -> F.Column:
@@ -198,6 +214,15 @@ def _km_code_col(
         return F.expr(f"least({', '.join(exprs)})" if len(exprs) > 1
                       else exprs[0])
 
+    memo_key = (
+        int(k),
+        bool(force_pandas),
+        tuple(sorted((int(j), tuple(m)) for j, m in cents.items())),
+    )
+    hit = _KM_COL_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -217,7 +242,11 @@ def _km_code_col(
         packed = d * kk + js[None, :]
         return pd.Series(packed.min(axis=1))
 
-    return _code(F.col("q"))
+    col = _code(F.col("q"))
+    if len(_KM_COL_MEMO) >= _KM_COL_MEMO_CAP:
+        _KM_COL_MEMO.clear()
+    _KM_COL_MEMO[memo_key] = col
+    return col
 
 
 def _km_train(
