@@ -320,8 +320,8 @@ def stream_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
       SELECT length(bin(CAST(round(value * 100) AS BIGINT))) AS bkt,
              CAST(count(*) AS BIGINT) AS cnt
       FROM {EVENTS_US} events GROUP BY 1)
-    SELECT list(CAST(bkt AS BIGINT) ORDER BY bkt) AS bkts,
-           list(cnt ORDER BY bkt) AS cnts,
+    SELECT array_to_string(list(CAST(bkt AS BIGINT) ORDER BY bkt), ',') AS bkts,
+           array_to_string(list(cnt ORDER BY bkt), ',') AS cnts,
            CAST(sum(cnt) AS BIGINT) AS n
     FROM c
     """,
@@ -331,8 +331,11 @@ def stream_ddsketch_value_hist(spark: SparkSession, sf: str) -> DataFrame:
     (streaming/windows.py::ddsketch_value_stateful): the bucket
     histogram of event value cents by bit-length — the same mergeable
     quantile-sketch state ddsketch_pow2_quantiles reads quantiles
-    from, published as sorted parallel arrays so the driver hash pins
-    the ENTIRE sketch, not a summary.  The 10th stream==batch parity
+    from, published as sorted parallel lists serialized to
+    comma-joined strings (the repo's oracle-hashing convention,
+    textq.py:77) so the driver hash pins the ENTIRE sketch, not a
+    summary, and the driver's pandas canonicalizer — which cannot
+    sort list cells — sees only scalar columns.  The 10th stream==batch parity
     (tests/test_streaming.py) pins that folding micro-batches through
     the bucket-sum state reaches exactly this one-shot scan's answer
     — sum-sketch mergeability in executable form.
@@ -357,8 +360,12 @@ def stream_ddsketch_value_hist(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n"),
     )
     return s.select(
-        F.expr("transform(ps, p -> p.bkt)").alias("bkts"),
-        F.expr("transform(ps, p -> p.cnt)").alias("cnts"),
+        F.array_join(
+            F.expr("transform(ps, p -> CAST(p.bkt AS STRING))"), ","
+        ).alias("bkts"),
+        F.array_join(
+            F.expr("transform(ps, p -> CAST(p.cnt AS STRING))"), ","
+        ).alias("cnts"),
         "n",
     )
 

@@ -338,7 +338,7 @@ def kmv_distinct_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-DDS_SCHEMA = "bkts array<long>, cnts array<long>, n long"
+DDS_SCHEMA = "bkts string, cnts string, n long"
 _DDS_STATE_SCHEMA = "bkts array<long>, cnts array<long>"
 
 
@@ -361,10 +361,15 @@ def _dds_fn(key, pdfs, state: GroupState):
             counts[b] = counts.get(b, 0) + 1
     ordered = sorted(counts.items())
     state.update(([b for b, _ in ordered], [c for _, c in ordered]))
+    # Emission serializes the parallel lists to comma-joined strings
+    # — the repo's oracle-hashing convention (plans/textq.py:77) and
+    # the exact shape of the batch twin stream_ddsketch_value_hist,
+    # so the stream==batch parity compares scalars only.  State keeps
+    # the native array form.
     yield pd.DataFrame(
         {
-            "bkts": [[b for b, _ in ordered]],
-            "cnts": [[c for _, c in ordered]],
+            "bkts": [",".join(str(b) for b, _ in ordered)],
+            "cnts": [",".join(str(c) for _, c in ordered)],
             "n": [sum(counts.values())],
         }
     )

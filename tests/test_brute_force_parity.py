@@ -1574,9 +1574,11 @@ def test_stream_ddsketch_hist_matches_brute_force(cents):
 
     hist = Counter(c.bit_length() for c in cents)
     bkts = sorted(hist)
-    assert (list(got[0]), list(got[1]), got[2]) == (
-        bkts,
-        [hist[b] for b in bkts],
+    # The oracle serializes the parallel lists to comma-joined strings
+    # (the repo's oracle-hashing convention, plans/textq.py:77).
+    assert (got[0], got[1], got[2]) == (
+        ",".join(str(b) for b in bkts),
+        ",".join(str(hist[b]) for b in bkts),
         len(cents),
     )
 
