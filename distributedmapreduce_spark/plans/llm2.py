@@ -262,7 +262,12 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     probe_rows = []
     for r in q_rows:
         q = np.asarray(r.embedding, dtype="float64")
-        sims = (q / np.linalg.norm(q)) @ c1n.T
+        # same zero-norm guard as _unit (ADVICE r08): an all-zero
+        # query embedding must yield sims of 0 everywhere (arbitrary
+        # but deterministic probes), not a NaN row and NaN-ordered
+        # argsort.
+        qn = np.linalg.norm(q)
+        sims = (q / (qn if qn > 0.0 else 1.0)) @ c1n.T
         # never probe a dead (memberless) centroid's empty list
         sims[dead_c] = -np.inf
         for c in np.argsort(-sims)[:n_probe]:

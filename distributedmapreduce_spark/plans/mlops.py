@@ -214,7 +214,16 @@ def _km_code_col(
         return F.expr(f"least({', '.join(exprs)})" if len(exprs) > 1
                       else exprs[0])
 
+    # Session affinity (ADVICE r08): the cached Column wraps a
+    # pandas_udf bound to the JVM alive at creation — a memo hit
+    # across a stop/recreate of the SparkSession would hand back a
+    # Column referencing dead JVM state (opaque py4j errors).  Keying
+    # on the active context's applicationId makes a new session a
+    # guaranteed memo miss.
+    active = SparkSession.getActiveSession()
+    app_id = active.sparkContext.applicationId if active else None
     memo_key = (
+        app_id,
         int(k),
         bool(force_pandas),
         tuple(sorted((int(j), tuple(m)) for j, m in cents.items())),

@@ -75,3 +75,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Session-level cache cleanup hook (ADVICE r08 llm5.py:349).
+
+    Cache RETENTION inside queries is deliberate policy, not a leak:
+    every query returns a LAZY plan that reads its persisted
+    intermediates at execution time (an in-function unpersist would
+    silently re-derive them — see plans/llm.py:295), and repeated
+    invocations of the same query rely on plan-equal cache hits for
+    their measured perf (SCALE.md §10l).  What retention costs is
+    accumulation across MANY DIFFERENT queries in one long session —
+    hundreds of MEMORY_AND_DISK blocks competing under LRU.  Long
+    sweeps (tools/check_oracle.py full registry) call this between
+    cohorts to bound that accumulation; per-query callers should not.
+    """
+    spark.catalog.clearCache()

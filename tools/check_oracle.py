@@ -160,9 +160,19 @@ def main() -> int:
         }
         print(f"staged-oracle mode: {sorted(staged)}")
     failures = []
+    n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        # full-sweep cache discipline (ADVICE r08): 319 queries'
+        # retained persists would otherwise accumulate all sweep and
+        # thrash LRU at the larger replicas — release between cohorts
+        # of 40 (shared trainers rebuild at most a handful of times)
+        if not only and n_run and n_run % 40 == 0:
+            from distributedmapreduce_spark.session import release_caches
+
+            release_caches(spark)
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)

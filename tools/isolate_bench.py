@@ -31,16 +31,28 @@ def _materialize(df) -> None:
 
 
 def main() -> int:
+    usage = "usage: isolate_bench.py [-n RUNS] QUERY ..."
     args = sys.argv[1:]
     runs = 5
-    if args and args[0] == "-n":
-        if len(args) < 3:
-            print("usage: isolate_bench.py [-n RUNS] QUERY ...", file=sys.stderr)
+    # accept -n anywhere (ADVICE r08: a trailing -n was silently
+    # treated as a query name; a non-numeric RUNS was a traceback)
+    if "-n" in args:
+        i = args.index("-n")
+        if i + 1 >= len(args):
+            print(usage, file=sys.stderr)
             return 2
-        runs = int(args[1])
-        args = args[2:]
+        try:
+            runs = int(args[i + 1])
+        except ValueError:
+            print(f"{usage}\nRUNS must be an integer, got "
+                  f"{args[i + 1]!r}", file=sys.stderr)
+            return 2
+        if runs < 1:
+            print(f"{usage}\nRUNS must be >= 1", file=sys.stderr)
+            return 2
+        args = args[:i] + args[i + 2:]
     if not args:
-        print("usage: isolate_bench.py [-n RUNS] QUERY ...", file=sys.stderr)
+        print(usage, file=sys.stderr)
         return 2
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
