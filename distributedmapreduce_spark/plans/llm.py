@@ -987,7 +987,12 @@ _PMH_BANDS = 4  # bands of 2 -> candidate if any band matches
 _PMH_TAU_E6 = 120_000  # exact-Jaccard verification, 1e-6 ticks
 
 
-def _pmh_oracle() -> str:
+def _pmh_oracle(pair_pred: str = "") -> str:
+    """DuckDB twin of the portable-MinHash pipeline.  ``pair_pred``
+    optionally restricts the candidate pairs (AND-ed into the cand
+    CTE) — the incremental-update query pins only pairs touching the
+    delta snapshot; the oracle computes the same answer monolithically
+    because incrementality changes WORK, never VALUES."""
     from .llm3 import _md5_u32_sql
 
     sig_cols = ",\n             ".join(
@@ -1021,7 +1026,7 @@ def _pmh_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket
-       AND a.doc_id < b.doc_id)
+       AND a.doc_id < b.doc_id{pair_pred})
     SELECT doc_a, doc_b,
            CAST(floor(len(list_intersect(x.hs, y.hs))
                       / CAST(len(x.hs) + len(y.hs)
@@ -1127,6 +1132,137 @@ def _pmh_candidates(grouped: DataFrame) -> DataFrame:
         )
         .select("pair.doc_a", "pair.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash index update — the nightly cross-run dedup shape
+# --------------------------------------------------------------------------
+
+_PMH_DELTA_MOD = 10  # doc_id % 10 == 0 is "tonight's snapshot"
+
+
+def _pmh_base_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted portable-MinHash signatures of the BASE corpus
+    (doc_id % 10 != 0) — the artifact "last night's run" left behind
+    (operators/index_store.py; built once per corpus fingerprint,
+    read back by every later run).  The incremental-update query
+    never recomputes these: its only documents scan is the delta."""
+
+    def _build() -> DataFrame:
+        return _pmh_signatures(
+            t(spark, sf, "documents").filter(
+                F.col("doc_id") % _PMH_DELTA_MOD != 0
+            )
+        )
+
+    return cached_index(
+        spark,
+        "pmh-base",
+        os.path.join(sf, "documents.parquet"),
+        _build,
+        params=("pmh", _PMH_N, "split", f"mod{_PMH_DELTA_MOD}!=0"),
+    )
+
+
+@query(
+    "minhash_index_incremental_update",
+    oracle=_pmh_oracle(
+        f"\n       AND (a.doc_id % {_PMH_DELTA_MOD} = 0"
+        f" OR b.doc_id % {_PMH_DELTA_MOD} = 0)"
+    ),
+)
+def minhash_index_incremental_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash index UPDATE — the cross-run dedup a
+    training-data lake runs nightly (VERDICT r08 next-round #5):
+    merge a new snapshot (doc_id % 10 == 0) into the persisted
+    signature index WITHOUT recomputing old signatures, and emit the
+    near-dup pairs the new snapshot introduces against everything
+    already indexed (plus within itself).
+
+    Incrementality, concretely: base signatures come back from the
+    `pmh-base` parquet artifact (operators/index_store.py) — the ONLY
+    documents FileScan in the executed plan is delta-filtered
+    (doc_id % 10 = 0, pushed down), so per nightly run the work is
+    O(delta + collision groups), never O(corpus).  MinHash signatures
+    are a distributive sketch: sig(base ∪ delta) row-wise equals
+    sig(base) ∪ sig(delta) for disjoint doc sets, which is what makes
+    the index APPEND-ONLY mergeable (pinned bit-exact by
+    tests/test_llm3.py::test_incremental_minhash_merge_equals_rebuild).
+    Candidate enumeration prunes to buckets CONTAINING a delta doc
+    (has_new flag on the bucket aggregate) — base-only collision
+    groups, the overwhelming majority at real delta fractions, are
+    never pair-expanded.  Verification is the portable family's exact
+    Jaccard over hashed shingle sets, reading the hs column of the
+    SAME merged signature frame.
+
+    The oracle computes the identical answer monolithically —
+    incrementality changes WORK, never VALUES."""
+    base = _pmh_base_index(spark, sf)
+    # delta signatures: the one live documents scan, delta-pruned
+    delta = _pmh_signatures(
+        t(spark, sf, "documents").filter(
+            F.col("doc_id") % _PMH_DELTA_MOD == 0
+        )
+    ).persist()  # feeds the union twice (bands + verify); delta-sized
+    merged = base.unionByName(delta)
+
+    is_new = (F.col("doc_id") % _PMH_DELTA_MOD == 0).cast("int")
+    bands = merged.select(
+        "doc_id",
+        is_new.alias("is_new"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                    )
+                    for b in range(_PMH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.max("is_new").alias("has_new"),
+        )
+        # delta-bucket pruning: a pair with a new side can only live
+        # in a bucket holding a new doc
+        .filter((F.size("ids") > 1) & (F.col("has_new") == 1))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.doc_a", "pair.doc_b")
+        .filter(
+            (F.col("doc_a") % _PMH_DELTA_MOD == 0)
+            | (F.col("doc_b") % _PMH_DELTA_MOD == 0)
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = merged.select("doc_id", "hs")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    return (
+        joined.select(
+            "doc_a", "doc_b", _pmh_jac_e6().alias("jac_e6")
+        ).filter(F.col("jac_e6") >= _PMH_TAU_E6)
     )
 
 

@@ -401,6 +401,104 @@ def bpe_encode_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_stream_final(vocab_tbl: str) -> str:
+    """Shared final SELECT of the corpus-stream encode oracle: the
+    ORDERED token stream per document, serialized to one string (the
+    no-nested-output convention, plans/textq.py:77).  Word positions
+    come from a zipped double-unnest over the empty-filtered split —
+    the same stream Spark's posexplode produces."""
+    return f"""
+    wtok AS (SELECT word, array_to_string(toks, ' ') AS tok_str,
+                    CAST(len(toks) AS BIGINT) AS n_toks
+             FROM {vocab_tbl}),
+    dw AS (
+      SELECT doc_id, pos, word
+      FROM (SELECT doc_id,
+                   unnest(range(1, len(ws) + 1)) AS pos,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '') AS ws
+                  FROM documents))
+      WHERE regexp_matches(word, '^[a-z0-9]+$'))
+    SELECT dw.doc_id,
+           CAST(sum(wtok.n_toks) AS BIGINT) AS n_tokens,
+           string_agg(wtok.tok_str, ' ' ORDER BY dw.pos) AS bpe_text
+    FROM dw JOIN wtok USING (word)
+    GROUP BY dw.doc_id
+    """
+
+
+def _bpe_stream_oracle(k_steps: int) -> str:
+    base = _bpe_oracle(k_steps)
+    head = base[: base.index(",\n    mm_final AS")]
+    return head + "," + _bpe_stream_final(f"v{k_steps}")
+
+
+def _bpe_stream_oracle_staged(k_steps: int) -> list[str]:
+    return _bpe_stages(k_steps) + [
+        "WITH" + _bpe_stream_final(f"bpe_v{k_steps}")
+    ]
+
+
+@query(
+    "bpe_encode_corpus_stream",
+    oracle=_bpe_stream_oracle(_BPE_K),
+    staged_oracle=_bpe_stream_oracle_staged(_BPE_K),
+)
+def bpe_encode_corpus_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide BPE ENCODE throughput (VERDICT r08 next-round #5):
+    materialize the actual post-merge token stream for every
+    document — the tokenize-the-lake job a training pipeline runs to
+    write tokenized shards, not just the compression counters
+    bpe_encode_token_counts reports.  Output per doc: the token
+    count and the space-joined token stream in original word order.
+
+    Scale shape: training reduces the corpus to the persisted
+    (word, freq, toks) vocabulary exactly as bpe_train_merges (K
+    vocab-sized aggregate passes, 1-row argmax collects); ENCODING is
+    one corpus scan — posexplode preserves word order, a broadcast
+    join against the (word -> serialized tokens) map charges each
+    occurrence its pre-folded rewrite (the fold runs once per
+    DISTINCT word, never per occurrence), and per-doc assembly is a
+    single array_sort over (pos, tok_str) structs inside the doc
+    aggregate.  Map-side only except the final doc_id shuffle, which
+    any sharded tokenizer writer needs anyway."""
+    docs = t(spark, sf, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).alias("pos", "word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    vocab = _char_vocab(dw.select("word"))
+    _merges, cur = _train_merges(vocab, _BPE_K)
+    wtok = cur.select(
+        "word",
+        F.array_join("toks", " ").alias("tok_str"),
+        F.size("toks").cast("long").alias("n_toks"),
+    )
+    # vocab stays persisted (the bpe_encode_token_counts precedent):
+    # the RETURNED plan's wtok branch reads it, so the corpus is
+    # scanned exactly once at execution
+    return (
+        dw.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok_str"))
+                    ),
+                    lambda p: p["tok_str"],
+                ),
+                " ",
+            ).alias("bpe_text"),
+        )
+    )
+
+
 def _bpe_fertility_final(vocab_tbl: str) -> str:
     return f"""
     wlen AS (SELECT word, len(toks) AS n_toks FROM {vocab_tbl}),

@@ -81,3 +81,63 @@ def test_linear_counting_estimator_accuracy(spark):
     ).collect()[0]
     est = -r.k * math.log(1 - r.v_occupied / r.k)
     assert abs(est - r.exact_nd) / r.exact_nd < 0.05, (est, r.exact_nd)
+
+
+def test_incremental_minhash_merge_equals_rebuild(spark):
+    """The mergeability claim behind minhash_index_incremental_update:
+    for disjoint doc sets, signatures computed per-part and unioned
+    are BIT-IDENTICAL to a monolithic rebuild — min() is distributive
+    over disjoint union and the shingle hashes are per-doc.  This is
+    what licenses the nightly append-only index update: no old
+    signature ever needs recomputing."""
+    from distributedmapreduce_spark.plans.llm import (
+        _PMH_DELTA_MOD,
+        _pmh_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = _pmh_signatures(
+        docs.filter(F.col("doc_id") % _PMH_DELTA_MOD != 0)
+    )
+    delta = _pmh_signatures(
+        docs.filter(F.col("doc_id") % _PMH_DELTA_MOD == 0)
+    )
+    merged = base.unionByName(delta)
+    rebuilt = _pmh_signatures(docs)
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, tuple(sorted(r.hs)),
+             tuple(r[f"m{i}"] for i in range(8)))
+            for r in df.collect()
+        )
+
+    assert canon(merged) == canon(rebuilt)
+
+
+def test_incremental_minhash_pairs_touch_delta(spark):
+    """Every emitted pair has at least one delta-side doc, and the
+    pair set equals the delta-touching subset of the full portable
+    dedup's pair set at the same threshold — incrementality changes
+    work, never values."""
+    from distributedmapreduce_spark.plans.llm import _PMH_DELTA_MOD
+
+    inc = {
+        (r.doc_a, r.doc_b, r.jac_e6)
+        for r in QUERIES["minhash_index_incremental_update"](
+            spark, SF
+        ).collect()
+    }
+    assert all(
+        a % _PMH_DELTA_MOD == 0 or b % _PMH_DELTA_MOD == 0
+        for a, b, _ in inc
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.jac_e6)
+        for r in QUERIES["dedup_minhash_portable"](spark, SF).collect()
+    }
+    expect = {
+        (a, b, j) for a, b, j in full
+        if a % _PMH_DELTA_MOD == 0 or b % _PMH_DELTA_MOD == 0
+    }
+    assert inc == expect

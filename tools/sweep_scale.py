@@ -1,0 +1,149 @@
+"""Chunked full-registry correctness sweep at a scale replica.
+
+VERDICT r08 next-round #4: upgrade the 100× scale story from
+"per-family cohorts" to "full-registry swept".  This harness runs
+EVERY registry query through ``tools/check_oracle.py`` at a replica
+dir, in chunks of N per fresh engine process (one long-lived JVM
+accumulating sketch+window state across heavy 100× queries OOMs —
+the §9f bulkheading lesson), merges the per-chunk driver-schema
+verdict maps into one artifact, and names every exclusion with its
+documented reason — no silent caps.
+
+Usage:
+    python3 tools/sweep_scale.py [SF_DIR] [OUT_JSON]
+
+Defaults: /tmp/sf100 -> SCALE_SWEEP_100x.json.  Env:
+SPARK_GRAFT_SWEEP_CHUNK (default 8), SPARK_GRAFT_SWEEP_TIMEOUT
+(seconds per chunk, default 3600).
+
+Exclusions (each class documented in SCALE.md §9f; the sweep PRINTS
+and RECORDS them so the artifact itself shows what was not run):
+- pair-quadratic oracles on a REPLICATED corpus: the replica's
+  exact-copy duplication makes the true near-dup pair set quadratic
+  in the duplication factor (§9e) — the DuckDB oracle side is
+  inherently O(pairs), not an engine defect (each family carries a
+  10× staged pass + a pair-growth audit instead);
+- `approx_quantiles`: sketch exactness is mathematically bounded by
+  n <= accuracy (ORACLE_PORTABILITY.md) — the compare itself is
+  invalid past that n;
+- `math_functions`: output == input cardinality (60M rows at 100×) —
+  the GATE's pandas canonicalization is the bottleneck, not either
+  engine; 10×-verified, plan is scan-shaped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+EXCLUDE: dict[str, str] = {
+    "dedup_ngram_jaccard": "pair-quadratic oracle on replicated corpus (SCALE.md §9e/§9f)",
+    "set_similarity_prefix_join": "pair-quadratic oracle on replicated corpus (SCALE.md §9e/§9f)",
+    "decontaminate_ngram_overlap": "pair-quadratic oracle on replicated corpus (SCALE.md §9f)",
+    "dedup_minhash_lsh": "replicated duplicate content explodes near-dup buckets quadratically (SCALE.md §9x)",
+    "dedup_minhash_portable": "replicated duplicate content explodes near-dup buckets quadratically (SCALE.md §9x)",
+    "dedup_simhash": "replicated duplicate content explodes near-dup buckets quadratically (SCALE.md §9x)",
+    "dedup_simhash_portable": "replicated duplicate content explodes near-dup buckets quadratically (SCALE.md §9x)",
+    "minhash_recall_audit": "audits the minhash family above — same quadratic bucket blowup on replicas",
+    "approx_quantiles": "sketch exactness bounded by n <= accuracy (ORACLE_PORTABILITY.md)",
+    "math_functions": "output == input cardinality (60M rows); gate canonicalization-bound, 10x-verified (SCALE.md §9f)",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        _REPO, "SCALE_SWEEP_100x.json"
+    )
+    chunk_n = int(os.environ.get("SPARK_GRAFT_SWEEP_CHUNK", "8"))
+    timeout = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT", "3600"))
+
+    from distributedmapreduce_spark.plans.registry import get_registry
+
+    names = sorted(get_registry())
+    run_names = [n for n in names if n not in EXCLUDE]
+    excluded = {n: EXCLUDE[n] for n in names if n in EXCLUDE}
+    for n, why in excluded.items():
+        print(f"EXCLUDED  {n}: {why}")
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_STAGED"] = "1"  # staged oracles for iteratives
+
+    merged: dict[str, dict] = {
+        f"__excluded__{n}": {"reason": why} for n, why in excluded.items()
+    }
+    t_start = time.time()
+    chunks = [
+        run_names[i : i + chunk_n] for i in range(0, len(run_names), chunk_n)
+    ]
+    failures: list[str] = []
+    for ci, chunk in enumerate(chunks):
+        tmp = f"/tmp/sweep_chunk_{ci}.json"
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(_HERE, "check_oracle.py"),
+                 "--json", tmp, *chunk],
+                env=env, timeout=timeout,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            tail = p.stdout.decode(errors="replace").strip().splitlines()
+            status = tail[-1] if tail else "?"
+        except subprocess.TimeoutExpired:
+            status = f"CHUNK TIMEOUT after {timeout}s"
+            for n in chunk:
+                merged.setdefault(
+                    n, {"err": f"sweep chunk timeout ({timeout}s)"}
+                )
+            failures.extend(chunk)
+            print(f"[{ci+1}/{len(chunks)}] TIMEOUT {chunk}")
+            continue
+        if os.path.exists(tmp):
+            with open(tmp) as f:
+                part = json.load(f)
+            merged.update(part)
+            bad = [
+                n for n, v in part.items()
+                if v.get("err") not in (None, "", "no_oracle")
+                or any(v.get(k) is False
+                       for k in ("rows_match", "schema_match", "hash_match"))
+            ]
+            failures.extend(bad)
+            os.remove(tmp)
+        else:
+            for n in chunk:
+                merged.setdefault(n, {"err": f"chunk crashed: {status[:200]}"})
+            failures.extend(chunk)
+        print(
+            f"[{ci+1}/{len(chunks)}] {time.time()-t0:6.1f}s "
+            f"{status}  ({chunk[0]}..{chunk[-1]})", flush=True
+        )
+
+    merged["__meta__"] = {
+        "sf_dir": sf_dir,
+        "queries_run": len(run_names),
+        "excluded": len(excluded),
+        "failures": sorted(set(failures)),
+        "wall_sec": round(time.time() - t_start, 1),
+        "chunk": chunk_n,
+    }
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(
+        f"\nSWEEP {'ALL PASS' if not failures else 'FAILURES: ' + str(sorted(set(failures)))}"
+        f" — {len(run_names)} run / {len(excluded)} excluded, "
+        f"{merged['__meta__']['wall_sec']}s -> {out_path}"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
