@@ -28,8 +28,14 @@ from .core import query, t
 _BPE_K = 6  # learned merges; oracle CTE chain doubles per step (2^K)
 
 
-def _bpe_oracle(k_steps: int) -> str:
-    """Chained-CTE DuckDB twin of the K-step BPE trainer.
+def _bpe_chain_head(k_steps: int) -> "tuple[str, list[str]]":
+    """WITH-chain of the K-step BPE trainer up to v_K, no readback.
+
+    Returns ``(head_sql, carried_cols)``.  Shared by the trainer
+    oracle and the encode/stream/fertility builders — ADVICE r09:
+    those used to recover the head by substring-slicing the rendered
+    trainer SQL (``base.index(",\\n    mm_final AS")``), which made
+    any whitespace change in the trainer an import-time ValueError.
 
     Expansion discipline (ORACLE_PORTABILITY.md): DuckDB 1.0 inlines
     every CTE reference, and each step references the exploded view of
@@ -93,6 +99,13 @@ def _bpe_oracle(k_steps: int) -> str:
       FROM z{k} WHERE NOT prev_taken
       GROUP BY word, freq)"""
         carry_prev += [f"a{k}", f"b{k}", f"c{k}"]
+    return sql, carry_prev
+
+
+def _bpe_oracle(k_steps: int) -> str:
+    """Trainer oracle: the shared WITH-chain head plus the mm_final
+    readback that unions one row per learned merge step."""
+    sql, carry_prev = _bpe_chain_head(k_steps)
     sql += f""",
     mm_final AS (SELECT {", ".join(f"max({c}) AS {c}" for c in carry_prev)}
                  FROM v{k_steps})
@@ -335,9 +348,7 @@ def _bpe_encode_oracle(k_steps: int) -> str:
     """Tokenization-side twin: reuse the training chain up to v_K
     (referenced ONCE — the doubling is already paid), then charge each
     document its per-word post-merge token counts."""
-    base = _bpe_oracle(k_steps)
-    # strip the training chain's final UNION-ALL readback; keep CTEs
-    head = base[: base.index(",\n    mm_final AS")]
+    head, _ = _bpe_chain_head(k_steps)
     return (
         head
         + f""",
@@ -430,8 +441,7 @@ def _bpe_stream_final(vocab_tbl: str) -> str:
 
 
 def _bpe_stream_oracle(k_steps: int) -> str:
-    base = _bpe_oracle(k_steps)
-    head = base[: base.index(",\n    mm_final AS")]
+    head, _ = _bpe_chain_head(k_steps)
     return head + "," + _bpe_stream_final(f"v{k_steps}")
 
 
@@ -521,8 +531,7 @@ def _bpe_fertility_final(vocab_tbl: str) -> str:
 
 
 def _bpe_fertility_oracle(k_steps: int) -> str:
-    base = _bpe_oracle(k_steps)
-    head = base[: base.index(",\n    mm_final AS")]
+    head, _ = _bpe_chain_head(k_steps)
     return head + "," + _bpe_fertility_final(f"v{k_steps}")
 
 

@@ -219,18 +219,23 @@ def _km_code_col(
     # across a stop/recreate of the SparkSession would hand back a
     # Column referencing dead JVM state (opaque py4j errors).  Keying
     # on the active context's applicationId makes a new session a
-    # guaranteed memo miss.
+    # guaranteed memo miss.  If there is NO active session the
+    # session identity is unknowable, so the memo is skipped entirely
+    # (ADVICE r09): two distinct sessions that both report None must
+    # not collide on a shared key.
     active = SparkSession.getActiveSession()
     app_id = active.sparkContext.applicationId if active else None
-    memo_key = (
-        app_id,
-        int(k),
-        bool(force_pandas),
-        tuple(sorted((int(j), tuple(m)) for j, m in cents.items())),
-    )
-    hit = _KM_COL_MEMO.get(memo_key)
-    if hit is not None:
-        return hit
+    memo_key = None
+    if app_id is not None:
+        memo_key = (
+            app_id,
+            int(k),
+            bool(force_pandas),
+            tuple(sorted((int(j), tuple(m)) for j, m in cents.items())),
+        )
+        hit = _KM_COL_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -252,9 +257,10 @@ def _km_code_col(
         return pd.Series(packed.min(axis=1))
 
     col = _code(F.col("q"))
-    if len(_KM_COL_MEMO) >= _KM_COL_MEMO_CAP:
-        _KM_COL_MEMO.clear()
-    _KM_COL_MEMO[memo_key] = col
+    if memo_key is not None:
+        if len(_KM_COL_MEMO) >= _KM_COL_MEMO_CAP:
+            _KM_COL_MEMO.clear()
+        _KM_COL_MEMO[memo_key] = col
     return col
 
 

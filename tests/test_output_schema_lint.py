@@ -37,9 +37,12 @@ _NESTED_SPARK = (T.ArrayType, T.MapType, T.StructType)
 
 def test_no_nested_spark_output_columns(spark):
     """Every registry query's Spark output schema must be flat: no
-    top-level ArrayType / MapType / StructType.  Schema-only — plans
-    are analyzed, never executed, so the full 319-query sweep stays
-    cheap."""
+    top-level ArrayType / MapType / StructType.  The RETURNED plans
+    are only analyzed, never collected — but plan CONSTRUCTION may
+    execute driver-side training/index builds at sf0.001 (BPE
+    _train_merges iterative collects, cached_index parquet builds,
+    ANN probe collects), so the full-registry sweep costs minutes,
+    not hours (ADVICE r09 wording fix)."""
     offenders = {}
     for name, q in get_registry().items():
         df = q.fn(spark, SF_DIR)

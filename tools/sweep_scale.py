@@ -52,6 +52,7 @@ EXCLUDE: dict[str, str] = {
     "dedup_simhash": "replicated duplicate content explodes near-dup buckets quadratically (SCALE.md §9x)",
     "dedup_simhash_portable": "replicated duplicate content explodes near-dup buckets quadratically (SCALE.md §9x)",
     "minhash_recall_audit": "audits the minhash family above — same quadratic bucket blowup on replicas",
+    "minhash_index_incremental_update": "minhash-family delta-bucket pair expansion is quadratic on an exact-copy replica (SCALE.md §9x)",
     "approx_quantiles": "sketch exactness bounded by n <= accuracy (ORACLE_PORTABILITY.md)",
     "math_functions": "output == input cardinality (60M rows); gate canonicalization-bound, 10x-verified (SCALE.md §9f)",
 }
@@ -87,6 +88,13 @@ def main() -> int:
     failures: list[str] = []
     for ci, chunk in enumerate(chunks):
         tmp = f"/tmp/sweep_chunk_{ci}.json"
+        # ADVICE r09: a stale same-named file from a previous sweep
+        # must never be merged as a current result if this chunk's
+        # subprocess crashes before writing its output.
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
         t0 = time.time()
         try:
             p = subprocess.run(
