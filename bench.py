@@ -96,6 +96,10 @@ TIER2 = [
     # round-7 addition: the corpus-scaled sign-LSH near-dup flagship
     # (auto bits-per-band became the production default this round)
     "dedup_embedding_cosine",
+    # round-10 addition (VERDICT r09 #2): the tokenize-the-lake encode
+    # stream — likely the heaviest BPE-family member (K trainer passes
+    # + one corpus scan + per-doc token-stream assembly)
+    "bpe_encode_corpus_stream",
 ]
 
 
