@@ -83,3 +83,47 @@ def cached_index(
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     return spark.read.parquet(path)
+
+
+def merge_index(
+    spark: SparkSession,
+    kind: str,
+    src_path: str,
+    base_fn,
+    delta_fn,
+    partition_by: str | None = None,
+    params: object = None,
+) -> DataFrame:
+    """Append-only nightly index UPDATE: persist ``base_fn() UNION
+    delta_fn()`` as the artifact for the updated corpus fingerprint
+    and return the read-back (VERDICT r09 #3 — the lifecycle
+    completion of the incremental MinHash index).
+
+    Contract: ``base_fn`` should READ the previous night's artifact
+    (e.g. via :func:`cached_index`), never recompute it, and
+    ``delta_fn`` should compute signatures/codes for the NEW rows
+    only — then each nightly run costs O(delta) compute plus one
+    base-sized parquet copy, never a corpus re-scan.  Sound for any
+    row-wise index whose build is distributive over disjoint row
+    sets (MinHash signatures: pinned bit-exact by
+    tests/test_llm3.py::test_incremental_minhash_merge_equals_rebuild).
+
+    Both thunks are invoked ONLY when the merged artifact is absent:
+    the steady state (night already merged — every later dedup run
+    that night) is a pure parquet read, and a re-run after a crash
+    mid-write is safe because the write is temp-dir + atomic rename,
+    exactly like :func:`cached_index`.  The artifact key includes the
+    updated corpus fingerprint, so night 3's merge (new mtime/size)
+    never collides with night 2's."""
+
+    def _merged() -> DataFrame:
+        return base_fn().unionByName(delta_fn())
+
+    return cached_index(
+        spark,
+        kind,
+        src_path,
+        _merged,
+        partition_by=partition_by,
+        params=params,
+    )

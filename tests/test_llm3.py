@@ -141,3 +141,73 @@ def test_incremental_minhash_pairs_touch_delta(spark):
         if a % _PMH_DELTA_MOD == 0 or b % _PMH_DELTA_MOD == 0
     }
     assert inc == expect
+
+
+def test_merge_index_lifecycle_persists_across_reads(spark, tmp_path):
+    """The nightly read→update→re-read lifecycle (VERDICT r09 #3):
+    merge_index persists base ∪ delta under the updated corpus
+    fingerprint; the SECOND call must be a pure parquet read (thunks
+    not invoked, artifact untouched on disk), and the read-back must
+    be bit-identical to a monolithic rebuild — i.e. night 2 really
+    reads night 1's merge rather than recomputing it."""
+    import os
+
+    from distributedmapreduce_spark.operators.index_store import (
+        index_path,
+        merge_index,
+    )
+    from distributedmapreduce_spark.plans.llm import (
+        _PMH_DELTA_MOD,
+        _PMH_N,
+        _pmh_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = f"{SF}/documents.parquet"
+    params = ("pmh-lifecycle-test", _PMH_N, f"mod{_PMH_DELTA_MOD}")
+    path = index_path("pmh-merged", src, params)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # fresh lifecycle
+
+    calls = {"base": 0, "delta": 0}
+
+    def base_fn():
+        calls["base"] += 1
+        return _pmh_signatures(
+            docs.filter(F.col("doc_id") % _PMH_DELTA_MOD != 0)
+        )
+
+    def delta_fn():
+        calls["delta"] += 1
+        return _pmh_signatures(
+            docs.filter(F.col("doc_id") % _PMH_DELTA_MOD == 0)
+        )
+
+    merged1 = merge_index(
+        spark, "pmh-merged", src, base_fn, delta_fn, params=params
+    )
+    assert calls == {"base": 1, "delta": 1}
+    success = os.path.join(path, "_SUCCESS")
+    assert os.path.exists(success)
+    mtime1 = os.stat(success).st_mtime_ns
+
+    # "night 2": a fresh reader of the same corpus fingerprint —
+    # clear session-side caches so the read is genuinely from disk
+    spark.catalog.clearCache()
+    merged2 = merge_index(
+        spark, "pmh-merged", src, base_fn, delta_fn, params=params
+    )
+    assert calls == {"base": 1, "delta": 1}, "thunks re-invoked on re-read"
+    assert os.stat(success).st_mtime_ns == mtime1, "artifact rewritten"
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, tuple(sorted(r.hs)),
+             tuple(r[f"m{i}"] for i in range(_PMH_N)))
+            for r in df.collect()
+        )
+
+    rebuilt = _pmh_signatures(docs)
+    assert canon(merged2) == canon(rebuilt)
+    shutil.rmtree(path, ignore_errors=True)

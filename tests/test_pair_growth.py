@@ -173,3 +173,43 @@ def test_pann_bits_sql_matches_python_formula():
         )
         (got,) = con.execute(sql).fetchone()
         assert got == _pann_auto_bits(n), (n, got)
+
+
+def test_incremental_delta_candidates_complete_and_load_bearing(spark):
+    """The incremental index's candidate stage (llm._pmh_delta_candidates)
+    must be (a) COMPLETE: exactly the full `_pmh_candidates` enumeration
+    restricted to delta-incident pairs — has_new bucket pruning changes
+    which buckets get pair-expanded, never which delta-incident pairs
+    come out; and (b) LOAD-BEARING: the fixture must contain base-only
+    collision pairs that the pruned stage provably never expands
+    (otherwise this test would pass vacuously on a corpus where every
+    bucket holds a delta doc)."""
+    from distributedmapreduce_spark.plans.llm import (
+        _PMH_DELTA_MOD,
+        _pmh_candidates,
+        _pmh_delta_candidates,
+        _pmh_signatures,
+    )
+    from distributedmapreduce_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR_001)
+    merged = _pmh_signatures(docs).persist()
+    full = _pmh_candidates(merged).persist()
+    delta_incident = full.filter(
+        (F.col("doc_a") % _PMH_DELTA_MOD == 0)
+        | (F.col("doc_b") % _PMH_DELTA_MOD == 0)
+    )
+    inc = _pmh_delta_candidates(merged).persist()
+
+    extra = inc.join(delta_incident, ["doc_a", "doc_b"], "left_anti").count()
+    missed = delta_incident.join(inc, ["doc_a", "doc_b"], "left_anti").count()
+    assert extra == 0, f"pruned stage invented {extra} candidate pairs"
+    assert missed == 0, f"pruned stage dropped {missed} delta-incident pairs"
+
+    base_only = full.filter(
+        (F.col("doc_a") % _PMH_DELTA_MOD != 0)
+        & (F.col("doc_b") % _PMH_DELTA_MOD != 0)
+    ).count()
+    assert base_only > 0, "fixture has no base-only collisions — vacuous"
+    for df in (merged, full, inc):
+        df.unpersist()

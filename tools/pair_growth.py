@@ -140,6 +140,33 @@ def main() -> None:
             "vec_id",
         )
         base.unpersist()
+        # incremental-index nightly cost (round 10): pairs expanded by
+        # the delta-pruned candidate stage vs the monolithic rebuild.
+        # _bucket_stats measures pre-dedup fan-out from a bucket
+        # assignment; here the comparison is the EMITTED candidate
+        # sets, so count both sides of the same signature frame.
+        from distributedmapreduce_spark.plans.llm import (
+            _pmh_candidates,
+            _pmh_delta_candidates,
+            _pmh_signatures,
+        )
+
+        sigs = _pmh_signatures(load_table(spark, "documents", sf)).persist()
+        results.setdefault("minhash_incremental_delta", {})[n] = {
+            "items": sigs.count(),
+            "buckets": 0,
+            "max_bucket": 0,
+            "p99_bucket": 0.0,
+            "cand_pairs": _pmh_delta_candidates(sigs).count(),
+        }
+        results.setdefault("minhash_full_rebuild", {})[n] = {
+            "items": results["minhash_incremental_delta"][n]["items"],
+            "buckets": 0,
+            "max_bucket": 0,
+            "p99_bucket": 0.0,
+            "cand_pairs": _pmh_candidates(sigs).count(),
+        }
+        sigs.unpersist()
         print(f"scale {n}x done in {time.time()-t0:.0f}s", file=sys.stderr)
 
     print(
