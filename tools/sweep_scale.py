@@ -55,6 +55,7 @@ EXCLUDE: dict[str, str] = {
     "minhash_index_incremental_update": "minhash-family delta-bucket pair expansion is quadratic on an exact-copy replica (SCALE.md §9x)",
     "approx_quantiles": "sketch exactness bounded by n <= accuracy (ORACLE_PORTABILITY.md)",
     "math_functions": "output == input cardinality (60M rows); gate canonicalization-bound, 10x-verified (SCALE.md §9f)",
+    "triangle_count_copurchase": "oracle-side triangle enumeration (edge x edge self-join) spills past the box's disk at 100x — Spark side completes (67,200 rows in ~15 min); 10x staged-verified (SCALE.md §12d)",
 }
 
 
