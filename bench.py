@@ -114,7 +114,21 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     from distributedmapreduce_spark.operators import text as T
+    from distributedmapreduce_spark.operators.bucketed import bucketed_table
     from distributedmapreduce_spark.plans.registry import QUERIES
+
+    # Time the one-time bucket-table setup SEPARATELY (VERDICT r10 #2:
+    # the bucketed_join tier-2 row must stop conflating the per-session
+    # build/re-attach with the steady-state joined read).  Doing it
+    # here — before any warm-up round touches the tables — means the
+    # tier-2 row below times ONLY the shuffle-free join, and this field
+    # records what the layout investment actually cost this session
+    # (a full bucketBy write on first contact with a corpus, or a
+    # metadata-only DDL re-attach when the files already exist).
+    t0 = time.time()
+    bucketed_table(spark, sf_dir, "orders", "o_orderkey", 8)
+    bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", 8)
+    bucket_build_sec = round(time.time() - t0, 3)
 
     # JVM/codegen + Python-UDF-worker warm-up on the smallest SF (not
     # timed): headline queries should measure steady-state execution,
@@ -188,6 +202,7 @@ def main() -> None:
                 "tier2_total": round(sum(tier2.values()), 3),
                 "sf": sf,
                 "runs_per_query": runs,
+                "bucket_build_sec": bucket_build_sec,
             }
         )
     )
