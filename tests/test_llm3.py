@@ -143,7 +143,7 @@ def test_incremental_minhash_pairs_touch_delta(spark):
     assert inc == expect
 
 
-def test_merge_index_lifecycle_persists_across_reads(spark, tmp_path):
+def test_merge_index_lifecycle_persists_across_reads(spark):
     """The nightly read→update→re-read lifecycle (VERDICT r09 #3):
     merge_index persists base ∪ delta under the updated corpus
     fingerprint; the SECOND call must be a pure parquet read (thunks
@@ -170,44 +170,153 @@ def test_merge_index_lifecycle_persists_across_reads(spark, tmp_path):
 
     shutil.rmtree(path, ignore_errors=True)  # fresh lifecycle
 
-    calls = {"base": 0, "delta": 0}
+    # ADVICE r10: the artifact lives under the shared repo-level
+    # spark-warehouse/indexes dir — always remove it, even when an
+    # assertion between build and teardown fails.
+    try:
+        calls = {"base": 0, "delta": 0}
 
-    def base_fn():
-        calls["base"] += 1
-        return _pmh_signatures(
-            docs.filter(F.col("doc_id") % _PMH_DELTA_MOD != 0)
+        def base_fn():
+            calls["base"] += 1
+            return _pmh_signatures(
+                docs.filter(F.col("doc_id") % _PMH_DELTA_MOD != 0)
+            )
+
+        def delta_fn():
+            calls["delta"] += 1
+            return _pmh_signatures(
+                docs.filter(F.col("doc_id") % _PMH_DELTA_MOD == 0)
+            )
+
+        merged1 = merge_index(
+            spark, "pmh-merged", src, base_fn, delta_fn, params=params
         )
+        assert calls == {"base": 1, "delta": 1}
+        success = os.path.join(path, "_SUCCESS")
+        assert os.path.exists(success)
+        mtime1 = os.stat(success).st_mtime_ns
 
-    def delta_fn():
-        calls["delta"] += 1
-        return _pmh_signatures(
-            docs.filter(F.col("doc_id") % _PMH_DELTA_MOD == 0)
+        # "night 2": a fresh reader of the same corpus fingerprint —
+        # clear session-side caches so the read is genuinely from disk
+        spark.catalog.clearCache()
+        merged2 = merge_index(
+            spark, "pmh-merged", src, base_fn, delta_fn, params=params
         )
+        assert calls == {"base": 1, "delta": 1}, (
+            "thunks re-invoked on re-read"
+        )
+        assert os.stat(success).st_mtime_ns == mtime1, "artifact rewritten"
 
-    merged1 = merge_index(
-        spark, "pmh-merged", src, base_fn, delta_fn, params=params
+        def canon(df):
+            return sorted(
+                (r.doc_id, tuple(sorted(r.hs)),
+                 tuple(r[f"m{i}"] for i in range(_PMH_N)))
+                for r in df.collect()
+            )
+
+        rebuilt = _pmh_signatures(docs)
+        assert canon(merged2) == canon(rebuilt)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_merge_chain_two_nights_equals_rebuild(spark):
+    """The two-night RECURRENCE (VERDICT r10 #4): night 2 merges its
+    delta into NIGHT 1'S MERGED ARTIFACT, and
+    merged(merged(base, δ1), δ2) is bit-identical to a monolithic
+    rebuild over base ∪ δ1 ∪ δ2.  Also pins the O(delta) contract
+    mechanically: on a re-resolve of the fully-merged chain (the
+    cross-session steady state, simulated by clearing session caches)
+    NO thunk is invoked and no artifact is rewritten — every night is
+    found by its snapshot-id key."""
+    import os
+    import shutil
+
+    from distributedmapreduce_spark.operators.index_store import (
+        index_path,
+        merge_chain,
     )
-    assert calls == {"base": 1, "delta": 1}
-    success = os.path.join(path, "_SUCCESS")
-    assert os.path.exists(success)
-    mtime1 = os.stat(success).st_mtime_ns
-
-    # "night 2": a fresh reader of the same corpus fingerprint —
-    # clear session-side caches so the read is genuinely from disk
-    spark.catalog.clearCache()
-    merged2 = merge_index(
-        spark, "pmh-merged", src, base_fn, delta_fn, params=params
+    from distributedmapreduce_spark.plans.llm import (
+        _PMH_DELTA_MOD,
+        _PMH_N,
+        _PMH_NIGHT2_MOD,
+        _pmh_signatures,
     )
-    assert calls == {"base": 1, "delta": 1}, "thunks re-invoked on re-read"
-    assert os.stat(success).st_mtime_ns == mtime1, "artifact rewritten"
 
-    def canon(df):
-        return sorted(
-            (r.doc_id, tuple(sorted(r.hs)),
-             tuple(r[f"m{i}"] for i in range(_PMH_N)))
-            for r in df.collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = f"{SF}/documents.parquet"
+    params = ("pmh-chain-test", _PMH_N, f"mod{_PMH_DELTA_MOD}")
+    mod = F.col("doc_id") % _PMH_DELTA_MOD
+    paths = [
+        index_path("pmh-chain", src, (params, "snap", sid))
+        for sid in ("base", "n1", "n2")
+    ]
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+    try:
+        calls = {"base": 0, "d1": 0, "d2": 0}
+
+        def base_fn():
+            calls["base"] += 1
+            return _pmh_signatures(
+                docs.filter((mod != 0) & (mod != _PMH_NIGHT2_MOD))
+            )
+
+        def d1():
+            calls["d1"] += 1
+            return _pmh_signatures(docs.filter(mod == 0))
+
+        def d2():
+            calls["d2"] += 1
+            return _pmh_signatures(docs.filter(mod == _PMH_NIGHT2_MOD))
+
+        deltas = [("n1", d1), ("n2", d2)]
+        chained = merge_chain(
+            spark, "pmh-chain", src, base_fn, deltas, params=params
         )
+        # first full build: each stage computed exactly once
+        assert calls == {"base": 1, "d1": 1, "d2": 1}
+        successes = [os.path.join(p, "_SUCCESS") for p in paths]
+        assert all(os.path.exists(s) for s in successes)
+        mtimes = [os.stat(s).st_mtime_ns for s in successes]
 
-    rebuilt = _pmh_signatures(docs)
-    assert canon(merged2) == canon(rebuilt)
-    shutil.rmtree(path, ignore_errors=True)
+        def canon(df):
+            return sorted(
+                (r.doc_id, tuple(sorted(r.hs)),
+                 tuple(r[f"m{i}"] for i in range(_PMH_N)))
+                for r in df.collect()
+            )
+
+        # capture the canonical rows NOW — the rmtree below replaces
+        # the n2 part files on disk, so re-collecting the `chained`
+        # frame later would read a stale file listing
+        chained_rows = canon(chained)
+        assert chained_rows == canon(_pmh_signatures(docs))
+
+        # steady-state re-resolve ("any later session"): pure key
+        # lookups — no thunk runs, no artifact is rewritten
+        spark.catalog.clearCache()
+        again = merge_chain(
+            spark, "pmh-chain", src, base_fn, deltas, params=params
+        )
+        assert calls == {"base": 1, "d1": 1, "d2": 1}, (
+            "chain re-resolve re-invoked a build thunk"
+        )
+        assert [os.stat(s).st_mtime_ns for s in successes] == mtimes, (
+            "chain re-resolve rewrote an artifact"
+        )
+        assert canon(again) == chained_rows
+
+        # night-2 NEW-SESSION arrival mid-chain: wipe only the n2
+        # artifact — the rebuild must re-run ONLY δ2 (night 1's merge
+        # is read back by key, base and δ1 never recompute)
+        shutil.rmtree(paths[2], ignore_errors=True)
+        night2 = merge_chain(
+            spark, "pmh-chain", src, base_fn, deltas, params=params
+        )
+        assert calls == {"base": 1, "d1": 1, "d2": 2}
+        assert canon(night2) == chained_rows
+    finally:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)

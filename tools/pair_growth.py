@@ -151,19 +151,23 @@ def main() -> None:
             _pmh_signatures,
         )
 
+        # ADVICE r10: these two are candidate-SET-only measurements —
+        # bucket stats are not computed for them, and None (not 0)
+        # marks the unmeasured fields so a consumer can tell "not
+        # measured" from an actual zero.
         sigs = _pmh_signatures(load_table(spark, "documents", sf)).persist()
         results.setdefault("minhash_incremental_delta", {})[n] = {
             "items": sigs.count(),
-            "buckets": 0,
-            "max_bucket": 0,
-            "p99_bucket": 0.0,
+            "buckets": None,
+            "max_bucket": None,
+            "p99_bucket": None,
             "cand_pairs": _pmh_delta_candidates(sigs).count(),
         }
         results.setdefault("minhash_full_rebuild", {})[n] = {
             "items": results["minhash_incremental_delta"][n]["items"],
-            "buckets": 0,
-            "max_bucket": 0,
-            "p99_bucket": 0.0,
+            "buckets": None,
+            "max_bucket": None,
+            "p99_bucket": None,
             "cand_pairs": _pmh_candidates(sigs).count(),
         }
         sigs.unpersist()
@@ -183,9 +187,12 @@ def main() -> None:
                 growth = s["cand_pairs"] / max(prev[1]["cand_pairs"], 1)
                 size = s["items"] / prev[1]["items"]
                 alpha = f"{math.log(growth) / math.log(size):.2f}"
+            def _fmt(v, spec=","):
+                return "—" if v is None else format(v, spec)
+
             print(
-                f"| {method} | {n}x | {s['items']:,} | {s['buckets']:,} "
-                f"| {s['max_bucket']:,} | {s['p99_bucket']:.0f} "
+                f"| {method} | {n}x | {s['items']:,} | {_fmt(s['buckets'])} "
+                f"| {_fmt(s['max_bucket'])} | {_fmt(s['p99_bucket'], '.0f')} "
                 f"| {s['cand_pairs']:,} | {alpha} |"
             )
             prev = (n, s)
