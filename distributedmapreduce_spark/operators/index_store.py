@@ -21,6 +21,7 @@ exactly.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 
@@ -192,3 +193,63 @@ def merge_chain(
             params=(params, "snap", snapshot_id),
         )
     return df
+
+
+def stream_index_path(kind: str, token: str, params: object = None) -> str:
+    """Artifact path for a STREAM-maintained index: keyed on a
+    caller-supplied stable token (e.g. the source + checkpoint
+    identity), not a file fingerprint — a live upsert store's
+    mtime/size changes on every micro-batch, which would re-key a
+    fingerprinted artifact into a full rebuild each time (the
+    merge_index keying caveat, recursed)."""
+    key = hashlib.sha256(
+        f"{token}:v{_CODE_VERSION}:{params!r}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_INDEX_ROOT, f"{kind}-{key}")
+
+
+def advance_index(
+    spark: SparkSession,
+    kind: str,
+    token: str,
+    delta_df: DataFrame,
+    batch_id: int,
+    params: object = None,
+) -> None:
+    """Advance a stream-maintained index artifact by one micro-batch:
+    atomically replace the artifact with artifact ∪ delta
+    (the continuous form of :func:`merge_index` — VERDICT r10 #6).
+
+    Exactly-once discipline: foreachBatch delivers AT-LEAST-once, so
+    a sidecar state file records the last applied ``batch_id`` and a
+    replayed batch is a no-op — without this, a crash between sink
+    commit and checkpoint advance would double-union the delta.  The
+    swap sequence (write merged to tmp while the old artifact is
+    still readable, then rename old out / tmp in) keeps a readable
+    artifact on disk at all times except the instant between the two
+    renames; a crash there leaves ``.old`` intact for manual
+    recovery, and the state file is only advanced after the swap
+    completes.  Per batch the work is O(delta compute + artifact
+    copy) — the same cost envelope as the nightly merge, paid per
+    micro-batch."""
+    path = stream_index_path(kind, token, params)
+    state_path = f"{path}.state.json"
+    last = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            last = json.load(f).get("last_batch", -1)
+    if batch_id <= last:
+        return  # replayed batch: already merged
+    os.makedirs(_INDEX_ROOT, exist_ok=True)
+    merged = delta_df
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        merged = spark.read.parquet(path).unionByName(delta_df)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{os.getpid()}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    with open(state_path, "w") as f:
+        json.dump({"last_batch": batch_id}, f)

@@ -419,3 +419,378 @@ def multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 < 2)
     return byte_histogram(encode_fixture_assets(docs), n_bins=16)
+
+
+# --- image perceptual-hash near-dup (VERDICT r10 #5) ------------------
+#
+# The multimodal × dedup composition: aHash over the REAL decoded
+# rasters, Hamming-banded so the pair stage is bucketed, never
+# all-pairs.  Test recipe: 4×4 grid -> 16-bit hash in 4 blocks of 4
+# (exercisable at sf0.01, quadratic-contrast row in the pair-growth
+# audit); production width: 8×8 grid -> 64-bit hash in 4 blocks of 16
+# (the scale path, same code parameterized by ``grid``).  Hamming <= 3
+# over 4 blocks guarantees >= 1 exact block match (pigeonhole), so the
+# banded candidate set is COMPLETE for the verified threshold.
+
+_PHASH_GRID = 4  # test-recipe grid (production: 8)
+_PHASH_HAM = 3  # verified near-dup threshold (<= blocks - 1)
+
+
+def phash_signatures(spark: SparkSession, sf: str, grid: int = _PHASH_GRID) -> DataFrame:
+    """(asset_id, ph): ``grid²``-bit average-hash of every image
+    asset's REAL decoded raster — nearest-neighbor-sample channel 0 to
+    a grid×grid panel (the multimodal_resize coordinate rule), then
+    bit i = 1 iff panel[i] * grid² > panel_total (integer-exact mean
+    compare, no division).  Decode is the only Python stage
+    (Arrow-batched mapInPandas, per-asset work, no shuffle); the mean
+    threshold and bit packing run as builtin expressions."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 < 2)
+    assets = encode_fixture_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import PNG_SIG, decode_bmp, decode_png
+
+        for pdf in it:
+            out = {"asset_id": [], "gv": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                meta = (
+                    decode_png(data)
+                    if data[:8] == PNG_SIG
+                    else decode_bmp(data)
+                )
+                w, h, c = meta["width"], meta["height"], meta["n_channels"]
+                raster = np.frombuffer(
+                    _raster_bytes(data, meta), dtype=np.uint8
+                )
+                chan0 = raster[::c].reshape(h, w)
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                panel = chan0[np.ix_(ys, xs)].astype("int64")
+                out["asset_id"].append(int(aid))
+                out["gv"].append(panel.reshape(-1).tolist())
+            yield pd.DataFrame(out)
+
+    gv = assets.mapInPandas(
+        _batches, schema="asset_id long, gv array<long>"
+    )
+    n = grid * grid
+    return gv.select(
+        "asset_id",
+        "gv",
+        F.expr("aggregate(gv, 0L, (a, x) -> a + x)").alias("total"),
+    ).select(
+        "asset_id",
+        F.expr(
+            f"aggregate(zip_with(gv, sequence(0, {n - 1}),"
+            f" (g, i) -> IF(g * {n} > total,"
+            f" shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+        ).alias("ph"),
+    )
+
+
+def phash_block_buckets(
+    spark: SparkSession, sf: str, grid: int = _PHASH_GRID
+) -> DataFrame:
+    """(asset_id, band, bucket): the Hamming-LSH bucket assignment —
+    the grid²-bit hash split into 4 equal blocks; two hashes within
+    Hamming distance 3 share at least one exact block.  Factored out
+    so tools/pair_growth.py can audit candidate-pair growth for both
+    the 16-bit test recipe and the 64-bit production width."""
+    blockbits = (grid * grid) // 4
+    sig = phash_signatures(spark, sf, grid)
+    return sig.select(
+        "asset_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), blockbits * b).bitwiseAND(
+                        F.lit((1 << blockbits) - 1)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _phash_oracle() -> str:
+    """Closed-form DuckDB twin: the ramp fixture's raster byte at flat
+    index k is (d + k) % 256, so panel cell (y, x) of channel 0 is
+    (d + ((y*h)//G * w + (x*w)//G) * c) % 256 — the hash is derived
+    arithmetically from doc_id, never from the Python codecs.  The
+    oracle enumerates ALL pairs; the banded Spark plan is complete for
+    hamming <= 3 by pigeonhole, so the answers agree."""
+    g = _PHASH_GRID
+    cells = ", ".join(str(i) for i in range(g))
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             CASE WHEN doc_id % 3 = 1 THEN 3
+                  WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+             doc_id % 256 AS d
+      FROM documents WHERE doc_id % 3 < 2),
+    gcell AS (
+      SELECT asset_id, u.y * {g} + v.x AS idx,
+             (d + (((u.y * h) // {g}) * w + (v.x * w) // {g}) * c) % 256
+               AS gv
+      FROM p, unnest([{cells}]) AS u(y), unnest([{cells}]) AS v(x)),
+    tot AS (
+      SELECT asset_id, sum(gv) AS total FROM gcell GROUP BY asset_id),
+    bits AS (
+      SELECT gcell.asset_id,
+             sum(CASE WHEN gv * {g * g} > total
+                 THEN 1 << idx ELSE 0 END) AS ph
+      FROM gcell JOIN tot USING (asset_id) GROUP BY gcell.asset_id)
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+    FROM bits a JOIN bits b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
+    """
+
+
+@query("dedup_phash_images", oracle=_phash_oracle())
+def dedup_phash_images(spark: SparkSession, sf: str) -> DataFrame:
+    """Image perceptual-hash near-dup (VERDICT r10 #5) — the
+    multimodal × dedup composition: average-hash every image asset's
+    REAL decoded raster (PNG zlib-inflate + filter reversal, BMP
+    padded-BGR reorder — operators/codecs.py), Hamming-band the
+    hashes into 4 equal blocks (dedup_simhash_portable's discipline,
+    llm.py), enumerate pairs ONLY inside shared block buckets, and
+    verify exact Hamming distance <= 3 via bit_count(xor) — complete
+    for the threshold by pigeonhole, never all-pairs.
+
+    The deterministic ramp rasters admit a closed-form integer oracle
+    (exactly like multimodal_feature_extract_real): every panel byte,
+    the mean threshold, and the final Hamming distances are re-derived
+    arithmetically from doc_id alone, so a decode, sampling, packing,
+    or banding error anywhere hash-mismatches.
+
+    Scale: decode + hash is per-asset mapInPandas (no shuffle); the
+    pair stage shuffles hash-sized rows by block value.  The 16-bit
+    test recipe saturates at corpus scale (quadratic-contrast row in
+    the pair-growth audit); production uses the same code at grid=8 —
+    a 64-bit hash whose 16-bit blocks keep buckets sparse
+    (tools/pair_growth.py 'phash64_blocks' row)."""
+    sig = phash_signatures(spark, sf, _PHASH_GRID).persist()
+    blockbits = (_PHASH_GRID * _PHASH_GRID) // 4
+    bands = sig.select(
+        "asset_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), blockbits * b).bitwiseAND(
+                        F.lit((1 << blockbits) - 1)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("asset_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("asset_a"), y.alias("asset_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.asset_a", "pair.asset_b")
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    a = sig.select(F.col("asset_id").alias("asset_a"), F.col("ph").alias("pa"))
+    b = sig.select(F.col("asset_id").alias("asset_b"), F.col("ph").alias("pb"))
+    return (
+        cand.join(a, "asset_a")
+        .join(b, "asset_b")
+        .select(
+            "asset_a",
+            "asset_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAM)
+    )
+
+
+def phash_distinct_block_buckets(
+    spark: SparkSession, sf: str, grid: int = _PHASH_GRID
+) -> DataFrame:
+    """(ph, band, bucket) over DISTINCT hashes only — the candidate
+    stage of dedup_phash_classes, exposed for the pair-growth audit:
+    on a hash-degenerate corpus the distinct-hash population is
+    bounded, so this stage's candidate pairs stay flat while the
+    asset-pair stage grows quadratically."""
+    blockbits = (grid * grid) // 4
+    cls = phash_signatures(spark, sf, grid).select("ph").distinct()
+    return cls.select(
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), blockbits * b).bitwiseAND(
+                        F.lit((1 << blockbits) - 1)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _phash_classes_oracle() -> str:
+    """Same closed-form hash derivation; pairs enumerated between
+    DISTINCT hash classes (each with its member count), so the truth
+    itself is bounded by the distinct-hash population."""
+    g = _PHASH_GRID
+    cells = ", ".join(str(i) for i in range(g))
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             CASE WHEN doc_id % 3 = 1 THEN 3
+                  WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+             doc_id % 256 AS d
+      FROM documents WHERE doc_id % 3 < 2),
+    gcell AS (
+      SELECT asset_id, u.y * {g} + v.x AS idx,
+             (d + (((u.y * h) // {g}) * w + (v.x * w) // {g}) * c) % 256
+               AS gv
+      FROM p, unnest([{cells}]) AS u(y), unnest([{cells}]) AS v(x)),
+    tot AS (
+      SELECT asset_id, sum(gv) AS total FROM gcell GROUP BY asset_id),
+    bits AS (
+      SELECT gcell.asset_id,
+             sum(CASE WHEN gv * {g * g} > total
+                 THEN 1 << idx ELSE 0 END) AS ph
+      FROM gcell JOIN tot USING (asset_id) GROUP BY gcell.asset_id),
+    cls AS (
+      SELECT ph, count(*) AS n, min(asset_id) AS rep
+      FROM bits GROUP BY ph)
+    SELECT CAST(a.ph AS BIGINT) AS ph_a, CAST(b.ph AS BIGINT) AS ph_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           CAST(a.n * b.n AS BIGINT) AS n_asset_pairs
+    FROM cls a JOIN cls b ON a.ph < b.ph
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
+    """
+
+
+@query("dedup_phash_classes", oracle=_phash_classes_oracle())
+def dedup_phash_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB shape of perceptual-hash dedup: near-dup CLASS pairs
+    instead of asset pairs.  The pair-growth audit
+    (tools/pair_growth.py phash16/phash64 rows) measured
+    dedup_phash_images' asset-pair stage at alpha = 2.00 even at the
+    64-bit production width — the corpus is hash-DEGENERATE (the ramp
+    fixture admits at most ~768 distinct images at ANY scale, and a
+    real crawl's exact-duplicate storm behaves the same way), so the
+    true asset-pair set is quadratic and no blocking can shrink an
+    output that size.  The scale answer is to stop materializing it:
+    aggregate assets into exact-hash classes FIRST (one shuffle, class
+    count bounded by the distinct-hash population, not the corpus),
+    then Hamming-band only the distinct hashes and emit class pairs
+    with multiplicities (n_a, n_b, n_asset_pairs = n_a*n_b) plus a
+    min-id representative per class — everything downstream dedup
+    needs, at O(distinct^2-bounded) output instead of O(corpus^2).
+    The pair-growth 'phash64_distinct' row pins the candidate stage
+    flat (alpha ~= 0) as the corpus grows.
+
+    Same REAL decode + closed-form oracle discipline as
+    dedup_phash_images; banding over 4 blocks keeps hamming <= 3
+    complete by pigeonhole."""
+    sig = phash_signatures(spark, sf, _PHASH_GRID)
+    cls = sig.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("asset_id").alias("rep"),
+    )
+    blockbits = (_PHASH_GRID * _PHASH_GRID) // 4
+    bands = cls.select(
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), blockbits * b).bitwiseAND(
+                        F.lit((1 << blockbits) - 1)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("ph")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("ph_a"), y.alias("ph_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.ph_a", "pair.ph_b")
+        .dropDuplicates(["ph_a", "ph_b"])
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            <= _PHASH_HAM
+        )
+    )
+    a = cls.select(
+        F.col("ph").alias("ph_a"),
+        F.col("n").alias("n_a"),
+        F.col("rep").alias("rep_a"),
+    )
+    b = cls.select(
+        F.col("ph").alias("ph_b"),
+        F.col("n").alias("n_b"),
+        F.col("rep").alias("rep_b"),
+    )
+    return (
+        cand.join(F.broadcast(a), "ph_a")
+        .join(F.broadcast(b), "ph_b")
+        .select(
+            F.col("ph_a").cast("long"),
+            F.col("ph_b").cast("long"),
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            .cast("long")
+            .alias("hamming"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.col("rep_a").cast("long"),
+            F.col("rep_b").cast("long"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_asset_pairs"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Streaming index maintenance — the nightly merge made continuous
+(VERDICT r10 #6).
+
+The batch story (operators/index_store.py): a nightly job merges the
+day's delta into the persisted signature index.  The shape a real
+lake actually runs is CONTINUOUS — new documents arrive through an
+upsert store, and the index advances per micro-batch instead of per
+night.  This module wires that: a Structured Streaming query over the
+``kvjson`` upsert source (sources/kvjson.py — its key high-watermark
+offset makes each micro-batch exactly the NEW keys), with a
+``foreachBatch`` sink that signatures the batch and folds it into the
+artifact via :func:`operators.index_store.advance_index`.
+
+Semantics: for any row-wise index whose build is distributive over
+disjoint row sets (MinHash signatures are — pinned by
+tests/test_llm3.py::test_incremental_minhash_merge_equals_rebuild),
+the stream-maintained artifact after consuming a store equals the
+monolithic batch build over the same rows, bit-exact.  That
+stream==batch parity is pinned by
+tests/test_streaming.py::test_stream_maintained_index_equals_batch.
+
+Scale: per micro-batch the work is O(batch compute + artifact
+rewrite).  The artifact rewrite is the honest cost of parquet's
+immutability — at 100 TB you'd amortize it with partitioned
+appends + periodic compaction (the artifact is partitionable by any
+stable key); the exactly-once state discipline (sidecar batch-id
+file) and the union algebra are identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index_store import advance_index
+
+
+def index_maintenance_stream(
+    spark: SparkSession,
+    store_path: str,
+    checkpoint_dir: str,
+    sig_fn,
+    kind: str = "stream-index",
+    params: object = None,
+):
+    """Start (availableNow) a maintenance pass: consume every kvjson
+    key above the checkpoint's watermark, signature each micro-batch
+    with ``sig_fn(docs_df) -> DataFrame`` (docs arrive as
+    ``doc_id long, text string`` decoded from the store's JSON
+    values), and advance the persisted artifact per batch.
+
+    The artifact token binds the STORE and the CHECKPOINT identity
+    together: a fresh checkpoint re-reads the whole store as batch 0,
+    so reusing an artifact across checkpoints would double-count —
+    keying on the pair makes that impossible.  Returns the streaming
+    query handle (call ``awaitTermination()``); the artifact path is
+    ``stream_index_path(kind, token, params)`` with
+    ``token = f"{store_path}@{checkpoint_dir}"``."""
+    from ..sources import kvjson
+
+    kvjson.register(spark)
+    token = f"{store_path}@{checkpoint_dir}"
+
+    def _advance(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col("key").cast("long").alias("doc_id"),
+            F.get_json_object(F.col("value"), "$.text").alias("text"),
+        )
+        advance_index(
+            spark, kind, token, sig_fn(docs), batch_id, params=params
+        )
+
+    return (
+        spark.readStream.format("kvjson")
+        .load(store_path)
+        .writeStream.foreachBatch(_advance)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -117,3 +117,34 @@ def test_transforms_deterministic_and_grounded(spark):
     hist = byte_histogram(a.filter("asset_id = 1"), 16).collect()
     assert sum(r.n_in_bin for r in hist) == 6 * 4 * 3
     assert len(hist) == 16
+
+
+def test_phash_banded_equals_bruteforce(spark):
+    """The Hamming-banded pair stage of dedup_phash_images is COMPLETE
+    for the verified threshold: 4 blocks over a 16-bit hash + the
+    pigeonhole principle mean any pair within Hamming <= 3 shares at
+    least one exact block, so the banded result must equal the
+    all-pairs brute force over the same signatures — banding changes
+    work, never values."""
+    from distributedmapreduce_spark.plans.mmq import (
+        _PHASH_HAM,
+        phash_signatures,
+    )
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    sig = {
+        r.asset_id: r.ph for r in phash_signatures(spark, sf).collect()
+    }
+    ids = sorted(sig)
+    brute = {
+        (a, b, (sig[a] ^ sig[b]).bit_count())
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (sig[a] ^ sig[b]).bit_count() <= _PHASH_HAM
+    }
+    banded = {
+        (r.asset_a, r.asset_b, r.hamming)
+        for r in QUERIES["dedup_phash_images"](spark, sf).collect()
+    }
+    assert banded == brute and len(brute) > 0

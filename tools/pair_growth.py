@@ -12,7 +12,8 @@ growth exponent between scales: pairs ~ corpus^alpha.  alpha ≈ 1 is
 linear (healthy blocking); alpha -> 2 is the quadratic trap.
 
 Usage:
-    python3 tools/pair_growth.py [--scales 1,10,100]
+    python3 tools/pair_growth.py [--scales=1,10,100]
+                                 [--methods=name1,name2]  (default: all)
 
 Scale 1 reads /root/testdata/sf0.1 directly; other scales are
 generated on demand with tools/gen_scale.py (documents + embeddings
@@ -76,9 +77,15 @@ def _bucket_stats(buckets_df, key_cols, id_col) -> dict:
 
 def main() -> None:
     scales = [1, 10, 100]
+    only: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--methods"):
+            only = set(a.split("=", 1)[1].split(","))
+
+    def want(name: str) -> bool:
+        return not only or name in only
 
     from distributedmapreduce_spark.plans.llm import (
         embedding_band_buckets,
@@ -94,35 +101,44 @@ def main() -> None:
     for n in scales:
         sf = _scale_dir(n)
         t0 = time.time()
-        results.setdefault("minhash_lsh", {})[n] = _bucket_stats(
-            minhash_band_buckets(minhash_signatures(spark, sf)),
-            ["band", "bucket"],
-            "doc_id",
-        )
-        results.setdefault("simhash", {})[n] = _bucket_stats(
-            simhash_block_buckets(spark, sf), ["q", "qval"], "doc_id"
-        )
+        if want("minhash_lsh"):
+            results.setdefault("minhash_lsh", {})[n] = _bucket_stats(
+                minhash_band_buckets(minhash_signatures(spark, sf)),
+                ["band", "bucket"],
+                "doc_id",
+            )
+        if want("simhash"):
+            results.setdefault("simhash", {})[n] = _bucket_stats(
+                simhash_block_buckets(spark, sf), ["q", "qval"], "doc_id"
+            )
         # the scale path: block-PAIR keys (~26 bits, hamming<=3 exact)
-        results.setdefault("simhash_paired", {})[n] = _bucket_stats(
-            simhash_block_buckets(spark, sf, paired=True),
-            ["q", "qval"],
-            "doc_id",
-        )
+        if want("simhash_paired"):
+            results.setdefault("simhash_paired", {})[n] = _bucket_stats(
+                simhash_block_buckets(spark, sf, paired=True),
+                ["q", "qval"],
+                "doc_id",
+            )
         # the legacy fixed recipe, kept for the quadratic contrast
-        results.setdefault("embedding_cosine_fixed4", {})[n] = _bucket_stats(
-            embedding_band_buckets(
-                load_table(spark, "embeddings", sf), bits_per_band=4
-            ),
-            ["band", "bucket"],
-            "vec_id",
-        )
+        if want("embedding_cosine_fixed4"):
+            results.setdefault(
+                "embedding_cosine_fixed4", {}
+            )[n] = _bucket_stats(
+                embedding_band_buckets(
+                    load_table(spark, "embeddings", sf), bits_per_band=4
+                ),
+                ["band", "bucket"],
+                "vec_id",
+            )
         # the PRODUCTION path (default since r07): bits-per-band
         # grows with log2(corpus)
-        results.setdefault("embedding_cosine_auto", {})[n] = _bucket_stats(
-            embedding_band_buckets(load_table(spark, "embeddings", sf)),
-            ["band", "bucket"],
-            "vec_id",
-        )
+        if want("embedding_cosine_auto"):
+            results.setdefault(
+                "embedding_cosine_auto", {}
+            )[n] = _bucket_stats(
+                embedding_band_buckets(load_table(spark, "embeddings", sf)),
+                ["band", "bucket"],
+                "vec_id",
+            )
         # semdedup: k-means clusters ARE the blocking buckets; the
         # default trainer now grows K with the corpus (K ≈ N/128
         # clamped to [4, 4096]) per the paper's production shape
@@ -131,15 +147,16 @@ def main() -> None:
             _km_train,
         )
 
-        base, cents, k, _low = _km_train(spark, sf)
-        results.setdefault("semdedup_kmeans", {})[n] = _bucket_stats(
-            base.select(
-                "vec_id", (_km_code_col(cents, k) % k).alias("cluster")
-            ),
-            ["cluster"],
-            "vec_id",
-        )
-        base.unpersist()
+        if want("semdedup_kmeans"):
+            base, cents, k, _low = _km_train(spark, sf)
+            results.setdefault("semdedup_kmeans", {})[n] = _bucket_stats(
+                base.select(
+                    "vec_id", (_km_code_col(cents, k) % k).alias("cluster")
+                ),
+                ["cluster"],
+                "vec_id",
+            )
+            base.unpersist()
         # incremental-index nightly cost (round 10): pairs expanded by
         # the delta-pruned candidate stage vs the monolithic rebuild.
         # _bucket_stats measures pre-dedup fan-out from a bucket
@@ -151,26 +168,60 @@ def main() -> None:
             _pmh_signatures,
         )
 
+        # image perceptual-hash blocking (round 11): the 16-bit test
+        # recipe is the quadratic-contrast row (hash space saturates as
+        # the corpus grows, like embedding_cosine_fixed4); grid=8 is
+        # the production width — 64-bit hashes in 16-bit blocks keep
+        # buckets sparse
+        from distributedmapreduce_spark.plans.mmq import (
+            phash_block_buckets,
+            phash_distinct_block_buckets,
+        )
+
+        if want("phash64_distinct"):
+            results.setdefault("phash64_distinct", {})[n] = _bucket_stats(
+                phash_distinct_block_buckets(spark, sf, grid=8),
+                ["band", "bucket"],
+                "ph",
+            )
+        if want("phash16_blocks"):
+            results.setdefault("phash16_blocks", {})[n] = _bucket_stats(
+                phash_block_buckets(spark, sf, grid=4),
+                ["band", "bucket"],
+                "asset_id",
+            )
+        if want("phash64_blocks"):
+            results.setdefault("phash64_blocks", {})[n] = _bucket_stats(
+                phash_block_buckets(spark, sf, grid=8),
+                ["band", "bucket"],
+                "asset_id",
+            )
         # ADVICE r10: these two are candidate-SET-only measurements —
         # bucket stats are not computed for them, and None (not 0)
         # marks the unmeasured fields so a consumer can tell "not
         # measured" from an actual zero.
-        sigs = _pmh_signatures(load_table(spark, "documents", sf)).persist()
-        results.setdefault("minhash_incremental_delta", {})[n] = {
-            "items": sigs.count(),
-            "buckets": None,
-            "max_bucket": None,
-            "p99_bucket": None,
-            "cand_pairs": _pmh_delta_candidates(sigs).count(),
-        }
-        results.setdefault("minhash_full_rebuild", {})[n] = {
-            "items": results["minhash_incremental_delta"][n]["items"],
-            "buckets": None,
-            "max_bucket": None,
-            "p99_bucket": None,
-            "cand_pairs": _pmh_candidates(sigs).count(),
-        }
-        sigs.unpersist()
+        if want("minhash_incremental_delta") or want("minhash_full_rebuild"):
+            sigs = _pmh_signatures(
+                load_table(spark, "documents", sf)
+            ).persist()
+            n_sigs = sigs.count()
+            if want("minhash_incremental_delta"):
+                results.setdefault("minhash_incremental_delta", {})[n] = {
+                    "items": n_sigs,
+                    "buckets": None,
+                    "max_bucket": None,
+                    "p99_bucket": None,
+                    "cand_pairs": _pmh_delta_candidates(sigs).count(),
+                }
+            if want("minhash_full_rebuild"):
+                results.setdefault("minhash_full_rebuild", {})[n] = {
+                    "items": n_sigs,
+                    "buckets": None,
+                    "max_bucket": None,
+                    "p99_bucket": None,
+                    "cand_pairs": _pmh_candidates(sigs).count(),
+                }
+            sigs.unpersist()
         print(f"scale {n}x done in {time.time()-t0:.0f}s", file=sys.stderr)
 
     print(
@@ -186,7 +237,14 @@ def main() -> None:
             if prev is not None:
                 growth = s["cand_pairs"] / max(prev[1]["cand_pairs"], 1)
                 size = s["items"] / prev[1]["items"]
-                alpha = f"{math.log(growth) / math.log(size):.2f}"
+                # a blocking keyed on a BOUNDED population (e.g.
+                # distinct hashes) can have size == 1 across scales:
+                # the exponent is undefined — report the flat fact
+                alpha = (
+                    "flat (items unchanged)"
+                    if size == 1
+                    else f"{math.log(growth) / math.log(size):.2f}"
+                )
             def _fmt(v, spec=","):
                 return "—" if v is None else format(v, spec)
 

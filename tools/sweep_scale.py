@@ -56,6 +56,7 @@ EXCLUDE: dict[str, str] = {
     "approx_quantiles": "sketch exactness bounded by n <= accuracy (ORACLE_PORTABILITY.md)",
     "math_functions": "output == input cardinality (60M rows); gate canonicalization-bound, 10x-verified (SCALE.md §9f)",
     "triangle_count_copurchase": "oracle-side triangle enumeration (edge x edge self-join) spills past the box's disk at 100x — Spark side completes (67,200 rows in ~15 min); 10x staged-verified (SCALE.md §12d)",
+    "dedup_phash_images": "oracle is a deliberate ALL-PAIRS enumeration (complete truth for the banded plan) — O(n^2) in image count, infeasible at 100x; 10x-verified, pair growth audited (phash16/phash64 rows in tools/pair_growth.py)",
 }
 
 
