@@ -59,6 +59,22 @@ EXCLUDE: dict[str, str] = {
     "dedup_phash_images": "oracle is a deliberate ALL-PAIRS enumeration (complete truth for the banded plan) — O(n^2) in image count, infeasible at 100x; 10x-verified, pair growth audited (phash16/phash64 rows in tools/pair_growth.py)",
 }
 
+# Known-heavy ORACLES get a process to themselves with an individual
+# timeout (VERDICT r10 #7 — §12d's lesson recursed: chunk-level
+# isolation wasn't enough; one heavy neighbor in chunk 12 starved five
+# light queries into spurious timeout FAILs, and the BPE oracles blew
+# DuckDB's allocator when sharing a process).  Values are per-query
+# timeout seconds at the 100x replica, sized from measured solo runs
+# (frequent_itempairs: 5,032 s green — SCALE.md §12d).
+HEAVY: dict[str, int] = {
+    "frequent_itempairs": 7200,
+    "bpe_train_merges": 3600,
+    "bpe_encode_token_counts": 3600,
+    "bpe_encode_corpus_stream": 3600,
+    "bpe_fertility_by_lang": 3600,
+    "kcore_copurchase": 3600,
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
@@ -84,11 +100,18 @@ def main() -> int:
         f"__excluded__{n}": {"reason": why} for n, why in excluded.items()
     }
     t_start = time.time()
+    light = [n for n in run_names if n not in HEAVY]
+    heavy = [n for n in run_names if n in HEAVY]
     chunks = [
-        run_names[i : i + chunk_n] for i in range(0, len(run_names), chunk_n)
+        light[i : i + chunk_n] for i in range(0, len(light), chunk_n)
     ]
+    # bulkhead tier: each known-heavy oracle runs ALONE in its own
+    # process with its own timeout, appended as single-query "chunks"
+    chunk_timeouts = [timeout] * len(chunks) + [HEAVY[n] for n in heavy]
+    chunks += [[n] for n in heavy]
     failures: list[str] = []
     for ci, chunk in enumerate(chunks):
+        chunk_timeout = chunk_timeouts[ci]
         tmp = f"/tmp/sweep_chunk_{ci}.json"
         # ADVICE r09: a stale same-named file from a previous sweep
         # must never be merged as a current result if this chunk's
@@ -102,16 +125,16 @@ def main() -> int:
             p = subprocess.run(
                 [sys.executable, os.path.join(_HERE, "check_oracle.py"),
                  "--json", tmp, *chunk],
-                env=env, timeout=timeout,
+                env=env, timeout=chunk_timeout,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
             tail = p.stdout.decode(errors="replace").strip().splitlines()
             status = tail[-1] if tail else "?"
         except subprocess.TimeoutExpired:
-            status = f"CHUNK TIMEOUT after {timeout}s"
+            status = f"CHUNK TIMEOUT after {chunk_timeout}s"
             for n in chunk:
                 merged.setdefault(
-                    n, {"err": f"sweep chunk timeout ({timeout}s)"}
+                    n, {"err": f"sweep chunk timeout ({chunk_timeout}s)"}
                 )
             failures.extend(chunk)
             print(f"[{ci+1}/{len(chunks)}] TIMEOUT {chunk}")
