@@ -159,6 +159,15 @@ def main() -> int:
             f"[{ci+1}/{len(chunks)}] {time.time()-t0:6.1f}s "
             f"{status}  ({chunk[0]}..{chunk[-1]})", flush=True
         )
+        # checkpoint the merged map after EVERY chunk (round 11): a
+        # killed sweep leaves a usable partial artifact instead of
+        # nothing — the final write below just adds __meta__
+        with open(out_path, "w") as f:
+            json.dump(
+                {**merged, "__meta__": {"partial": True,
+                 "chunks_done": ci + 1, "chunks_total": len(chunks)}},
+                f, indent=1, sort_keys=True,
+            )
 
     merged["__meta__"] = {
         "sf_dir": sf_dir,
