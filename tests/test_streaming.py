@@ -551,3 +551,17 @@ def test_stream_maintained_index_equals_batch(spark, tmp_path):
         shutil.rmtree(path, ignore_errors=True)
         if os.path.exists(f"{path}.state.json"):
             os.remove(f"{path}.state.json")
+
+
+def test_stream_index_path_token_separation():
+    """The stream artifact key binds store + checkpoint identity: a
+    different checkpoint (whose batch 0 re-reads the whole store) can
+    never resolve to an existing artifact and double-count."""
+    from distributedmapreduce_spark.operators.index_store import (
+        stream_index_path,
+    )
+
+    a = stream_index_path("k", "/s/store.json@/c/ckpt1", ("p", 8))
+    b = stream_index_path("k", "/s/store.json@/c/ckpt2", ("p", 8))
+    c = stream_index_path("k", "/s/store.json@/c/ckpt1", ("p", 9))
+    assert len({a, b, c}) == 3
