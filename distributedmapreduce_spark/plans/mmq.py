@@ -722,10 +722,14 @@ def dedup_phash_classes(spark: SparkSession, sf: str) -> DataFrame:
     dedup_phash_images; banding over 4 blocks keeps hamming <= 3
     complete by pigeonhole."""
     sig = phash_signatures(spark, sf, _PHASH_GRID)
+    # the class table feeds three consumers (banding + both join
+    # sides); persist it so the corpus decode scan runs ONCE — it is
+    # bounded by the distinct-hash population, the smallest frame in
+    # the plan
     cls = sig.groupBy("ph").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("asset_id").alias("rep"),
-    )
+    ).persist()
     blockbits = (_PHASH_GRID * _PHASH_GRID) // 4
     bands = cls.select(
         "ph",
