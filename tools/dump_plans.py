@@ -237,6 +237,15 @@ SHOWCASE = [
         "within-cluster join only, two-phase argmin keeper, one "
         "persisted vector projection with lifted norms",
     ),
+    (
+        "dedup_phash_classes",
+        "perceptual-hash dedup at the class level (r11): ONE decode "
+        "scan aggregates assets into exact-hash classes (bounded by "
+        "the distinct-hash population, not the corpus), Hamming "
+        "banding runs over distinct hashes only, and both multiplicity "
+        "join sides broadcast — the asset-pair quadratic never "
+        "materializes",
+    ),
 ]
 
 
