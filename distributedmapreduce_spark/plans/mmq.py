@@ -436,14 +436,14 @@ _PHASH_GRID = 4  # test-recipe grid (production: 8)
 _PHASH_HAM = 3  # verified near-dup threshold (<= blocks - 1)
 
 
-def phash_signatures(spark: SparkSession, sf: str, grid: int = _PHASH_GRID) -> DataFrame:
-    """(asset_id, ph): ``grid²``-bit average-hash of every image
-    asset's REAL decoded raster — nearest-neighbor-sample channel 0 to
-    a grid×grid panel (the multimodal_resize coordinate rule), then
-    bit i = 1 iff panel[i] * grid² > panel_total (integer-exact mean
-    compare, no division).  Decode is the only Python stage
-    (Arrow-batched mapInPandas, per-asset work, no shuffle); the mean
-    threshold and bit packing run as builtin expressions."""
+def _panel_frame(
+    spark: SparkSession, sf: str, rows: int, cols: int
+) -> DataFrame:
+    """(asset_id, gv): channel 0 of every image asset's REAL decoded
+    raster nearest-neighbor-sampled to a rows×cols panel (the
+    multimodal_resize coordinate rule), flattened row-major.  Decode
+    is the only Python stage (Arrow-batched mapInPandas, per-asset
+    work, no shuffle) — shared by the aHash and dHash signatures."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -470,16 +470,25 @@ def phash_signatures(spark: SparkSession, sf: str, grid: int = _PHASH_GRID) -> D
                     _raster_bytes(data, meta), dtype=np.uint8
                 )
                 chan0 = raster[::c].reshape(h, w)
-                ys = (np.arange(grid) * h) // grid
-                xs = (np.arange(grid) * w) // grid
+                ys = (np.arange(rows) * h) // rows
+                xs = (np.arange(cols) * w) // cols
                 panel = chan0[np.ix_(ys, xs)].astype("int64")
                 out["asset_id"].append(int(aid))
                 out["gv"].append(panel.reshape(-1).tolist())
             yield pd.DataFrame(out)
 
-    gv = assets.mapInPandas(
+    return assets.mapInPandas(
         _batches, schema="asset_id long, gv array<long>"
     )
+
+
+def phash_signatures(spark: SparkSession, sf: str, grid: int = _PHASH_GRID) -> DataFrame:
+    """(asset_id, ph): ``grid²``-bit average-hash of every image
+    asset's REAL decoded raster — bit i = 1 iff
+    panel[i] * grid² > panel_total (integer-exact mean compare, no
+    division); the mean threshold and bit packing run as builtin
+    expressions over the shared decode panel."""
+    gv = _panel_frame(spark, sf, grid, grid)
     n = grid * grid
     return gv.select(
         "asset_id",
@@ -721,7 +730,13 @@ def dedup_phash_classes(spark: SparkSession, sf: str) -> DataFrame:
     Same REAL decode + closed-form oracle discipline as
     dedup_phash_images; banding over 4 blocks keeps hamming <= 3
     complete by pigeonhole."""
-    sig = phash_signatures(spark, sf, _PHASH_GRID)
+    return _hash_class_pairs(phash_signatures(spark, sf, _PHASH_GRID))
+
+
+def _hash_class_pairs(sig: DataFrame) -> DataFrame:
+    """(asset_id, ph) -> Hamming-banded near-dup CLASS pairs with
+    multiplicities — the shared scale shape of the aHash and dHash
+    class queries (see dedup_phash_classes for the full rationale)."""
     # the class table feeds three consumers (banding + both join
     # sides); persist it so the corpus decode scan runs ONCE — it is
     # bounded by the distinct-hash population, the smallest frame in
@@ -798,3 +813,73 @@ def dedup_phash_classes(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_a") * F.col("n_b")).cast("long").alias("n_asset_pairs"),
         )
     )
+
+
+def dhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """(asset_id, ph): 16-bit DIFFERENCE hash — the gradient twin of
+    the average hash: channel 0 sampled to a 4×5 panel, bit
+    (y, x) = 1 iff panel[y][x+1] > panel[y][x] (4 row-adjacent
+    comparisons per row, 16 bits).  dHash keys on local gradient
+    direction, so it is invariant to the global-brightness shifts that
+    flip aHash bits near the mean — the standard complementary pair."""
+    gv = _panel_frame(spark, sf, 4, 5)
+    return gv.select(
+        "asset_id",
+        F.expr(
+            "aggregate(sequence(0, 15), 0L, (a, i) -> a +"
+            " IF(gv[(i div 4) * 5 + (i % 4) + 1] >"
+            " gv[(i div 4) * 5 + (i % 4)], shiftleft(1L, i), 0L))"
+        ).alias("ph"),
+    )
+
+
+def _dhash_classes_oracle() -> str:
+    """Closed-form dHash twin: panel cell (y, x) of the 4×5 grid is
+    (d + ((y*h)//4 * w + (x*w)//5) * c) % 256; bit (y, x) compares
+    horizontally adjacent cells."""
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             CASE WHEN doc_id % 3 = 1 THEN 3
+                  WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+             doc_id % 256 AS d
+      FROM documents WHERE doc_id % 3 < 2),
+    gcell AS (
+      SELECT asset_id, u.y, v.x,
+             (d + (((u.y * h) // 4) * w + (v.x * w) // 5) * c) % 256
+               AS gv
+      FROM p, unnest([0, 1, 2, 3]) AS u(y),
+           unnest([0, 1, 2, 3, 4]) AS v(x)),
+    bits AS (
+      SELECT a.asset_id,
+             sum(CASE WHEN b.gv > a.gv
+                 THEN 1 << (a.y * 4 + a.x) ELSE 0 END) AS ph
+      FROM gcell a JOIN gcell b
+        ON b.asset_id = a.asset_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 4 GROUP BY a.asset_id),
+    cls AS (
+      SELECT ph, count(*) AS n, min(asset_id) AS rep
+      FROM bits GROUP BY ph)
+    SELECT CAST(a.ph AS BIGINT) AS ph_a, CAST(b.ph AS BIGINT) AS ph_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           CAST(a.n * b.n AS BIGINT) AS n_asset_pairs
+    FROM cls a JOIN cls b ON a.ph < b.ph
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
+    """
+
+
+@query("dedup_dhash_classes", oracle=_dhash_classes_oracle())
+def dedup_dhash_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-hash (dHash) near-dup classes — the gradient
+    complement of dedup_phash_classes, completing the aHash/dHash pair
+    (VERDICT r10 #5): 16-bit horizontal-gradient signatures over the
+    REAL decoded rasters, exact-hash class aggregation first, Hamming
+    banding over DISTINCT hashes only, class pairs with multiplicities
+    out — the same O(bounded)-output scale shape, sharing
+    _hash_class_pairs with the aHash query.  Same closed-form integer
+    oracle discipline; hamming <= 3 complete by pigeonhole over the 4
+    blocks."""
+    return _hash_class_pairs(dhash_signatures(spark, sf))
