@@ -21,7 +21,6 @@ exactly.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import shutil
 
@@ -208,6 +207,110 @@ def stream_index_path(kind: str, token: str, params: object = None) -> str:
     return os.path.join(_INDEX_ROOT, f"{kind}-{key}")
 
 
+# A stream-maintained artifact is a LOG-STRUCTURED directory, not a
+# single parquet table:
+#
+#   <path>/seg-<batch_id:020d>/      one parquet segment per applied
+#                                    micro-batch (delta rows only)
+#   <path>/compact-<batch_id:020d>/  a compaction of every segment
+#                                    with batch id <= that id
+#   <path>/.tmp-*                    in-flight writes (never live)
+#
+# The LIVE row set = newest complete compact (if any) plus every
+# complete seg with a strictly larger batch id.  Three properties the
+# old swap-in-place design could not give (ADVICE r11 items 1-3):
+#
+#  * the single os.rename committing a segment publishes the delta
+#    rows AND the batch id in one atomic step — the directory NAME is
+#    the batch marker, so there is no sidecar state file that can
+#    disagree with the data (no crash window between artifact swap
+#    and state advance, and no truncated-JSON wedge);
+#  * the base is never moved or rewritten on the append path — a
+#    crash at any point leaves the previous live set fully intact
+#    (nothing to "manually recover");
+#  * a crash mid-compaction is benign by the read rule: until
+#    compact-K's rename lands it does not exist, and after it lands
+#    any seg-b with b <= K is superseded garbage that readers ignore
+#    and the next writer lazily deletes.
+
+_SEG_PREFIX = "seg-"
+_COMPACT_PREFIX = "compact-"
+
+
+def _complete(child_path: str) -> bool:
+    return os.path.exists(os.path.join(child_path, "_SUCCESS"))
+
+
+def _scan_stream_index(path: str):
+    """Return (live_paths, last_batch, stale_paths, tmp_paths) for a
+    stream-index directory.  live = newest complete compact + complete
+    segs above it; stale = superseded segs/compacts safe to delete."""
+    segs, compacts, tmps = [], [], []
+    for name in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+        child = os.path.join(path, name)
+        if name.startswith(".tmp-"):
+            tmps.append(child)
+        elif name.startswith(_SEG_PREFIX) and _complete(child):
+            segs.append((int(name[len(_SEG_PREFIX):]), child))
+        elif name.startswith(_COMPACT_PREFIX) and _complete(child):
+            compacts.append((int(name[len(_COMPACT_PREFIX):]), child))
+    floor, live, stale = -1, [], []
+    if compacts:
+        floor, best = max(compacts)
+        live.append(best)
+        stale.extend(p for b, p in compacts if p != best)
+    last = floor
+    for b, p in segs:
+        if b > floor:
+            live.append(p)
+            last = max(last, b)
+        else:
+            stale.append(p)
+    return live, last, stale, tmps
+
+
+def stream_index_last_batch(path: str) -> int:
+    """Highest batch id committed into the artifact (-1 if none)."""
+    return _scan_stream_index(path)[1]
+
+
+def read_stream_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the live row set of a stream-maintained artifact (the
+    newest compaction plus later segments).  Raises if no batch has
+    ever been committed."""
+    live, last, _, _ = _scan_stream_index(path)
+    if last < 0:
+        raise FileNotFoundError(f"no committed batches under {path}")
+    return spark.read.parquet(*live)
+
+
+def compact_stream_index(spark: SparkSession, path: str) -> None:
+    """Fold every live segment into one ``compact-<last>`` segment.
+
+    Crash-safe by the read rule: the tmp write is invisible until the
+    rename, the rename atomically supersedes everything at or below
+    its batch id, and superseded children are deleted only AFTER the
+    rename (a crash between rename and delete leaves ignorable
+    garbage, never duplicates).  Bounds read fan-in at
+    O(compact_every) files regardless of stream lifetime."""
+    live, last, stale, tmps = _scan_stream_index(path)
+    if last < 0 or len(live) <= 1:
+        return
+    dest = os.path.join(path, f"{_COMPACT_PREFIX}{last:020d}")
+    tmp = os.path.join(path, f".tmp-c{last}-{os.getpid()}")
+    spark.read.parquet(*live).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+        return
+    for p in live:
+        if p != dest:
+            shutil.rmtree(p, ignore_errors=True)
+    for p in stale + tmps:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def advance_index(
     spark: SparkSession,
     kind: str,
@@ -215,41 +318,41 @@ def advance_index(
     delta_df: DataFrame,
     batch_id: int,
     params: object = None,
+    compact_every: int = 8,
 ) -> None:
     """Advance a stream-maintained index artifact by one micro-batch:
-    atomically replace the artifact with artifact ∪ delta
-    (the continuous form of :func:`merge_index` — VERDICT r10 #6).
+    append the delta as a new segment, compacting on a fixed cadence
+    (the continuous form of :func:`merge_index` — VERDICT r10 #6,
+    made O(delta) per VERDICT r11 #1).
 
     Exactly-once discipline: foreachBatch delivers AT-LEAST-once, so
-    a sidecar state file records the last applied ``batch_id`` and a
-    replayed batch is a no-op — without this, a crash between sink
-    commit and checkpoint advance would double-union the delta.  The
-    swap sequence (write merged to tmp while the old artifact is
-    still readable, then rename old out / tmp in) keeps a readable
-    artifact on disk at all times except the instant between the two
-    renames; a crash there leaves ``.old`` intact for manual
-    recovery, and the state file is only advanced after the swap
-    completes.  Per batch the work is O(delta compute + artifact
-    copy) — the same cost envelope as the nightly merge, paid per
-    micro-batch."""
+    a replayed ``batch_id`` at or below the artifact's committed
+    watermark is a no-op.  The watermark IS the directory listing —
+    committing a segment is one atomic rename that publishes the rows
+    and the batch id together, so no crash point can record a batch
+    as applied without its rows or vice versa.
+
+    Cost: per batch, O(delta compute + delta-sized parquet write) —
+    the base is never read or rewritten on the append path.  Every
+    ``compact_every`` live children, :func:`compact_stream_index`
+    folds the log into one segment (amortized O(index/compact_every)
+    per batch, read fan-in bounded).  Read the artifact with
+    :func:`read_stream_index`, never ``spark.read.parquet(path)``
+    (the directory holds multiple generations)."""
     path = stream_index_path(kind, token, params)
-    state_path = f"{path}.state.json"
-    last = -1
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            last = json.load(f).get("last_batch", -1)
+    live, last, stale, tmps = _scan_stream_index(path)
     if batch_id <= last:
-        return  # replayed batch: already merged
-    os.makedirs(_INDEX_ROOT, exist_ok=True)
-    merged = delta_df
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        merged = spark.read.parquet(path).unionByName(delta_df)
-    tmp = f"{path}.tmp-{os.getpid()}"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.old-{os.getpid()}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    with open(state_path, "w") as f:
-        json.dump({"last_batch": batch_id}, f)
+        return  # replayed batch: already committed
+    os.makedirs(path, exist_ok=True)
+    dest = os.path.join(path, f"{_SEG_PREFIX}{batch_id:020d}")
+    tmp = os.path.join(path, f".tmp-s{batch_id}-{os.getpid()}")
+    delta_df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+        return
+    for p in stale + tmps:
+        shutil.rmtree(p, ignore_errors=True)
+    if len(live) + 1 >= compact_every:
+        compact_stream_index(spark, path)

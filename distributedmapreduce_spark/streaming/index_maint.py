@@ -19,12 +19,14 @@ monolithic batch build over the same rows, bit-exact.  That
 stream==batch parity is pinned by
 tests/test_streaming.py::test_stream_maintained_index_equals_batch.
 
-Scale: per micro-batch the work is O(batch compute + artifact
-rewrite).  The artifact rewrite is the honest cost of parquet's
-immutability — at 100 TB you'd amortize it with partitioned
-appends + periodic compaction (the artifact is partitionable by any
-stable key); the exactly-once state discipline (sidecar batch-id
-file) and the union algebra are identical either way.
+Scale: per micro-batch the work is O(batch compute + delta-sized
+parquet write) — the artifact is a log-structured segment directory
+(operators/index_store.py), so the append path never reads or
+rewrites the base, and a periodic compaction bounds read fan-in
+(amortized O(index/compact_every) per batch).  The exactly-once
+discipline is the segment commit itself: one atomic rename publishes
+the delta rows and the batch id together (VERDICT r11 #1).  Read the
+artifact with :func:`operators.index_store.read_stream_index`.
 """
 
 from __future__ import annotations

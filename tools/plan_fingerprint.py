@@ -1,0 +1,131 @@
+"""Per-query semantic fingerprints for cross-round 100x verdict
+caching (VERDICT r11 task 3).
+
+The 100x sweep's wall cost is dominated by re-proving queries whose
+plan did not change since their last green verdict.  A verdict is a
+function of (the query's execution semantics, the oracle SQL, the
+data it ran on, the compare harness) — so each query gets a key:
+
+    sha256( normalized analyzed logical plan at sf0.001
+          + sha256 of the defining module's source file
+          + oracle SQL (+ staged-oracle statements)
+          + sha256 of tools/check_oracle.py )
+
+and the sweep separately fingerprints the REPLICA (sorted table file
+names + sizes).  Unchanged key + unchanged replica => the cached
+verdict is evidence for this round's cell (recorded with provenance);
+any change re-keys and forces a fresh run.
+
+Why each component:
+- the ANALYZED plan (pre-cache-substitution) captures the logical
+  computation including literals/seeds, normalized for expression ids
+  (``#123``), object addresses and the sf-dir path — stable across
+  sessions, changes whenever the query's semantics change;
+- the defining-file hash closes the plan's blind spot: a pandas-UDF
+  BODY edit doesn't show in the plan string (the function prints as a
+  normalized object), but it lives in the same module file, so any
+  edit to that file re-keys every query it defines — over-invalidates
+  a little, never under-invalidates;
+- oracle + staged-oracle text: a changed oracle is a changed claim;
+- check_oracle.py: the gate itself (canonicalization, float rounding)
+  is part of what a verdict means.
+
+Building every registry frame at sf0.001 does run the driver-side
+loops of iterative queries (kmeans etc. collect at build time), but
+at sf0.001 that is seconds — vs the hours the cache saves at 100x.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import os
+import re
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+FP_SF = "/root/testdata/sf0.001"
+
+_ID_RE = re.compile(r"#\d+")
+_ADDR_RE = re.compile(r"0x[0-9a-fA-F]+")
+_AT_RE = re.compile(r"@[0-9a-fA-F]{6,}")
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _file_sha(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def normalize_plan(plan: str, sf_dir: str) -> str:
+    plan = plan.replace(os.path.realpath(sf_dir), "<SF>")
+    plan = plan.replace(sf_dir, "<SF>")
+    plan = _ID_RE.sub("#", plan)
+    plan = _ADDR_RE.sub("0x", plan)
+    return _AT_RE.sub("@", plan)
+
+
+def replica_fingerprint(sf_dir: str) -> str:
+    """Fingerprint a test-data/replica dir: table file names + sizes.
+    gen_scale.py writes deterministically, so a regenerated same-factor
+    replica keeps its fingerprint; any content drift re-keys (a miss
+    only costs a re-run, never a wrong cached verdict)."""
+    parts = []
+    for root, dirs, files in sorted(os.walk(sf_dir)):
+        dirs.sort()
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or f.endswith(".crc"):
+                continue
+            p = os.path.join(root, f)
+            parts.append(f"{os.path.relpath(p, sf_dir)}:{os.path.getsize(p)}")
+    return _sha("\n".join(parts))[:16]
+
+
+def query_fingerprints(names=None, fp_sf: str = FP_SF) -> dict[str, str | None]:
+    """Return name -> key (None where fingerprinting failed; a None
+    key never cache-hits, so failures degrade to fresh runs)."""
+    from distributedmapreduce_spark.plans.registry import get_registry
+    from distributedmapreduce_spark.session import get_spark
+
+    reg = get_registry()
+    if names is None:
+        names = sorted(reg)
+    harness = _file_sha(os.path.join(_HERE, "check_oracle.py"))
+    spark = get_spark(app_name="plan_fingerprint", cpus=8)
+    src_cache: dict[str, str] = {}
+    out: dict[str, str | None] = {}
+    for name in names:
+        q = reg[name]
+        try:
+            df = q.fn(spark, fp_sf)
+            plan = normalize_plan(
+                df._jdf.queryExecution().analyzed().toString(), fp_sf
+            )
+            src = inspect.getsourcefile(q.fn) or "<?>"
+            if src not in src_cache:
+                src_cache[src] = (
+                    _file_sha(src) if os.path.exists(src) else "<?>"
+                )
+            staged = "\n--\n".join(q.staged_oracle or [])
+            out[name] = _sha(
+                f"{plan}\n==SRC=={src_cache[src]}\n==ORACLE=="
+                f"{q.oracle or ''}\n==STAGED=={staged}"
+                f"\n==HARNESS=={harness}"
+            )[:24]
+        except Exception as e:  # noqa: BLE001 — degrade to fresh run
+            print(f"fingerprint FAILED for {name}: {e!r}", file=sys.stderr)
+            out[name] = None
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    fps = query_fingerprints(sys.argv[1:] or None)
+    print(json.dumps(fps, indent=1, sort_keys=True))

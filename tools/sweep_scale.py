@@ -14,7 +14,23 @@ Usage:
 
 Defaults: /tmp/sf100 -> SCALE_SWEEP_100x.json.  Env:
 SPARK_GRAFT_SWEEP_CHUNK (default 8), SPARK_GRAFT_SWEEP_TIMEOUT
-(seconds per chunk, default 3600).
+(seconds per chunk, default 3600), SPARK_GRAFT_SWEEP_NOCACHE=1 to
+force every query fresh.
+
+Cross-round verdict CACHE (VERDICT r11 #3): re-proving an unchanged
+query at 100x is the sweep's dominant wall cost (frequent_itempairs:
+~100 min for a plan that didn't change between its two greens).  Each
+query's verdict is keyed on its semantic fingerprint (normalized
+analyzed plan + defining-module hash + oracle text + gate hash —
+tools/plan_fingerprint.py) plus the replica fingerprint; a green
+verdict from a previous round whose key AND replica both match is
+carried into this round's artifact with explicit provenance
+(``provenance: {cached: true, from: <artifact>, key: ...}``) instead
+of being re-run.  Changed/new queries always run fresh, and a
+deterministic ~5% audit sample of cache hits re-runs fresh each round
+(recorded as ``fresh-audit``) so cached evidence keeps getting
+spot-revalidated.  The cache lives in SCALE_SWEEP_CACHE.json at the
+repo root and is updated with every fresh green.
 
 Exclusions (each class documented in SCALE.md §9f; the sweep PRINTS
 and RECORDS them so the artifact itself shows what was not run):
@@ -76,6 +92,36 @@ HEAVY: dict[str, int] = {
 }
 
 
+CACHE_PATH = os.path.join(_REPO, "SCALE_SWEEP_CACHE.json")
+
+
+def _green(cell: dict) -> bool:
+    """A cell is green iff it errored at most with no_oracle and no
+    recorded compare dimension is False (absent dims stay trusted)."""
+    return cell.get("err") in (None, "", "no_oracle") and not any(
+        cell.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _fingerprints() -> dict:
+    """Compute semantic fingerprints in a SUBPROCESS (its Spark JVM
+    must not linger in the sweep driver while chunks run)."""
+    tmp = f"/tmp/sweep_fps_{os.getpid()}.json"
+    with open(tmp, "w") as f:
+        p = subprocess.run(
+            [sys.executable, os.path.join(_HERE, "plan_fingerprint.py")],
+            stdout=f, stderr=subprocess.DEVNULL, timeout=3600,
+        )
+    if p.returncode != 0:
+        print("fingerprinting failed — every query runs fresh")
+        return {}
+    with open(tmp) as f:
+        fps = json.load(f)
+    os.remove(tmp)
+    return fps
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -83,6 +129,7 @@ def main() -> int:
     )
     chunk_n = int(os.environ.get("SPARK_GRAFT_SWEEP_CHUNK", "8"))
     timeout = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT", "3600"))
+    no_cache = os.environ.get("SPARK_GRAFT_SWEEP_NOCACHE") == "1"
 
     from distributedmapreduce_spark.plans.registry import get_registry
 
@@ -92,6 +139,44 @@ def main() -> int:
     for n, why in excluded.items():
         print(f"EXCLUDED  {n}: {why}")
 
+    # ---- cross-round verdict cache (VERDICT r11 #3) ----
+    import hashlib
+
+    sys.path.insert(0, _HERE)
+    from plan_fingerprint import replica_fingerprint  # noqa: E402
+
+    replica_fp = replica_fingerprint(sf_dir)
+    cache: dict[str, dict] = {}
+    if not no_cache and os.path.exists(CACHE_PATH):
+        try:
+            with open(CACHE_PATH) as f:
+                cache = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            cache = {}
+    fps = {} if no_cache else _fingerprints()
+    hits = [
+        n for n in run_names
+        if fps.get(n)
+        and cache.get(n, {}).get("key") == fps[n]
+        and cache[n].get("replica_fp") == replica_fp
+        and _green(cache[n].get("cell", {"err": "missing"}))
+    ]
+    # deterministic ~5% audit sample of hits, re-run fresh this round
+    seed = f"{os.path.basename(out_path)}:{replica_fp}"
+    audit = set(
+        sorted(
+            hits,
+            key=lambda n: hashlib.sha256(f"{seed}:{n}".encode()).hexdigest(),
+        )[: max(3, len(hits) // 20)]
+    ) if hits else set()
+    cached = [n for n in hits if n not in audit]
+    fresh = [n for n in run_names if n not in cached]
+    print(
+        f"cache: {len(cached)} cached, {len(audit)} audit re-runs, "
+        f"{len(fresh) - len(audit)} changed/new fresh "
+        f"(replica {replica_fp})"
+    )
+
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_STAGED"] = "1"  # staged oracles for iteratives
@@ -99,9 +184,18 @@ def main() -> int:
     merged: dict[str, dict] = {
         f"__excluded__{n}": {"reason": why} for n, why in excluded.items()
     }
+    for n in cached:
+        merged[n] = {
+            **cache[n]["cell"],
+            "provenance": {
+                "cached": True,
+                "from": cache[n].get("artifact", "?"),
+                "key": cache[n]["key"],
+            },
+        }
     t_start = time.time()
-    light = [n for n in run_names if n not in HEAVY]
-    heavy = [n for n in run_names if n in HEAVY]
+    light = [n for n in fresh if n not in HEAVY]
+    heavy = [n for n in fresh if n in HEAVY]
     chunks = [
         light[i : i + chunk_n] for i in range(0, len(light), chunk_n)
     ]
@@ -142,13 +236,14 @@ def main() -> int:
         if os.path.exists(tmp):
             with open(tmp) as f:
                 part = json.load(f)
-            merged.update(part)
-            bad = [
-                n for n, v in part.items()
-                if v.get("err") not in (None, "", "no_oracle")
-                or any(v.get(k) is False
-                       for k in ("rows_match", "schema_match", "hash_match"))
-            ]
+            for n, v in part.items():
+                v["provenance"] = {
+                    "cached": False,
+                    "audit": n in audit,
+                    "key": fps.get(n),
+                }
+                merged[n] = v
+            bad = [n for n, v in part.items() if not _green(v)]
             failures.extend(bad)
             os.remove(tmp)
         else:
@@ -171,7 +266,11 @@ def main() -> int:
 
     merged["__meta__"] = {
         "sf_dir": sf_dir,
-        "queries_run": len(run_names),
+        "replica_fp": replica_fp,
+        "queries_covered": len(run_names),
+        "fresh_run": len(fresh),
+        "cached": len(cached),
+        "audit_rerun": sorted(audit),
         "excluded": len(excluded),
         "failures": sorted(set(failures)),
         "wall_sec": round(time.time() - t_start, 1),
@@ -179,6 +278,28 @@ def main() -> int:
     }
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
+
+    # fold this round's fresh greens into the cross-round cache; an
+    # audit re-run that FAILED evicts its stale entry
+    if not no_cache:
+        artifact = os.path.basename(out_path)
+        for n in fresh:
+            cell = merged.get(n)
+            if cell is None or not fps.get(n):
+                continue
+            clean = {k: v for k, v in cell.items() if k != "provenance"}
+            if _green(cell):
+                cache[n] = {
+                    "key": fps[n],
+                    "replica_fp": replica_fp,
+                    "artifact": artifact,
+                    "cell": clean,
+                }
+            else:
+                cache.pop(n, None)
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        print(f"cache updated: {len(cache)} entries -> {CACHE_PATH}")
     print(
         f"\nSWEEP {'ALL PASS' if not failures else 'FAILURES: ' + str(sorted(set(failures)))}"
         f" — {len(run_names)} run / {len(excluded)} excluded, "
