@@ -733,10 +733,18 @@ def dedup_phash_classes(spark: SparkSession, sf: str) -> DataFrame:
     return _hash_class_pairs(phash_signatures(spark, sf, _PHASH_GRID))
 
 
-def _hash_class_pairs(sig: DataFrame) -> DataFrame:
+def _hash_class_pairs(sig: DataFrame, bits: int = _PHASH_GRID * _PHASH_GRID) -> DataFrame:
     """(asset_id, ph) -> Hamming-banded near-dup CLASS pairs with
-    multiplicities — the shared scale shape of the aHash and dHash
-    class queries (see dedup_phash_classes for the full rationale)."""
+    multiplicities — the shared scale shape of the aHash/dHash/audio
+    class queries (see dedup_phash_classes for the full rationale).
+
+    ``bits`` is the signature width; the 4 Hamming-LSH blocks are
+    ``bits/4`` wide (ADVICE r11: derived from the caller's signature,
+    never from the module-level test grid — a 64-bit signature banded
+    at 16-bit width keeps buckets sparse; banding it at the 4-bit test
+    width would silently collapse selectivity).  Block extraction
+    masks after the arithmetic shiftright, so a signature with bit
+    ``bits-1`` set (negative long at bits=64) bands correctly."""
     # the class table feeds three consumers (banding + both join
     # sides); persist it so the corpus decode scan runs ONCE — it is
     # bounded by the distinct-hash population, the smallest frame in
@@ -745,7 +753,7 @@ def _hash_class_pairs(sig: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("asset_id").alias("rep"),
     ).persist()
-    blockbits = (_PHASH_GRID * _PHASH_GRID) // 4
+    blockbits = bits // 4
     bands = cls.select(
         "ph",
         F.posexplode(
@@ -869,6 +877,79 @@ def _dhash_classes_oracle() -> str:
     FROM cls a JOIN cls b ON a.ph < b.ph
     WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
     """
+
+
+def _phash64_classes_oracle() -> str:
+    """Closed-form twin of the PRODUCTION-width (grid=8, 64-bit)
+    aHash classes (VERDICT r11 #4).  Same arithmetic derivation as
+    _phash_classes_oracle, with one packing nuance: bit 63 makes the
+    hash negative in Spark's two's-complement long, and DuckDB's
+    BIGINT << raises out-of-range at shift 63 — so the oracle packs
+    the low/high 32-bit halves separately in BIGINT, combines them in
+    HUGEINT, and converts >= 2^63 values to the signed long Spark
+    produces.  bit_count(xor(...)) is sign-agnostic, so the Hamming
+    compare needs no further care."""
+    g = 8
+    cells = ", ".join(str(i) for i in range(g))
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             CASE WHEN doc_id % 3 = 1 THEN 3
+                  WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+             doc_id % 256 AS d
+      FROM documents WHERE doc_id % 3 < 2),
+    gcell AS (
+      SELECT asset_id, u.y * {g} + v.x AS idx,
+             (d + (((u.y * h) // {g}) * w + (v.x * w) // {g}) * c) % 256
+               AS gv
+      FROM p, unnest([{cells}]) AS u(y), unnest([{cells}]) AS v(x)),
+    tot AS (
+      SELECT asset_id, sum(gv) AS total FROM gcell GROUP BY asset_id),
+    halves AS (
+      SELECT gcell.asset_id,
+             sum(CASE WHEN gv * {g * g} > total AND idx < 32
+                 THEN 1::BIGINT << idx ELSE 0 END) AS lo,
+             sum(CASE WHEN gv * {g * g} > total AND idx >= 32
+                 THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS hi
+      FROM gcell JOIN tot USING (asset_id) GROUP BY gcell.asset_id),
+    bits AS (
+      SELECT asset_id,
+             CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN u - 18446744073709551616::HUGEINT ELSE u END
+                  AS BIGINT) AS ph
+      FROM (SELECT asset_id,
+                   lo::HUGEINT + hi::HUGEINT * 4294967296 AS u
+            FROM halves)),
+    cls AS (
+      SELECT ph, count(*) AS n, min(asset_id) AS rep
+      FROM bits GROUP BY ph)
+    SELECT CAST(a.ph AS BIGINT) AS ph_a, CAST(b.ph AS BIGINT) AS ph_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           CAST(a.n * b.n AS BIGINT) AS n_asset_pairs
+    FROM cls a JOIN cls b ON a.ph < b.ph
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
+    """
+
+
+@query("dedup_phash64_classes", oracle=_phash64_classes_oracle())
+def dedup_phash64_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION-width perceptual-hash near-dup classes
+    (VERDICT r11 #4): grid=8 -> 64-bit aHash over the REAL decoded
+    rasters, exact-hash class aggregation first, Hamming banding over
+    DISTINCT hashes in four 16-bit blocks (hamming <= 3 complete by
+    pigeonhole), class pairs with multiplicities out.  Until now the
+    64-bit path was exercised only by the pair-growth audit
+    (tools/pair_growth.py phash64 rows) — this registers it under the
+    hash-grade oracle gate, pinning the bit-63 two's-complement
+    packing and the 16-bit block extraction (the arithmetic-shift +
+    mask path) that the 16-bit recipe never exercises.  Scale shape
+    identical to dedup_phash_classes: O(distinct²-bounded) output,
+    the phash64_distinct pair-growth row pins the candidate stage
+    flat as the corpus grows."""
+    return _hash_class_pairs(phash_signatures(spark, sf, grid=8), bits=64)
 
 
 @query("dedup_dhash_classes", oracle=_dhash_classes_oracle())
