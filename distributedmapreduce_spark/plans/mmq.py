@@ -879,6 +879,206 @@ def _dhash_classes_oracle() -> str:
     """
 
 
+# --- audio fingerprint near-dup (VERDICT r11 #2) ----------------------
+#
+# Completes the text/image/audio dedup triad: a 16-bit acoustic
+# fingerprint over the REAL decoded PCM — 8 energy bits (segment
+# mean-absolute-amplitude vs the track mean, the aHash discipline on a
+# 1×8 energy panel) + 8 zero-crossing-rate bits (segment crossing rate
+# vs the track rate, the classic cheap spectral proxy).  Both compares
+# are integer-exact cross-multiplications (no division), so the ramp
+# fixtures admit the same closed-form oracle discipline as the image
+# hashes; the pair stage reuses _hash_class_pairs (4 blocks of 4 bits,
+# hamming <= 3 complete by pigeonhole).
+
+
+def _audio_panel_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """(asset_id, ea, na, za, nz): per-WAV-asset 8-segment panels over
+    channel 0 of the REAL decoded PCM — absolute-amplitude sums ``ea``
+    with frame counts ``na`` (segment of frame f = (f*8)//nf), and
+    zero-crossing counts ``za`` with event counts ``nz`` (crossing at
+    f iff sign(s_f) != sign(s_{f+1}), segment (f*8)//(nf-1)).  Decode
+    (RIFF walk + int16-LE channel slice) is the only Python stage —
+    Arrow-batched mapInPandas, per-asset work, no shuffle; thresholding
+    and bit packing stay builtin expressions downstream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 2)
+    assets = encode_fixture_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import wav_layout
+
+        for pdf in it:
+            out = {"asset_id": [], "ea": [], "na": [], "za": [], "nz": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                fmt, data_pos, data_len, _ = wav_layout(data)
+                nc = fmt[1]
+                pcm = np.frombuffer(
+                    data, dtype="<i2", count=data_len // 2, offset=data_pos
+                ).astype("int64")
+                ch0 = pcm[::nc]
+                nf = len(ch0)
+                seg = (np.arange(nf) * 8) // nf
+                ea = np.bincount(seg, weights=np.abs(ch0), minlength=8)
+                na = np.bincount(seg, minlength=8)
+                sign = ch0 >= 0
+                c = (sign[:-1] != sign[1:]).astype("int64")
+                zseg = (np.arange(nf - 1) * 8) // (nf - 1)
+                za = np.bincount(zseg, weights=c, minlength=8)
+                nz = np.bincount(zseg, minlength=8)
+                out["asset_id"].append(int(aid))
+                out["ea"].append(ea.astype("int64").tolist())
+                out["na"].append(na.astype("int64").tolist())
+                out["za"].append(za.astype("int64").tolist())
+                out["nz"].append(nz.astype("int64").tolist())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        _batches,
+        schema="asset_id long, ea array<long>, na array<long>,"
+        " za array<long>, nz array<long>",
+    )
+
+
+def audiofp_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """(asset_id, ph): the 16-bit acoustic fingerprint — bit i
+    (i < 8) = 1 iff segment i's mean |amplitude| exceeds the track
+    mean (ea[i] * tn > ts * na[i], cross-multiplied — segments differ
+    in size, so the compare can't share one denominator); bit 8+i = 1
+    iff segment i's zero-crossing rate exceeds the track rate.
+    Packing runs as builtin expressions over the decode panel."""
+    panel = _audio_panel_frame(spark, sf)
+    return panel.select(
+        "asset_id",
+        "ea", "na", "za", "nz",
+        F.expr("aggregate(ea, 0L, (a, x) -> a + x)").alias("ts"),
+        F.expr("aggregate(na, 0L, (a, x) -> a + x)").alias("tn"),
+        F.expr("aggregate(za, 0L, (a, x) -> a + x)").alias("tzs"),
+        F.expr("aggregate(nz, 0L, (a, x) -> a + x)").alias("tzn"),
+    ).select(
+        "asset_id",
+        F.expr(
+            "aggregate(sequence(0, 7), 0L, (a, i) -> a +"
+            " IF(ea[i] * tn > ts * na[i], shiftleft(1L, i), 0L))"
+            " + aggregate(sequence(0, 7), 0L, (a, i) -> a +"
+            " IF(za[i] * tzn > tzs * nz[i], shiftleft(1L, i + 8), 0L))"
+        ).alias("ph"),
+    )
+
+
+def audiofp_distinct_block_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(ph, band, bucket) over DISTINCT audio fingerprints — the
+    candidate stage of dedup_audiofp_classes, exposed for the
+    pair-growth audit (the phash_distinct_block_buckets pattern)."""
+    cls = audiofp_signatures(spark, sf).select("ph").distinct()
+    return cls.select(
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _audiofp_classes_oracle() -> str:
+    """Closed-form DuckDB twin: the WAV fixture's PCM byte k is
+    (d + k) % 256, so channel-0 sample f is the int16-LE pair at data
+    offsets 2*f*nc and 2*f*nc+1 — lo + 256*hi - 65536*(hi >= 128) —
+    re-derived arithmetically from doc_id alone (never from the Python
+    codec).  Energy/ZCR segment sums brute-force over
+    unnest(range(0, nf)) (nf <= 127, bounded), crossings via the
+    f -> f+1 self-join (the dHash-oracle adjacency pattern)."""
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id, 1 + (doc_id % 2) AS nc,
+             64 + (doc_id % 64) AS nf, doc_id % 256 AS d
+      FROM documents WHERE doc_id % 3 = 2),
+    samp AS (
+      SELECT asset_id, nf, fx.f,
+             ((d + 2 * fx.f * nc) % 256)
+             + 256 * ((d + 2 * fx.f * nc + 1) % 256)
+             - CASE WHEN (d + 2 * fx.f * nc + 1) % 256 >= 128
+                    THEN 65536 ELSE 0 END AS s
+      FROM p, unnest(range(0, nf)) AS fx(f)),
+    eseg AS (
+      SELECT asset_id, (f * 8) // nf AS seg,
+             sum(abs(s)) AS es, count(*) AS en
+      FROM samp GROUP BY asset_id, (f * 8) // nf),
+    etot AS (
+      SELECT asset_id, sum(es) AS ts, sum(en) AS tn
+      FROM eseg GROUP BY asset_id),
+    ebits AS (
+      SELECT eseg.asset_id,
+             sum(CASE WHEN es * tn > ts * en THEN 1 << seg ELSE 0 END)
+               AS eb
+      FROM eseg JOIN etot USING (asset_id) GROUP BY eseg.asset_id),
+    crossing AS (
+      SELECT a.asset_id, a.nf, a.f,
+             CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 ELSE 0 END AS c
+      FROM samp a JOIN samp b
+        ON b.asset_id = a.asset_id AND b.f = a.f + 1),
+    zseg AS (
+      SELECT asset_id, (f * 8) // (nf - 1) AS seg,
+             sum(c) AS zs, count(*) AS zn
+      FROM crossing GROUP BY asset_id, (f * 8) // (nf - 1)),
+    ztot AS (
+      SELECT asset_id, sum(zs) AS tzs, sum(zn) AS tzn
+      FROM zseg GROUP BY asset_id),
+    zbits AS (
+      SELECT zseg.asset_id,
+             sum(CASE WHEN zs * tzn > tzs * zn
+                 THEN 1 << (8 + seg) ELSE 0 END) AS zb
+      FROM zseg JOIN ztot USING (asset_id) GROUP BY zseg.asset_id),
+    bits AS (
+      SELECT asset_id, eb + zb AS ph
+      FROM ebits JOIN zbits USING (asset_id)),
+    cls AS (
+      SELECT ph, count(*) AS n, min(asset_id) AS rep
+      FROM bits GROUP BY ph)
+    SELECT CAST(a.ph AS BIGINT) AS ph_a, CAST(b.ph AS BIGINT) AS ph_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           CAST(a.n * b.n AS BIGINT) AS n_asset_pairs
+    FROM cls a JOIN cls b ON a.ph < b.ph
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
+    """
+
+
+@query("dedup_audiofp_classes", oracle=_audiofp_classes_oracle())
+def dedup_audiofp_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio fingerprint near-dup classes (VERDICT r11 #2) — completes
+    the text/image/audio dedup triad: every WAV asset's REAL decoded
+    PCM (RIFF chunk walk + int16-LE channel-0 slice,
+    operators/codecs.py) is fingerprinted into 16 bits — 8
+    segment-energy bits + 8 zero-crossing-rate bits, both integer-
+    exact cross-multiplied mean compares — then exact-fingerprint
+    classes aggregate first and Hamming banding runs over DISTINCT
+    fingerprints only (4 blocks of 4 bits, hamming <= 3 complete by
+    pigeonhole), emitting class pairs with multiplicities — the
+    dedup_phash_classes scale shape at O(distinct²-bounded) output.
+
+    The deterministic ramp PCM admits a closed-form integer oracle:
+    every sample value, both segment panels, both thresholds, and the
+    final Hamming distances are re-derived arithmetically from doc_id
+    alone, so a RIFF-walk, sample-decode, segmentation, packing, or
+    banding error anywhere hash-mismatches.  Scale: decode+panel is
+    per-asset mapInPandas (no shuffle); everything after is bounded by
+    the distinct-fingerprint population (the pair-growth 'audiofp16'
+    row audits the candidate stage)."""
+    return _hash_class_pairs(audiofp_signatures(spark, sf), bits=16)
+
+
 def _phash64_classes_oracle() -> str:
     """Closed-form twin of the PRODUCTION-width (grid=8, 64-bit)
     aHash classes (VERDICT r11 #4).  Same arithmetic derivation as

@@ -174,10 +174,21 @@ def main() -> None:
         # the production width — 64-bit hashes in 16-bit blocks keep
         # buckets sparse
         from distributedmapreduce_spark.plans.mmq import (
+            audiofp_distinct_block_buckets,
             phash_block_buckets,
             phash_distinct_block_buckets,
         )
 
+        # audio fingerprint (round 12): 16-bit energy/ZCR signature,
+        # distinct-hash class stage — like phash16, the signature
+        # space saturates (<= 2^16 classes), so the class-pair stage
+        # stays bounded while asset pairs would grow quadratically
+        if want("audiofp16"):
+            results.setdefault("audiofp16", {})[n] = _bucket_stats(
+                audiofp_distinct_block_buckets(spark, sf),
+                ["band", "bucket"],
+                "ph",
+            )
         if want("phash64_distinct"):
             results.setdefault("phash64_distinct", {})[n] = _bucket_stats(
                 phash_distinct_block_buckets(spark, sf, grid=8),
