@@ -100,6 +100,13 @@ TIER2 = [
     # stream — likely the heaviest BPE-family member (K trainer passes
     # + one corpus scan + per-doc token-stream assembly)
     "bpe_encode_corpus_stream",
+    # round-12 additions (VERDICT r11 #5): the decode-heavy multimodal
+    # near-dup families — the real-codec mapInPandas decode panel is
+    # the most expensive new code path of rounds 11-12 and needs a
+    # regression baseline (image aHash classes + audio energy/ZCR
+    # fingerprint classes)
+    "dedup_phash_classes",
+    "dedup_audiofp_classes",
 ]
 
 

@@ -38,18 +38,41 @@ _INDEX_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "indexes")
 _CODE_VERSION = 2
 
 
-def _fingerprint(src_path: str, params: object = None) -> str:
-    st = os.stat(src_path)
-    key = (
-        f"{os.path.realpath(src_path)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"v{_CODE_VERSION}:{params!r}"
-    )
+def _fingerprint(
+    src_path: str, params: object = None, stable_src: bool = False
+) -> str:
+    """``stable_src=False`` (default) folds the source file's
+    size + nanosecond mtime into the key — a changed corpus
+    invalidates the artifact automatically.  ``stable_src=True`` keys
+    on the realpath alone (plus params): for RECURRENT artifacts
+    (merge_chain) whose params carry an explicit monotone snapshot id,
+    mtime keying is the failure mode — the nightly-arrival scenario
+    mutates src_path every night, so folding its size/mtime in would
+    re-key EVERY night's artifact and silently degrade the chain to
+    full rebuilds (ADVICE r11 item 4).  The contract shifts to the
+    caller: snapshot ids must version content — reusing an id for
+    different rows under the same path serves the stale artifact."""
+    if stable_src:
+        key = (
+            f"{os.path.realpath(src_path)}:stable:"
+            f"v{_CODE_VERSION}:{params!r}"
+        )
+    else:
+        st = os.stat(src_path)
+        key = (
+            f"{os.path.realpath(src_path)}:{st.st_size}:{st.st_mtime_ns}:"
+            f"v{_CODE_VERSION}:{params!r}"
+        )
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
-def index_path(kind: str, src_path: str, params: object = None) -> str:
+def index_path(
+    kind: str, src_path: str, params: object = None,
+    stable_src: bool = False,
+) -> str:
     return os.path.join(
-        _INDEX_ROOT, f"{kind}-{_fingerprint(src_path, params)}"
+        _INDEX_ROOT,
+        f"{kind}-{_fingerprint(src_path, params, stable_src=stable_src)}",
     )
 
 
@@ -60,6 +83,7 @@ def cached_index(
     build_fn,
     partition_by: str | None = None,
     params: object = None,
+    stable_src: bool = False,
 ) -> DataFrame:
     """Return the index table for (kind, fingerprint(src_path)),
     building and persisting it on first use.
@@ -70,7 +94,7 @@ def cached_index(
     reads only those partitions — partition pruning on the index
     scan); ``params`` is any repr-stable value capturing the build
     recipe (seeds, widths, K) — part of the cache key."""
-    path = index_path(kind, src_path, params)
+    path = index_path(kind, src_path, params, stable_src=stable_src)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(_INDEX_ROOT, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
@@ -153,12 +177,19 @@ def merge_chain(
 
     ``deltas`` is an ordered sequence of ``(snapshot_id, delta_fn)``
     pairs — one per night.  Each night's artifact is keyed on
-    ``(params, 'snap', snapshot_id)``, an explicit MONOTONE snapshot
-    id rather than the corpus mtime, which is what makes the chain
-    re-resolvable: night N+1's base lookup lands on night N's key
-    deterministically, in this session or any later one (the keying
-    caveat in :func:`merge_index`'s docstring is exactly the failure
-    this avoids).  Steady state for a fully-merged chain is a single
+    ``realpath(src_path) + (params, 'snap', snapshot_id)`` with
+    ``stable_src=True`` — the source file's size/mtime are
+    deliberately NOT folded in (ADVICE r11 item 4: in the
+    nightly-arrival scenario src_path mutates every night, so
+    mtime-keyed chain artifacts would re-key nightly and silently
+    degrade every lookup to a full rebuild).  The explicit MONOTONE
+    snapshot id carries content identity instead: night N+1's base
+    lookup lands on night N's key deterministically, in this session
+    or any later one.  The caller's contract is that snapshot ids
+    version content — never reuse an id for different rows under the
+    same path (pinned by
+    tests/test_llm3.py::test_merge_chain_stable_keying_survives_src_mutation).
+    Steady state for a fully-merged chain is a single
     parquet read of the LAST night's artifact — earlier nights are
     looked up by key (an ``os.path.exists`` probe), never re-derived,
     and each night's build reads only the previous artifact plus its
@@ -176,6 +207,7 @@ def merge_chain(
         base_fn,
         partition_by=partition_by,
         params=(params, "snap", "base"),
+        stable_src=True,
     )
     for snapshot_id, delta_fn in deltas:
         prev = df  # bind the current artifact, not the loop variable
@@ -190,6 +222,7 @@ def merge_chain(
             _night,
             partition_by=partition_by,
             params=(params, "snap", snapshot_id),
+            stable_src=True,
         )
     return df
 

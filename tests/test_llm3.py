@@ -248,7 +248,7 @@ def test_merge_chain_two_nights_equals_rebuild(spark):
     params = ("pmh-chain-test", _PMH_N, f"mod{_PMH_DELTA_MOD}")
     mod = F.col("doc_id") % _PMH_DELTA_MOD
     paths = [
-        index_path("pmh-chain", src, (params, "snap", sid))
+        index_path("pmh-chain", src, (params, "snap", sid), stable_src=True)
         for sid in ("base", "n1", "n2")
     ]
     for p in paths:
@@ -317,6 +317,76 @@ def test_merge_chain_two_nights_equals_rebuild(spark):
         )
         assert calls == {"base": 1, "d1": 1, "d2": 2}
         assert canon(night2) == chained_rows
+    finally:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def test_merge_chain_stable_keying_survives_src_mutation(spark, tmp_path):
+    """ADVICE r11 item 4: merge_chain keys chain artifacts on
+    realpath + snapshot id WITHOUT the source file's size/mtime — in
+    the nightly-arrival scenario src_path mutates every night, and a
+    mtime-keyed chain would silently re-key every artifact into a
+    full rebuild.  Pin: after the chain is built, mutate the source
+    file (new mtime AND new size), clear session caches, re-resolve —
+    every night must still be found by key (zero thunk invocations,
+    zero artifact rewrites)."""
+    import os
+    import shutil
+
+    from distributedmapreduce_spark.operators.index_store import (
+        index_path,
+        merge_chain,
+    )
+
+    src = str(tmp_path / "corpus.parquet")
+    spark.range(0, 30).selectExpr(
+        "id AS doc_id", "id * 3 AS sig"
+    ).write.parquet(src)
+    params = ("stable-key-test", 1)
+    paths = [
+        index_path("stk-chain", src, (params, "snap", sid), stable_src=True)
+        for sid in ("base", "n1")
+    ]
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    try:
+        calls = {"base": 0, "d1": 0}
+
+        def base_fn():
+            calls["base"] += 1
+            return spark.read.parquet(src).filter("doc_id < 20")
+
+        def d1():
+            calls["d1"] += 1
+            return spark.read.parquet(src).filter("doc_id >= 20")
+
+        first = merge_chain(
+            spark, "stk-chain", src, base_fn, [("n1", d1)], params=params
+        )
+        assert first.count() == 30
+        assert calls == {"base": 1, "d1": 1}
+        mtimes = [
+            os.stat(os.path.join(p, "_SUCCESS")).st_mtime_ns for p in paths
+        ]
+
+        # the nightly arrival: the corpus file grows in place — new
+        # size, new mtime (what broke mtime-keyed lookups)
+        spark.range(0, 40).selectExpr(
+            "id AS doc_id", "id * 3 AS sig"
+        ).write.mode("overwrite").parquet(src)
+        spark.catalog.clearCache()
+
+        again = merge_chain(
+            spark, "stk-chain", src, base_fn, [("n1", d1)], params=params
+        )
+        assert calls == {"base": 1, "d1": 1}, (
+            "src mutation re-keyed the chain into a rebuild"
+        )
+        assert [
+            os.stat(os.path.join(p, "_SUCCESS")).st_mtime_ns for p in paths
+        ] == mtimes
+        assert again.count() == 30  # the chain's own snapshots, unchanged
     finally:
         for p in paths:
             shutil.rmtree(p, ignore_errors=True)
