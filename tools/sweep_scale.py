@@ -161,14 +161,18 @@ def main() -> int:
         and cache[n].get("replica_fp") == replica_fp
         and _green(cache[n].get("cell", {"err": "missing"}))
     ]
-    # deterministic ~5% audit sample of hits, re-run fresh this round
+    # deterministic ~5% audit sample of hits, re-run fresh this round.
+    # HEAVY bulkhead oracles are exempt from sampling: auditing one
+    # costs hours of wall (frequent_itempairs ~100 min solo), and each
+    # already re-proves itself whenever its module/plan/oracle re-keys.
+    sampleable = [n for n in hits if n not in HEAVY]
     seed = f"{os.path.basename(out_path)}:{replica_fp}"
     audit = set(
         sorted(
-            hits,
+            sampleable,
             key=lambda n: hashlib.sha256(f"{seed}:{n}".encode()).hexdigest(),
-        )[: max(3, len(hits) // 20)]
-    ) if hits else set()
+        )[: max(3, len(sampleable) // 20)]
+    ) if sampleable else set()
     cached = [n for n in hits if n not in audit]
     fresh = [n for n in run_names if n not in cached]
     print(
