@@ -246,6 +246,14 @@ SHOWCASE = [
         "join sides broadcast — the asset-pair quadratic never "
         "materializes",
     ),
+    (
+        "dedup_audiofp_classes",
+        "audio fingerprint dedup (r12): one Arrow-batched PCM decode "
+        "panel (mapInPandas, per-asset, no shuffle) feeds builtin "
+        "bit-packing; class aggregation + distinct-hash banding keep "
+        "the pair stage bounded by the fingerprint population — same "
+        "class-pair shape as the image hashes",
+    ),
 ]
 
 
