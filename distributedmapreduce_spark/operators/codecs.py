@@ -334,6 +334,155 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------- AVI
+
+AVI_US_PER_FRAME = 40_000  # 25 fps
+
+
+def _dib_rows(width: int, height: int, raster: bytes) -> bytes:
+    """Top-down row-major RGB -> the DIB pixel array both BMP and AVI
+    '00db' frames store: bottom-up rows, BGR, each row padded to a
+    4-byte boundary."""
+    pad = (-(width * 3)) % 4
+    rows = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = raster[r * width * 3 : (r + 1) * width * 3]
+        for x in range(width):
+            rows += bytes((row[x * 3 + 2], row[x * 3 + 1], row[x * 3]))
+        rows += bytes(pad)
+    return bytes(rows)
+
+
+def _undib_rows(width: int, height: int, dib: bytes) -> bytes:
+    """Inverse of :func:`_dib_rows`: padded bottom-up BGR -> top-down
+    row-major RGB."""
+    pad = (-(width * 3)) % 4
+    stride = width * 3 + pad
+    if len(dib) < stride * height:
+        raise ValueError("AVI frame: truncated pixel array")
+    raster = bytearray()
+    for r in range(height):
+        base = (height - 1 - r) * stride
+        for x in range(width):
+            b, g, rr = dib[base + x * 3 : base + x * 3 + 3]
+            raster += bytes((rr, g, b))
+    return bytes(raster)
+
+
+def encode_avi(width: int, height: int, frames: list) -> bytes:
+    """Build a real RIFF-AVI container of uncompressed 24bpp DIB video
+    frames from top-down row-major RGB frame rasters: LIST hdrl
+    (avih + LIST strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)),
+    then LIST movi of '00db' chunks — each frame's pixel array stored
+    exactly like a BMP's (bottom-up padded BGR).  Word-aligned chunks
+    per the RIFF grammar, so the WAV walk's alignment rule carries
+    over.  Deliberately a separate code path from the decoder (the
+    encode/decode split every codec here keeps)."""
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame raster size mismatch")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            ctype
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    dibs = [_dib_rows(width, height, f) for f in frames]
+    buf = max((len(d) for d in dibs), default=0)
+    avih = struct.pack(
+        "<14I",
+        AVI_US_PER_FRAME, 0, 0, 0x10, len(frames), 0, 1, buf,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 1_000_000 // AVI_US_PER_FRAME, 0, len(frames),
+        buf, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, buf, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def avi_layout(data: bytes) -> tuple[int, int, int, list, int]:
+    """THE one RIFF-AVI walk (shared by decode_avi, decode_avi_frames
+    and scan_header): returns (width, height, n_frames,
+    frame_payload_spans, n_chunks) where frame_payload_spans are
+    (pos, len) pairs of the '00db'/'00dc' pixel arrays inside the
+    stream.  Recurses into LISTs, honors RIFF word alignment,
+    tolerates extra chunks (idx1 etc.)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI header")
+    avih, spans, n_chunks = None, [], 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, n_chunks
+        end = min(end, len(data))  # truncated stream: parse what exists
+        while pos + 8 <= end:
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            n_chunks += 1
+            if ctype == b"LIST":
+                walk(pos + 12, pos + 8 + length)
+            elif ctype == b"avih":
+                avih = struct.unpack("<14I", data[pos + 8 : pos + 64])
+            elif ctype[2:4] in (b"db", b"dc"):
+                spans.append((pos + 8, length))
+            pos += 8 + length + (length % 2)
+
+    walk(12, len(data))
+    if avih is None:
+        raise ValueError("AVI: missing avih header")
+    width, height, declared = avih[8], avih[9], avih[4]
+    if len(spans) != declared:
+        raise ValueError(
+            f"AVI: header declares {declared} frames, movi has {len(spans)}"
+        )
+    return width, height, declared, spans, n_chunks
+
+
+def decode_avi_frames(data: bytes) -> list:
+    """List of top-down row-major RGB rasters, one per video frame."""
+    width, height, _n, spans, _c = avi_layout(data)
+    return [
+        _undib_rows(width, height, data[pos : pos + length])
+        for pos, length in spans
+    ]
+
+
+def decode_avi(data: bytes) -> dict:
+    """Parse a real RIFF-AVI stream (shared avi_layout walk), undo the
+    per-frame bottom-up padded-BGR storage, checksum every frame's
+    top-down RGB raster."""
+    frames = decode_avi_frames(data)
+    width, height, n_frames, _spans, _c = avi_layout(data)
+    total = b"".join(frames)
+    return {
+        "format": "avi",
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "sample_rate": None,
+        "n_frames": n_frames,
+        "n_raster_bytes": len(total),
+        "checksum": sum(total),
+    }
+
+
 # ----------------------------------------------------------- dispatch
 
 
@@ -344,9 +493,11 @@ def decode_asset(data: bytes) -> dict:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi(data)
     if data[:4] == b"RIFF":
         return decode_wav(data)
-    raise ValueError("unknown payload format (not PNG/BMP/WAV)")
+    raise ValueError("unknown payload format (not PNG/BMP/WAV/AVI)")
 
 
 def scan_header(data: bytes) -> dict:
@@ -403,6 +554,17 @@ def scan_header(data: bytes) -> dict:
             "n_frames": None,
             "n_chunks": None,
         }
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        width, height, n_frames, _spans, n_chunks = avi_layout(data)
+        return {
+            "format": "avi",
+            "width": width,
+            "height": height,
+            "n_channels": 3,
+            "sample_rate": None,
+            "n_frames": n_frames,
+            "n_chunks": n_chunks,
+        }
     if data[:4] == b"RIFF":
         fmt, _data_pos, data_len, n_chunks = wav_layout(data)
         _audio_fmt, n_channels, sample_rate, _rate, block, _bits = fmt
@@ -415,7 +577,7 @@ def scan_header(data: bytes) -> dict:
             "n_frames": data_len // block,
             "n_chunks": n_chunks,
         }
-    raise ValueError("unknown payload format (not PNG/BMP/WAV)")
+    raise ValueError("unknown payload format (not PNG/BMP/WAV/AVI)")
 
 
 def ramp_bytes(start: int, n: int) -> bytes:

@@ -1079,6 +1079,264 @@ def dedup_audiofp_classes(spark: SparkSession, sf: str) -> DataFrame:
     return _hash_class_pairs(audiofp_signatures(spark, sf), bits=16)
 
 
+# --- video temporal-hash near-dup (round 12) --------------------------
+#
+# Completes the modality stack: image and audio both carry a REAL
+# codec plus a fingerprint dedup; video now does too.  Fixture videos
+# are real RIFF-AVI containers of uncompressed 24bpp DIB frames
+# (operators/codecs.py::encode_avi — the BMP pixel-array discipline
+# per frame, RIFF word alignment like WAV); the fingerprint is the
+# classic temporal aHash: per-frame 16-bit aHash over channel 0, then
+# a strict-majority vote per bit across frames.  Same closed-form
+# oracle discipline (every frame's ramp start is (d + 37f) % 256) and
+# the same _hash_class_pairs class-pair scale shape.
+
+
+def encode_video_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (asset_id, payload): one real AVI per document —
+    nf = 2 + doc_id % 5 frames of the document's _mm_params geometry,
+    frame f's RGB raster a ramp starting at (doc_id%256 + 37*f) % 256
+    (37 is odd and coprime to 256, so frame starts don't collide mod
+    small powers of two)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.codecs import encode_avi, ramp_bytes
+
+    def _one(doc_id: int) -> bytes:
+        w, h, _pc, _nc, _rate, _nf, start = _mm_params(doc_id)
+        nf = 2 + doc_id % 5
+        return encode_avi(
+            w, h,
+            [ramp_bytes((start + 37 * f) % 256, w * h * 3) for f in range(nf)],
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="asset_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_video_decode",
+    # closed-form truth: frame f's K = w*h*3 raster bytes ramp from
+    # s_f = (d + 37f) % 256, so its checksum is T(s_f + K) - T(s_f)
+    # with T(n) = (n//256)*32640 + (n%256)*((n%256)-1)//2 (the
+    # multimodal_decode_real identity, summed over frames)
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             2 + (doc_id % 5) AS nf, doc_id % 256 AS d
+      FROM documents),
+    fr AS (
+      SELECT asset_id, w, h, nf, w * h * 3 AS kk,
+             (d + 37 * fx.f) % 256 AS s
+      FROM p, unnest(range(0, nf)) AS fx(f))
+    SELECT asset_id, 'avi' AS format,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(sum(kk) AS BIGINT) AS n_raster_bytes,
+           CAST(sum(((s + kk) // 256) * 32640
+                    + ((s + kk) % 256) * (((s + kk) % 256) - 1) // 2
+                    - s * (s - 1) // 2) AS BIGINT) AS checksum
+    FROM fr GROUP BY asset_id
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-container decode, hash-checked end to end: one AVI
+    per document (stdlib encoder), parsed back by the independent
+    RIFF-AVI walk + per-frame DIB reversal
+    (operators/codecs.py::decode_avi — nested LIST recursion, header
+    vs movi frame-count cross-check, bottom-up padded-BGR undo), and
+    every output column — geometry AND the all-frames raster byte
+    sum — re-derived arithmetically from doc_id by the oracle.  A
+    header misparse, a frame drop, a padding slip, or a row-order
+    error anywhere hash-mismatches.  Scale: per-asset mapInPandas, no
+    shuffle — the multimodal_decode_real shape for the third
+    modality."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    assets = encode_video_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.codecs import decode_avi
+
+        for pdf in it:
+            out = {
+                "asset_id": [], "format": [], "width": [], "height": [],
+                "n_channels": [], "n_frames": [], "n_raster_bytes": [],
+                "checksum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = decode_avi(bytes(payload))
+                out["asset_id"].append(int(aid))
+                out["format"].append(m["format"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_channels"].append(m["n_channels"])
+                out["n_frames"].append(m["n_frames"])
+                out["n_raster_bytes"].append(m["n_raster_bytes"])
+                out["checksum"].append(m["checksum"])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        _batches,
+        schema="asset_id long, format string, width long, height long,"
+        " n_channels long, n_frames long, n_raster_bytes long,"
+        " checksum long",
+    )
+
+
+def videofp_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """(asset_id, ph): 16-bit TEMPORAL aHash — each decoded frame's
+    channel 0 is sampled to the image queries' 4×4 panel and
+    aHash-thresholded (integer-exact mean compare), then bit i of the
+    video's signature is the strict MAJORITY vote of bit i across
+    frames (cnt[i] * 2 > n_frames).  Decode + per-frame bit counting
+    is the only Python stage (Arrow-batched mapInPandas, per-asset,
+    no shuffle); the majority vote and bit packing run as builtin
+    expressions."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    assets = encode_video_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import avi_layout, decode_avi_frames
+
+        for pdf in it:
+            out = {"asset_id": [], "cnt": [], "nf": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h, nf, _spans, _c = avi_layout(data)
+                cnt = np.zeros(16, dtype="int64")
+                ys = (np.arange(4) * h) // 4
+                xs = (np.arange(4) * w) // 4
+                for fr in decode_avi_frames(data):
+                    chan0 = np.frombuffer(fr, dtype=np.uint8)[::3].reshape(
+                        h, w
+                    )
+                    panel = chan0[np.ix_(ys, xs)].astype("int64")
+                    cnt += (
+                        (panel * 16 > panel.sum()).reshape(-1).astype("int64")
+                    )
+                out["asset_id"].append(int(aid))
+                out["cnt"].append(cnt.tolist())
+                out["nf"].append(int(nf))
+            yield pd.DataFrame(out)
+
+    panel = assets.mapInPandas(
+        _batches, schema="asset_id long, cnt array<long>, nf long"
+    )
+    return panel.select(
+        "asset_id",
+        F.expr(
+            "aggregate(sequence(0, 15), 0L, (a, i) -> a +"
+            " IF(cnt[i] * 2 > nf, shiftleft(1L, i), 0L))"
+        ).alias("ph"),
+    )
+
+
+def videofp_distinct_block_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(ph, band, bucket) over DISTINCT video fingerprints — the
+    candidate stage of dedup_videofp_classes, exposed for the
+    pair-growth audit."""
+    cls = videofp_signatures(spark, sf).select("ph").distinct()
+    return cls.select(
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _videofp_classes_oracle() -> str:
+    """Closed-form twin: frame f's panel cell (y, x) is
+    ((d + 37f) % 256 + (((y*h)//4)*w + (x*w)//4) * 3) % 256 (channel
+    0 of the top-down RGB raster is every 3rd byte), per-frame aHash
+    bits by the gv*16 > total compare, then the strict-majority vote
+    across frames — all re-derived from doc_id alone."""
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+             2 + (doc_id % 5) AS nf, doc_id % 256 AS d
+      FROM documents),
+    fcell AS (
+      SELECT asset_id, nf, fx.f, u.y * 4 + v.x AS idx,
+             ((d + 37 * fx.f) % 256
+              + (((u.y * h) // 4) * w + (v.x * w) // 4) * 3) % 256 AS gv
+      FROM p, unnest(range(0, nf)) AS fx(f),
+           unnest([0, 1, 2, 3]) AS u(y), unnest([0, 1, 2, 3]) AS v(x)),
+    ftot AS (
+      SELECT asset_id, f, sum(gv) AS total
+      FROM fcell GROUP BY asset_id, f),
+    cnt AS (
+      SELECT fcell.asset_id, idx, max(fcell.nf) AS nf,
+             sum(CASE WHEN gv * 16 > total THEN 1 ELSE 0 END) AS c
+      FROM fcell JOIN ftot
+        ON ftot.asset_id = fcell.asset_id AND ftot.f = fcell.f
+      GROUP BY fcell.asset_id, idx),
+    bits AS (
+      SELECT asset_id,
+             sum(CASE WHEN c * 2 > nf THEN 1 << idx ELSE 0 END) AS ph
+      FROM cnt GROUP BY asset_id),
+    cls AS (
+      SELECT ph, count(*) AS n, min(asset_id) AS rep
+      FROM bits GROUP BY ph)
+    SELECT CAST(a.ph AS BIGINT) AS ph_a, CAST(b.ph AS BIGINT) AS ph_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           CAST(a.n * b.n AS BIGINT) AS n_asset_pairs
+    FROM cls a JOIN cls b ON a.ph < b.ph
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM}
+    """
+
+
+@query("dedup_videofp_classes", oracle=_videofp_classes_oracle())
+def dedup_videofp_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Video temporal-hash near-dup classes — the third leg of the
+    modality dedup stack (image aHash/dHash, audio energy/ZCR, now
+    video): every AVI's frames are decoded by the real RIFF walk,
+    per-frame 16-bit aHashes majority-vote into one temporal
+    signature (robust to single-frame edits, the standard video
+    near-dup recipe), exact-signature classes aggregate first, and
+    Hamming banding runs over DISTINCT signatures only (4×4-bit
+    blocks, hamming <= 3 pigeonhole-complete), emitting class pairs
+    with multiplicities — the dedup_phash_classes scale shape.  The
+    closed-form oracle re-derives every frame byte, every per-frame
+    bit, and the majority vote from doc_id alone.  Scale: decode +
+    bit-count panel is per-asset mapInPandas (no shuffle); the pair
+    stage is bounded by the distinct-signature population (pair-growth
+    'videofp16' row)."""
+    return _hash_class_pairs(videofp_signatures(spark, sf), bits=16)
+
+
 def _phash64_classes_oracle() -> str:
     """Closed-form twin of the PRODUCTION-width (grid=8, 64-bit)
     aHash classes (VERDICT r11 #4).  Same arithmetic derivation as

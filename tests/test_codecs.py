@@ -116,3 +116,65 @@ def test_decode_real_spark_path(spark):
         10000,
         66,
     )
+
+
+def test_avi_roundtrip_and_layout():
+    """AVI encode/decode round-trip: frames come back as the exact
+    top-down RGB rasters that went in (the bottom-up padded-BGR DIB
+    storage is fully reversed), geometry and frame count parse from
+    the nested-LIST RIFF walk, and the checksum covers every frame."""
+    from distributedmapreduce_spark.operators.codecs import (
+        avi_layout,
+        decode_asset,
+        decode_avi,
+        decode_avi_frames,
+        encode_avi,
+        scan_header,
+    )
+
+    w, h = 5, 4  # odd width exercises row padding (15 -> 16 bytes)
+    frames = [ramp_bytes((7 + 37 * f) % 256, w * h * 3) for f in range(3)]
+    data = encode_avi(w, h, frames)
+    assert decode_avi_frames(data) == frames
+    m = decode_avi(data)
+    assert (m["format"], m["width"], m["height"], m["n_frames"]) == (
+        "avi", w, h, 3,
+    )
+    assert m["n_raster_bytes"] == 3 * w * h * 3
+    assert m["checksum"] == sum(b for fr in frames for b in fr)
+    # dispatch sniffs RIFF+AVI before RIFF+WAVE
+    assert decode_asset(data)["format"] == "avi"
+    hdr = scan_header(data)
+    assert (hdr["format"], hdr["width"], hdr["n_frames"]) == ("avi", w, 3)
+    # header/movi cross-check: drop the last frame chunk -> the walk
+    # must refuse rather than silently under-read
+    import struct
+
+    _w, _h, _n, spans, _c = avi_layout(data)
+    pos, length = spans[-1]
+    truncated = data[: pos - 8]
+    truncated = (
+        truncated[:4]
+        + struct.pack("<I", len(truncated) - 8)
+        + truncated[8:]
+    )
+    try:
+        decode_avi(truncated)
+        raise AssertionError("frame-count cross-check did not fire")
+    except ValueError as e:
+        assert "declares" in str(e)
+
+
+def test_avi_rejects_non_avi_riff():
+    """A RIFF that isn't AVI (a WAV) must not parse as one."""
+    from distributedmapreduce_spark.operators.codecs import (
+        avi_layout,
+        encode_wav,
+    )
+
+    wav = encode_wav(1, 8000, 16, ramp_bytes(0, 64))
+    try:
+        avi_layout(wav)
+        raise AssertionError("avi_layout accepted a WAV")
+    except ValueError as e:
+        assert "AVI" in str(e)

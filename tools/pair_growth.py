@@ -177,6 +177,7 @@ def main() -> None:
             audiofp_distinct_block_buckets,
             phash_block_buckets,
             phash_distinct_block_buckets,
+            videofp_distinct_block_buckets,
         )
 
         # audio fingerprint (round 12): 16-bit energy/ZCR signature,
@@ -186,6 +187,13 @@ def main() -> None:
         if want("audiofp16"):
             results.setdefault("audiofp16", {})[n] = _bucket_stats(
                 audiofp_distinct_block_buckets(spark, sf),
+                ["band", "bucket"],
+                "ph",
+            )
+        # video temporal hash (round 12): same distinct-class argument
+        if want("videofp16"):
+            results.setdefault("videofp16", {})[n] = _bucket_stats(
+                videofp_distinct_block_buckets(spark, sf),
                 ["band", "bucket"],
                 "ph",
             )
