@@ -107,6 +107,7 @@ TIER2 = [
     # fingerprint classes)
     "dedup_phash_classes",
     "dedup_audiofp_classes",
+    "dedup_videofp_classes",
 ]
 
 
