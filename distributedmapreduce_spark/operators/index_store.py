@@ -310,14 +310,29 @@ def stream_index_last_batch(path: str) -> int:
 def read_stream_index(spark: SparkSession, path: str) -> DataFrame:
     """Read the live row set of a stream-maintained artifact (the
     newest compaction plus later segments).  Raises if no batch has
-    ever been committed."""
+    ever been committed.
+
+    Each live child is scanned as its own relation and the scans
+    union — a multi-path ``spark.read.parquet(*live)`` would refuse
+    partitioned children (each generation roots its own partition
+    tree: CONFLICTING_DIRECTORY_STRUCTURES), and per-path scans lose
+    nothing: a filter on the partition column pushes into EVERY
+    branch as a PartitionFilter, and the branch count is bounded by
+    ``compact_every``."""
+    from functools import reduce
+
     live, last, _, _ = _scan_stream_index(path)
     if last < 0:
         raise FileNotFoundError(f"no committed batches under {path}")
-    return spark.read.parquet(*live)
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        (spark.read.parquet(p) for p in live),
+    )
 
 
-def compact_stream_index(spark: SparkSession, path: str) -> None:
+def compact_stream_index(
+    spark: SparkSession, path: str, partition_by: str | None = None
+) -> None:
     """Fold every live segment into one ``compact-<last>`` segment.
 
     Crash-safe by the read rule: the tmp write is invisible until the
@@ -329,9 +344,18 @@ def compact_stream_index(spark: SparkSession, path: str) -> None:
     live, last, stale, tmps = _scan_stream_index(path)
     if last < 0 or len(live) <= 1:
         return
+    from functools import reduce
+
     dest = os.path.join(path, f"{_COMPACT_PREFIX}{last:020d}")
     tmp = os.path.join(path, f".tmp-c{last}-{os.getpid()}")
-    spark.read.parquet(*live).write.mode("overwrite").parquet(tmp)
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        (spark.read.parquet(p) for p in live),
+    )
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
     try:
         os.rename(tmp, dest)
     except OSError:
@@ -352,11 +376,19 @@ def advance_index(
     batch_id: int,
     params: object = None,
     compact_every: int = 8,
+    partition_by: str | None = None,
 ) -> None:
     """Advance a stream-maintained index artifact by one micro-batch:
     append the delta as a new segment, compacting on a fixed cadence
     (the continuous form of :func:`merge_index` — VERDICT r10 #6,
     made O(delta) per VERDICT r11 #1).
+
+    ``partition_by`` optionally partitions every segment (and every
+    compaction) on a stable column — e.g. a minhash band id or
+    ``doc_id % P`` — so a search that filters on it prunes parquet
+    files inside EVERY generation of the log (the read is one
+    multi-path scan; Spark discovers the partition column per path
+    and pushes the filter as a PartitionFilter).
 
     Exactly-once discipline: foreachBatch delivers AT-LEAST-once, so
     a replayed ``batch_id`` at or below the artifact's committed
@@ -379,7 +411,10 @@ def advance_index(
     os.makedirs(path, exist_ok=True)
     dest = os.path.join(path, f"{_SEG_PREFIX}{batch_id:020d}")
     tmp = os.path.join(path, f".tmp-s{batch_id}-{os.getpid()}")
-    delta_df.write.mode("overwrite").parquet(tmp)
+    writer = delta_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
     try:
         os.rename(tmp, dest)
     except OSError:
@@ -388,4 +423,4 @@ def advance_index(
     for p in stale + tmps:
         shutil.rmtree(p, ignore_errors=True)
     if len(live) + 1 >= compact_every:
-        compact_stream_index(spark, path)
+        compact_stream_index(spark, path, partition_by=partition_by)

@@ -44,6 +44,7 @@ def index_maintenance_stream(
     sig_fn,
     kind: str = "stream-index",
     params: object = None,
+    partition_by: str | None = None,
 ):
     """Start (availableNow) a maintenance pass: consume every kvjson
     key above the checkpoint's watermark, signature each micro-batch
@@ -69,7 +70,8 @@ def index_maintenance_stream(
             F.get_json_object(F.col("value"), "$.text").alias("text"),
         )
         advance_index(
-            spark, kind, token, sig_fn(docs), batch_id, params=params
+            spark, kind, token, sig_fn(docs), batch_id, params=params,
+            partition_by=partition_by,
         )
 
     return (
