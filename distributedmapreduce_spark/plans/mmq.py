@@ -1202,6 +1202,68 @@ def multimodal_video_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_video_frame_sample",
+    # per-sampled-frame checksum: frame f ramps from s_f = (d+37f)%256
+    # over K = w*h*3 bytes, so its sum is T(s_f+K) - T(s_f)
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             (8 + (doc_id % 24)) * (8 + (doc_id % 16)) * 3 AS kk,
+             2 + (doc_id % 5) AS nf, doc_id % 256 AS d
+      FROM documents),
+    fr AS (
+      SELECT asset_id, kk, fx.f, (d + 37 * fx.f) % 256 AS s
+      FROM p, unnest(range(0, nf)) AS fx(f)
+      WHERE fx.f % 2 = 0)
+    SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(kk AS BIGINT) AS n_bytes,
+           CAST(((s + kk) // 256) * 32640
+                + ((s + kk) % 256) * (((s + kk) % 256) - 1) // 2
+                - s * (s - 1) // 2 AS BIGINT) AS checksum
+    FROM fr
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling — the training-pipeline primitive (sample
+    every k-th frame of every clip for a vision encoder), run over the
+    REAL decoded AVI frames: every even-indexed frame's top-down RGB
+    raster is materialized and checksummed per frame (the
+    multimodal_frame_sample shape, third modality).  The oracle
+    re-derives each sampled frame's byte sum from doc_id alone, so a
+    frame-indexing error, an off-by-one in the stride, or any decode
+    slip on any single frame hash-mismatches.  Scale: per-asset
+    mapInPandas, no shuffle; output rows = ceil(nf/2) per asset."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    assets = encode_video_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.codecs import decode_avi_frames
+
+        for pdf in it:
+            out = {
+                "asset_id": [], "frame_idx": [], "n_bytes": [],
+                "checksum": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_avi_frames(bytes(payload))
+                for f in range(0, len(frames), 2):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(f)
+                    out["n_bytes"].append(len(frames[f]))
+                    out["checksum"].append(sum(frames[f]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        _batches,
+        schema="asset_id long, frame_idx long, n_bytes long, checksum long",
+    )
+
+
 def videofp_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """(asset_id, ph): 16-bit TEMPORAL aHash — each decoded frame's
     channel 0 is sampled to the image queries' 4×4 panel and
