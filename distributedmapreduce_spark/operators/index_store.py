@@ -274,10 +274,26 @@ def _complete(child_path: str) -> bool:
     return os.path.exists(os.path.join(child_path, "_SUCCESS"))
 
 
+def _has_data(child_path: str) -> bool:
+    """True iff the segment holds at least one data file.  An EMPTY
+    partitioned delta writes only _SUCCESS (no part files, no
+    partition dirs) — such a segment must still advance the batch
+    watermark (exactly-once) but must never reach a reader: a
+    dataless parquet dir fails schema inference and would wedge every
+    later read."""
+    for root, _dirs, files in os.walk(child_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                return True
+    return False
+
+
 def _scan_stream_index(path: str):
     """Return (live_paths, last_batch, stale_paths, tmp_paths) for a
     stream-index directory.  live = newest complete compact + complete
-    segs above it; stale = superseded segs/compacts safe to delete."""
+    DATA-BEARING segs above it (dataless segs count toward the
+    watermark, never toward reads); stale = superseded children safe
+    to delete."""
     segs, compacts, tmps = [], [], []
     for name in sorted(os.listdir(path)) if os.path.isdir(path) else []:
         child = os.path.join(path, name)
@@ -295,8 +311,11 @@ def _scan_stream_index(path: str):
     last = floor
     for b, p in segs:
         if b > floor:
-            live.append(p)
             last = max(last, b)
+            if _has_data(p):
+                live.append(p)
+            # dataless: keep on disk as the watermark witness — it is
+            # NOT stale (deleting it would re-admit its batch id)
         else:
             stale.append(p)
     return live, last, stale, tmps
@@ -324,6 +343,10 @@ def read_stream_index(spark: SparkSession, path: str) -> DataFrame:
     live, last, _, _ = _scan_stream_index(path)
     if last < 0:
         raise FileNotFoundError(f"no committed batches under {path}")
+    if not live:
+        raise ValueError(
+            f"index at {path} has committed batches but no rows yet"
+        )
     return reduce(
         lambda a, b: a.unionByName(b),
         (spark.read.parquet(p) for p in live),

@@ -638,6 +638,78 @@ def test_stream_index_log_structure_and_crash_recovery(spark, tmp_path):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_stream_maintained_partitioned_index_equals_batch(spark, tmp_path):
+    """14th stream==batch parity: the continuously-maintained index
+    with PARTITIONED segments (band = doc_id % 4, the scale layout
+    that gives banded searches partition pruning) equals the
+    monolithic batch build over the same documents, bit-exact, across
+    two maintenance passes under one checkpoint — partitioning is a
+    layout choice, never a semantics change."""
+    import json
+    import os
+    import shutil
+
+    from distributedmapreduce_spark.operators.index_store import (
+        read_stream_index,
+        stream_index_path,
+    )
+    from distributedmapreduce_spark.plans.llm import _pmh_signatures
+    from distributedmapreduce_spark.streaming.index_maint import (
+        index_maintenance_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    ids = sorted(rows)
+    base_ids = ids[: len(ids) // 2]
+
+    store = str(tmp_path / "docs.kv.json")
+    ckpt = str(tmp_path / "ckpt")
+    kind, params = "pmh-part-test", ("parity-part", 8)
+    path = stream_index_path(kind, f"{store}@{ckpt}", params)
+
+    def sig(d):
+        return _pmh_signatures(d).withColumn(
+            "band", (F.col("doc_id") % 4).cast("int")
+        )
+
+    def _write_store(id_subset):
+        with open(store, "w", encoding="utf-8") as f:
+            json.dump(
+                {f"{i:08d}": {"text": rows[i]} for i in id_subset}, f
+            )
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, r.band, tuple(sorted(r.hs)),
+             tuple(r[f"m{i}"] for i in range(8)))
+            for r in df.collect()
+        )
+
+    try:
+        for id_set in (base_ids, ids):  # night 1 load, night 2 upsert
+            _write_store(id_set)
+            q = index_maintenance_stream(
+                spark, store, ckpt, sig, kind=kind, params=params,
+                partition_by="band",
+            )
+            q.awaitTermination()
+            subset = docs.filter(F.col("doc_id").isin(list(id_set)))
+            assert canon(read_stream_index(spark, path)) == canon(
+                sig(subset)
+            )
+        # the partition layout is real: band dirs exist inside segments
+        seg_children = [
+            n for s in os.listdir(path) if s.startswith(("seg-", "compact-"))
+            for n in os.listdir(os.path.join(path, s))
+        ]
+        assert any(n.startswith("band=") for n in seg_children)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stream_index_partitioned_segments_prune(spark, tmp_path):
     """VERDICT r11 #1's partitioning clause: segments (and
     compactions) can be partitioned on a stable column, and a search
@@ -668,6 +740,17 @@ def test_stream_index_partitioned_segments_prune(spark, tmp_path):
                       params=params, compact_every=2, partition_by="band")
         advance_index(spark, kind, token, mk(60, 70), 2,
                       params=params, compact_every=100, partition_by="band")
+        # an EMPTY partitioned delta (only _SUCCESS, no part files)
+        # must advance the watermark but never wedge readers
+        from distributedmapreduce_spark.operators.index_store import (
+            stream_index_last_batch,
+        )
+
+        advance_index(spark, kind, token, mk(0, 10).filter("doc_id < 0"),
+                      3, params=params, compact_every=100,
+                      partition_by="band")
+        assert stream_index_last_batch(path) == 3  # replay of 3 = no-op
+
         df = read_stream_index(spark, path)
         assert df.count() == 70
         hit = df.filter(F.col("band") == 1)
