@@ -227,6 +227,17 @@ def merge_chain(
     return df
 
 
+# On-disk format generation of the STREAM artifact layout, folded
+# into stream_index_path's key so a format change can never map an
+# old-layout artifact to the same directory (ADVICE r12: the r12
+# move from single-parquet+sidecar to log-structured children kept
+# the same key, so _scan_stream_index would have read a legacy
+# artifact as empty and the next advance would have silently buried
+# its rows).  fmt=2 is the log-structured layout; _scan_stream_index
+# additionally refuses legacy layouts outright.
+_STREAM_FORMAT = 2
+
+
 def stream_index_path(kind: str, token: str, params: object = None) -> str:
     """Artifact path for a STREAM-maintained index: keyed on a
     caller-supplied stable token (e.g. the source + checkpoint
@@ -235,7 +246,7 @@ def stream_index_path(kind: str, token: str, params: object = None) -> str:
     fingerprinted artifact into a full rebuild each time (the
     merge_index keying caveat, recursed)."""
     key = hashlib.sha256(
-        f"{token}:v{_CODE_VERSION}:{params!r}".encode()
+        f"{token}:v{_CODE_VERSION}:fmt{_STREAM_FORMAT}:{params!r}".encode()
     ).hexdigest()[:16]
     return os.path.join(_INDEX_ROOT, f"{kind}-{key}")
 
@@ -265,9 +276,32 @@ def stream_index_path(kind: str, token: str, params: object = None) -> str:
 #    compact-K's rename lands it does not exist, and after it lands
 #    any seg-b with b <= K is superseded garbage that readers ignore
 #    and the next writer lazily deletes.
+#
+# Concurrency discipline (ADVICE r12): the artifact assumes a SINGLE
+# writer process (Structured Streaming already serializes foreachBatch
+# per checkpoint), and readers that run CONCURRENTLY with a writer may
+# observe FileNotFound mid-job — compaction deletes superseded
+# segments immediately after its rename, and Spark reads the listed
+# parquet paths lazily.  Readers in the writer process between batches
+# (the foreachBatch cadence, and every test/query here) are safe;
+# cross-process hot reads should snapshot-copy or pause compaction.
+#
+# UPSERT/DELETE semantics (VERDICT r12 #1): with ``key_col`` set, the
+# artifact is LAST-WRITER-WINS per key instead of append-only.  Every
+# segment row carries ``__v`` (the batch id that wrote it) and
+# ``__del`` (tombstone flag); reads resolve each key to its
+# newest-version row and drop tombstoned keys; compaction applies the
+# same resolution physically, so dead versions and applied tombstones
+# are garbage-collected on the normal cadence (a tombstone can be
+# dropped at compaction because compact-K supersedes every batch <= K
+# and any later write of the key carries a larger ``__v``).  The
+# surviving rows KEEP their original ``__v`` so later segments still
+# win the per-key race.  This matches the kvjson store's own
+# last-writer-wins contract (reference S15, database_server.py:88-102).
 
 _SEG_PREFIX = "seg-"
 _COMPACT_PREFIX = "compact-"
+_META_COLS = ("__v", "__del")
 
 
 def _complete(child_path: str) -> bool:
@@ -295,6 +329,19 @@ def _scan_stream_index(path: str):
     watermark, never toward reads); stale = superseded children safe
     to delete."""
     segs, compacts, tmps = [], [], []
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        # a top-level _SUCCESS is the PRE-log-structured layout (one
+        # parquet table + .state.json sidecar).  Treating it as an
+        # empty log would silently bury its rows under new segments
+        # (ADVICE r12) — refuse instead.  Unreachable for artifacts
+        # keyed by the current stream_index_path (fmt tag re-keys),
+        # but a hand-supplied path must fail loudly too.
+        raise ValueError(
+            f"{path} is a legacy (pre-log-structured) stream-index "
+            "artifact; rebuild it from a fresh checkpoint"
+        )
     for name in sorted(os.listdir(path)) if os.path.isdir(path) else []:
         child = os.path.join(path, name)
         if name.startswith(".tmp-"):
@@ -326,10 +373,40 @@ def stream_index_last_batch(path: str) -> int:
     return _scan_stream_index(path)[1]
 
 
-def read_stream_index(spark: SparkSession, path: str) -> DataFrame:
+def _resolve_lww(df: DataFrame, key_col: str, drop_meta: bool) -> DataFrame:
+    """Resolve a unioned log to its last-writer-wins row set: newest
+    ``__v`` per key wins, tombstoned keys drop.  No ``__v`` ties are
+    possible by construction — one op per key per batch (the CDC
+    reader diffs snapshots), and a compaction's rows keep their
+    original ``__v`` while every live segment's batch id is strictly
+    above the compact watermark."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(F.col("__v").desc())
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col("__del")))
+        .drop("__rn")
+    )
+    return out.drop(*_META_COLS) if drop_meta else out
+
+
+def read_stream_index(
+    spark: SparkSession, path: str, key_col: str | None = None
+) -> DataFrame:
     """Read the live row set of a stream-maintained artifact (the
     newest compaction plus later segments).  Raises if no batch has
     ever been committed.
+
+    ``key_col`` must be passed for artifacts written in upsert mode
+    (``advance_index(..., key_col=...)``): reads then resolve
+    last-writer-wins per key and drop tombstones, returning exactly
+    the rows a monolithic rebuild over the store's final state would
+    produce — without the meta columns.  The resolution is one
+    shuffle over the INDEX (never the corpus), and compaction keeps
+    the pre-resolved base dominant so the window mostly sees one row
+    per key.
 
     Each live child is scanned as its own relation and the scans
     union — a multi-path ``spark.read.parquet(*live)`` would refuse
@@ -347,16 +424,30 @@ def read_stream_index(spark: SparkSession, path: str) -> DataFrame:
         raise ValueError(
             f"index at {path} has committed batches but no rows yet"
         )
-    return reduce(
+    df = reduce(
         lambda a, b: a.unionByName(b),
         (spark.read.parquet(p) for p in live),
     )
+    if key_col is not None:
+        df = _resolve_lww(df, key_col, drop_meta=True)
+    return df
 
 
 def compact_stream_index(
-    spark: SparkSession, path: str, partition_by: str | None = None
+    spark: SparkSession,
+    path: str,
+    partition_by: str | None = None,
+    key_col: str | None = None,
 ) -> None:
     """Fold every live segment into one ``compact-<last>`` segment.
+
+    With ``key_col`` (upsert-mode artifacts) the fold also applies
+    last-writer-wins physically: dead versions and applied tombstones
+    are dropped (safe — the compaction supersedes every batch at or
+    below its watermark, and any later write of a key carries a
+    strictly larger ``__v``), while surviving rows keep their
+    original ``__v`` so later segments still win per-key races.
+    Compaction is thus the garbage collector for the upsert log.
 
     Crash-safe by the read rule: the tmp write is invisible until the
     rename, the rename atomically supersedes everything at or below
@@ -375,6 +466,8 @@ def compact_stream_index(
         lambda a, b: a.unionByName(b),
         (spark.read.parquet(p) for p in live),
     )
+    if key_col is not None:
+        merged = _resolve_lww(merged, key_col, drop_meta=False)
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
@@ -400,6 +493,8 @@ def advance_index(
     params: object = None,
     compact_every: int = 8,
     partition_by: str | None = None,
+    key_col: str | None = None,
+    deletes_df: DataFrame | None = None,
 ) -> None:
     """Advance a stream-maintained index artifact by one micro-batch:
     append the delta as a new segment, compacting on a fixed cadence
@@ -420,6 +515,19 @@ def advance_index(
     and the batch id together, so no crash point can record a batch
     as applied without its rows or vice versa.
 
+    UPSERT MODE (``key_col`` set — VERDICT r12 #1): ``delta_df``
+    holds the batch's inserted-or-updated rows and ``deletes_df``
+    (optional) the deleted keys.  Each segment row is stamped with
+    the batch id (``__v``) and a tombstone flag (``__del``); deletes
+    are written as null-padded tombstone rows in ``delta_df``'s
+    schema.  ``deletes_df`` needs only ``key_col`` but MAY carry any
+    other columns it can derive (in particular ``partition_by`` —
+    tombstones that carry the partition value land in the right
+    partition directory and stay prunable; key-only tombstones land
+    in the null partition, still correct because
+    :func:`read_stream_index` resolves LWW over all branches).  Read
+    upsert artifacts with ``read_stream_index(..., key_col=...)``.
+
     Cost: per batch, O(delta compute + delta-sized parquet write) —
     the base is never read or rewritten on the append path.  Every
     ``compact_every`` live children, :func:`compact_stream_index`
@@ -427,14 +535,37 @@ def advance_index(
     per batch, read fan-in bounded).  Read the artifact with
     :func:`read_stream_index`, never ``spark.read.parquet(path)``
     (the directory holds multiple generations)."""
+    from pyspark.sql import functions as F
+
     path = stream_index_path(kind, token, params)
     live, last, stale, tmps = _scan_stream_index(path)
     if batch_id <= last:
         return  # replayed batch: already committed
+    if key_col is None:
+        if deletes_df is not None:
+            raise ValueError("deletes_df requires key_col (upsert mode)")
+        seg_df = delta_df
+    else:
+        seg_df = delta_df.withColumn(
+            "__v", F.lit(batch_id).cast("long")
+        ).withColumn("__del", F.lit(False))
+        if deletes_df is not None:
+            have = set(deletes_df.columns)
+            tomb = deletes_df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in delta_df.schema.fields
+                ]
+            ).withColumn(
+                "__v", F.lit(batch_id).cast("long")
+            ).withColumn("__del", F.lit(True))
+            seg_df = seg_df.unionByName(tomb)
     os.makedirs(path, exist_ok=True)
     dest = os.path.join(path, f"{_SEG_PREFIX}{batch_id:020d}")
     tmp = os.path.join(path, f".tmp-s{batch_id}-{os.getpid()}")
-    writer = delta_df.write.mode("overwrite")
+    writer = seg_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
@@ -446,4 +577,6 @@ def advance_index(
     for p in stale + tmps:
         shutil.rmtree(p, ignore_errors=True)
     if len(live) + 1 >= compact_every:
-        compact_stream_index(spark, path, partition_by=partition_by)
+        compact_stream_index(
+            spark, path, partition_by=partition_by, key_col=key_col
+        )

@@ -45,38 +45,80 @@ def index_maintenance_stream(
     kind: str = "stream-index",
     params: object = None,
     partition_by: str | None = None,
+    mode: str = "append",
+    tombstone_fn=None,
 ):
-    """Start (availableNow) a maintenance pass: consume every kvjson
-    key above the checkpoint's watermark, signature each micro-batch
-    with ``sig_fn(docs_df) -> DataFrame`` (docs arrive as
+    """Start (availableNow) a maintenance pass: consume the kvjson
+    store's changes, signature each micro-batch with
+    ``sig_fn(docs_df) -> DataFrame`` (docs arrive as
     ``doc_id long, text string`` decoded from the store's JSON
     values), and advance the persisted artifact per batch.
 
-    The artifact token binds the STORE and the CHECKPOINT identity
-    together: a fresh checkpoint re-reads the whole store as batch 0,
-    so reusing an artifact across checkpoints would double-count —
-    keying on the pair makes that impossible.  Returns the streaming
-    query handle (call ``awaitTermination()``); the artifact path is
-    ``stream_index_path(kind, token, params)`` with
-    ``token = f"{store_path}@{checkpoint_dir}"``."""
+    ``mode="append"`` (default) consumes new keys above the key
+    high-watermark — exactly right for stores that only ever ADD
+    keys, and the artifact is a plain append-only log.
+
+    ``mode="upsert"`` (VERDICT r12 #1) consumes the store as CDC
+    (``kvjson`` with ``.option("mode", "cdc")``, which re-delivers
+    UPDATED values of existing keys and DELETED keys), signatures the
+    batch's upserts, and advances the artifact with last-writer-wins
+    versioning plus tombstones (``advance_index(key_col="doc_id")``)
+    — so the maintained index tracks the store's own upsert
+    semantics (reference S15, database_server.py:88-102) instead of
+    silently diverging on the first re-upsert.  ``tombstone_fn``
+    optionally maps the deleted-keys DataFrame (``doc_id long``) to
+    one carrying extra derivable columns — pass it when
+    ``partition_by`` is set and the partition value is a function of
+    the key (e.g. ``band = doc_id % P``) so tombstones stay inside
+    prunable partitions.  Read upsert artifacts with
+    ``read_stream_index(..., key_col="doc_id")``.
+
+    The artifact token binds the STORE, the CHECKPOINT identity, and
+    the mode together: a fresh checkpoint re-reads the whole store as
+    batch 0, so reusing an artifact across checkpoints would
+    double-count — keying on the tuple makes that impossible.
+    Returns the streaming query handle (call ``awaitTermination()``);
+    the artifact path is ``stream_index_path(kind, token, params)``
+    with ``token = f"{store_path}@{checkpoint_dir}"`` in append mode
+    and ``f"{store_path}@{checkpoint_dir}#cdc"`` in upsert mode."""
     from ..sources import kvjson
 
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"unknown mode {mode!r}")
     kvjson.register(spark)
-    token = f"{store_path}@{checkpoint_dir}"
+    upsert = mode == "upsert"
+    token = f"{store_path}@{checkpoint_dir}" + ("#cdc" if upsert else "")
 
-    def _advance(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select(
+    def _docs(df: DataFrame) -> DataFrame:
+        return df.select(
             F.col("key").cast("long").alias("doc_id"),
             F.get_json_object(F.col("value"), "$.text").alias("text"),
         )
+
+    def _advance(batch_df: DataFrame, batch_id: int) -> None:
+        if not upsert:
+            advance_index(
+                spark, kind, token, sig_fn(_docs(batch_df)), batch_id,
+                params=params, partition_by=partition_by,
+            )
+            return
+        upserts = _docs(batch_df.filter(F.col("op") == "u"))
+        deletes = batch_df.filter(F.col("op") == "d").select(
+            F.col("key").cast("long").alias("doc_id")
+        )
+        if tombstone_fn is not None:
+            deletes = tombstone_fn(deletes)
         advance_index(
-            spark, kind, token, sig_fn(docs), batch_id, params=params,
-            partition_by=partition_by,
+            spark, kind, token, sig_fn(upserts), batch_id,
+            params=params, partition_by=partition_by,
+            key_col="doc_id", deletes_df=deletes,
         )
 
+    reader = spark.readStream.format("kvjson")
+    if upsert:
+        reader = reader.option("mode", "cdc")
     return (
-        spark.readStream.format("kvjson")
-        .load(store_path)
+        reader.load(store_path)
         .writeStream.foreachBatch(_advance)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

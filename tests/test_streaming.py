@@ -785,3 +785,211 @@ def test_stream_index_path_token_separation():
     b = stream_index_path("k", "/s/store.json@/c/ckpt2", ("p", 8))
     c = stream_index_path("k", "/s/store.json@/c/ckpt1", ("p", 9))
     assert len({a, b, c}) == 3
+
+
+def test_stream_maintained_index_upsert_delete_equals_batch(
+    spark, tmp_path
+):
+    """15th stream==batch parity (VERDICT r12 #1): the maintained
+    index must honor the store's OWN last-writer-wins semantics
+    (reference S15, database_server.py:88-102) — re-upserted keys
+    (changed values), deleted keys, and new keys all flow through the
+    kvjson CDC stream into versioned segments with tombstones, and
+    the resolved read equals the monolithic batch build over the
+    store's FINAL state, bit-exact.  Also pins: a no-change pass
+    appends nothing, and a forced compaction (which physically
+    applies LWW and garbage-collects tombstones) preserves equality."""
+    import json
+    import os
+    import shutil
+
+    from distributedmapreduce_spark.operators.index_store import (
+        compact_stream_index,
+        read_stream_index,
+        stream_index_last_batch,
+        stream_index_path,
+    )
+    from distributedmapreduce_spark.plans.llm import _pmh_signatures
+    from distributedmapreduce_spark.streaming.index_maint import (
+        index_maintenance_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    ids = sorted(rows)
+    assert len(ids) >= 12
+
+    store = str(tmp_path / "docs.kv.json")
+    ckpt = str(tmp_path / "ckpt")
+    kind, params = "pmh-upsert-test", ("parity-upsert", 8)
+    token = f"{store}@{ckpt}#cdc"
+    path = stream_index_path(kind, token, params)
+
+    def _write_store(state: dict) -> None:
+        with open(store, "w", encoding="utf-8") as f:
+            json.dump(
+                {f"{i:08d}": {"text": t} for i, t in state.items()}, f
+            )
+
+    def _batch_build(state: dict):
+        return _pmh_signatures(
+            spark.createDataFrame(
+                sorted(state.items()), "doc_id long, text string"
+            )
+        )
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, tuple(sorted(r.hs)),
+             tuple(r[f"m{i}"] for i in range(8)))
+            for r in df.collect()
+        )
+
+    def maintained():
+        return read_stream_index(spark, path, key_col="doc_id")
+
+    try:
+        # state 1: the first 2/3 of the corpus
+        state = {i: rows[i] for i in ids[: 2 * len(ids) // 3]}
+        _write_store(state)
+        q = index_maintenance_stream(
+            spark, store, ckpt, _pmh_signatures, kind=kind,
+            params=params, mode="upsert",
+        )
+        q.awaitTermination()
+        assert canon(maintained()) == canon(_batch_build(state))
+
+        # state 2: UPDATE two existing keys (changed text), DELETE
+        # two keys, ADD the held-out tail — the three change kinds the
+        # key high-watermark could never re-deliver.  One of the
+        # updated keys sorts BELOW every existing key.
+        held_out = ids[2 * len(ids) // 3:]
+        present = sorted(state)
+        state[present[0]] = state[present[0]] + " revised edition"
+        state[present[1]] = "an entirely different document"
+        del state[present[2]], state[present[-1]]
+        for i in held_out:
+            state[i] = rows[i]
+        _write_store(state)
+        q2 = index_maintenance_stream(
+            spark, store, ckpt, _pmh_signatures, kind=kind,
+            params=params, mode="upsert",
+        )
+        q2.awaitTermination()
+        assert canon(maintained()) == canon(_batch_build(state))
+
+        # no-change pass: same store content -> the CDC diff is empty,
+        # no batch runs, the artifact listing is untouched
+        last = stream_index_last_batch(path)
+        listing = sorted(os.listdir(path))
+        q3 = index_maintenance_stream(
+            spark, store, ckpt, _pmh_signatures, kind=kind,
+            params=params, mode="upsert",
+        )
+        q3.awaitTermination()
+        assert sorted(os.listdir(path)) == listing
+        assert stream_index_last_batch(path) == last
+
+        # forced compaction physically applies LWW + drops tombstones
+        # (the upsert log's GC) without changing the resolved row set
+        compact_stream_index(spark, path, key_col="doc_id")
+        children = sorted(os.listdir(path))
+        assert len(children) == 1 and children[0].startswith("compact-")
+        assert canon(maintained()) == canon(_batch_build(state))
+        # deleted keys are physically gone from the compacted file,
+        # not just filtered at read (tombstone GC is real)
+        raw = spark.read.parquet(os.path.join(path, children[0]))
+        assert raw.filter("__del").count() == 0
+        assert raw.count() == len(state)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_kvjson_cdc_reader_offsets_and_replay(tmp_path):
+    """Driver-side pins for the kvjson CDC stream reader: monotone
+    revision offsets, change detection for update/delete/insert,
+    deterministic (start, end] replay from the persisted delta files
+    (the Structured Streaming recovery contract), empty-poll offset
+    stability, and sidecar pruning on commit."""
+    import json
+
+    from distributedmapreduce_spark.sources.kvjson import (
+        KVJsonCDCStreamReader,
+    )
+
+    store = str(tmp_path / "s.json")
+
+    def write(obj):
+        with open(store, "w", encoding="utf-8") as f:
+            json.dump(obj, f)
+
+    write({"a": {"text": "alpha"}, "b": {"text": "beta"}})
+    r = KVJsonCDCStreamReader({"path": store})
+    assert r.initialOffset() == {"rev": 0}
+
+    rows, end = r.read({"rev": 0})
+    rows = list(rows)
+    assert end == {"rev": 1}
+    assert rows == [
+        ("a", json.dumps({"text": "alpha"}, sort_keys=True), "u"),
+        ("b", json.dumps({"text": "beta"}, sort_keys=True), "u"),
+    ]
+
+    # no change -> same offset, no rows, no new sidecars
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == {"rev": 1}
+
+    # update a, delete b, insert c — all three redelivered
+    write({"a": {"text": "alpha v2"}, "c": {"text": "gamma"}})
+    rows3, end3 = r.read(end)
+    rows3 = list(rows3)
+    assert end3 == {"rev": 2}
+    assert rows3 == [
+        ("a", json.dumps({"text": "alpha v2"}, sort_keys=True), "u"),
+        ("c", json.dumps({"text": "gamma"}, sort_keys=True), "u"),
+        ("b", None, "d"),
+    ]
+
+    # replay is bit-identical even after the store mutates again
+    write({"z": {"text": "omega"}})
+    assert list(r.readBetweenOffsets(end, end3)) == rows3
+    assert list(r.readBetweenOffsets({"rev": 0}, end)) == rows
+
+    # a stored JSON null is the STRING "null" (op 'u'), never SQL NULL
+    # — deletes alone carry value=None
+    write({"z": None})
+    rows4, end4 = r.read(end3)
+    rows4 = list(rows4)
+    assert ("z", "null", "u") in rows4
+    assert ("a", None, "d") in rows4 and ("c", None, "d") in rows4
+
+    # commit prunes sidecars strictly below the committed revision
+    import os
+
+    r.commit(end4)
+    left = sorted(os.listdir(r.changelog))
+    assert all(
+        int(n.split("-")[1].split(".")[0]) >= end4["rev"] for n in left
+    )
+
+
+def test_stream_index_refuses_legacy_layout(spark, tmp_path):
+    """ADVICE r12 item 1: a pre-log-structured artifact (top-level
+    parquet _SUCCESS) must fail loudly, never read as an empty log —
+    silently burying the legacy rows under new segments would be
+    data loss with no error."""
+    import pytest as _pytest
+
+    from distributedmapreduce_spark.operators.index_store import (
+        read_stream_index,
+        stream_index_last_batch,
+    )
+
+    legacy = str(tmp_path / "legacy-artifact")
+    spark.range(5).write.mode("overwrite").parquet(legacy)
+    with _pytest.raises(ValueError, match="legacy"):
+        stream_index_last_batch(legacy)
+    with _pytest.raises(ValueError, match="legacy"):
+        read_stream_index(spark, legacy)
