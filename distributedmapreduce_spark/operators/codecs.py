@@ -465,11 +465,16 @@ def decode_avi_frames(data: bytes) -> list:
 
 
 def decode_avi(data: bytes) -> dict:
-    """Parse a real RIFF-AVI stream (shared avi_layout walk), undo the
-    per-frame bottom-up padded-BGR storage, checksum every frame's
-    top-down RGB raster."""
-    frames = decode_avi_frames(data)
-    width, height, n_frames, _spans, _c = avi_layout(data)
+    """Parse a real RIFF-AVI stream (ONE avi_layout walk — ADVICE r12:
+    routing through decode_avi_frames re-walked the RIFF tree for the
+    geometry, doubling parse cost per asset in the hot mapInPandas
+    decode path), undo the per-frame bottom-up padded-BGR storage,
+    checksum every frame's top-down RGB raster."""
+    width, height, n_frames, spans, _c = avi_layout(data)
+    frames = [
+        _undib_rows(width, height, data[pos : pos + length])
+        for pos, length in spans
+    ]
     total = b"".join(frames)
     return {
         "format": "avi",

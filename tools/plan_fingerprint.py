@@ -26,6 +26,17 @@ Why each component:
   normalized object), but it lives in the same module file, so any
   edit to that file re-keys every query it defines — over-invalidates
   a little, never under-invalidates;
+- the defining file's TRANSITIVE intra-package import closure
+  (ADVICE r12 item 2): UDF bodies import shared code at runtime
+  (e.g. plans/mmq.py's decode UDFs call operators/codecs.py), so an
+  edit to a shared module changes semantics without touching the
+  defining file or the plan string.  A static scan resolves every
+  ``from .x import`` / ``from ..pkg.mod import`` /
+  ``import distributedmapreduce_spark...`` statement ANYWHERE in the
+  file (deferred in-function imports included — that's the executor
+  pickling pattern), recurses, and folds the sorted closure's file
+  hashes into the key.  session.py (runtime config) is folded into
+  every key unconditionally;
 - oracle + staged-oracle text: a changed oracle is a changed claim;
 - check_oracle.py: the gate itself (canonicalization, float rounding)
   is part of what a verdict means.
@@ -71,6 +82,80 @@ def normalize_plan(plan: str, sf_dir: str) -> str:
     return _AT_RE.sub("@", plan)
 
 
+_PKG_ROOT = os.path.join(_REPO, "distributedmapreduce_spark")
+_PKG_NAME = "distributedmapreduce_spark"
+_REL_IMP_RE = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import", re.M)
+_ABS_IMP_RE = re.compile(
+    rf"^\s*(?:from\s+{_PKG_NAME}([\w.]*)\s+import|import\s+{_PKG_NAME}([\w.]*))",
+    re.M,
+)
+
+
+def _resolve_module_file(pkg_dir: str, dotted: str) -> str | None:
+    """Resolve a dotted module path relative to pkg_dir to a .py file
+    (module file, else package __init__).  Returns None if the final
+    component is an attribute of a package rather than a module."""
+    base = os.path.join(pkg_dir, *dotted.split(".")) if dotted else pkg_dir
+    for cand in (base + ".py", os.path.join(base, "__init__.py")):
+        if os.path.exists(cand):
+            return cand
+    # `from ..operators.codecs import decode_avi` resolves above;
+    # `from .llm3 import _md5_u32` resolves above; a miss means the
+    # last component was an attribute — try the parent module file
+    if "." in dotted:
+        return _resolve_module_file(pkg_dir, dotted.rsplit(".", 1)[0])
+    return None
+
+
+def _intra_deps(src_path: str, seen: set[str] | None = None) -> set[str]:
+    """Transitive closure of intra-package imports of a source file —
+    INCLUDING deferred in-function imports (the executor-pickling
+    pattern), which a runtime module-dict walk would miss."""
+    seen = seen if seen is not None else set()
+    real = os.path.realpath(src_path)
+    if real in seen or not real.startswith(_PKG_ROOT):
+        return seen
+    seen.add(real)
+    try:
+        with open(real, "r", encoding="utf-8") as f:
+            text = f.read()
+    except OSError:
+        return seen
+    targets: list[str] = []
+    for m in _REL_IMP_RE.finditer(text):
+        dots, dotted = m.group(1), m.group(2)
+        pkg_dir = os.path.dirname(real)
+        for _ in range(len(dots) - 1):
+            pkg_dir = os.path.dirname(pkg_dir)
+        if not pkg_dir.startswith(os.path.dirname(_PKG_ROOT)):
+            continue
+        t = _resolve_module_file(pkg_dir, dotted)
+        if t:
+            targets.append(t)
+    for m in _ABS_IMP_RE.finditer(text):
+        dotted = (m.group(1) or m.group(2) or "").lstrip(".")
+        t = _resolve_module_file(_PKG_ROOT, dotted)
+        if t:
+            targets.append(t)
+    for t in targets:
+        _intra_deps(t, seen)
+    return seen
+
+
+def closure_hash(src_path: str, cache: dict[str, str]) -> str:
+    """Combined hash of src_path's intra-package import closure
+    (excluding src_path itself, which is hashed separately)."""
+    real = os.path.realpath(src_path)
+    if real not in cache:
+        deps = sorted(_intra_deps(real) - {real})
+        cache[real] = _sha(
+            "\n".join(
+                f"{os.path.relpath(d, _REPO)}:{_file_sha(d)}" for d in deps
+            )
+        )[:24]
+    return cache[real]
+
+
 def replica_fingerprint(sf_dir: str) -> str:
     """Fingerprint a test-data/replica dir: table file names + sizes.
     gen_scale.py writes deterministically, so a regenerated same-factor
@@ -97,8 +182,10 @@ def query_fingerprints(names=None, fp_sf: str = FP_SF) -> dict[str, str | None]:
     if names is None:
         names = sorted(reg)
     harness = _file_sha(os.path.join(_HERE, "check_oracle.py"))
+    session_sha = _file_sha(os.path.join(_PKG_ROOT, "session.py"))
     spark = get_spark(app_name="plan_fingerprint", cpus=8)
     src_cache: dict[str, str] = {}
+    clo_cache: dict[str, str] = {}
     out: dict[str, str | None] = {}
     for name in names:
         q = reg[name]
@@ -112,9 +199,15 @@ def query_fingerprints(names=None, fp_sf: str = FP_SF) -> dict[str, str | None]:
                 src_cache[src] = (
                     _file_sha(src) if os.path.exists(src) else "<?>"
                 )
+            clo = (
+                closure_hash(src, clo_cache)
+                if os.path.exists(src)
+                else "<?>"
+            )
             staged = "\n--\n".join(q.staged_oracle or [])
             out[name] = _sha(
-                f"{plan}\n==SRC=={src_cache[src]}\n==ORACLE=="
+                f"{plan}\n==SRC=={src_cache[src]}\n==DEPS=={clo}"
+                f"\n==SESSION=={session_sha}\n==ORACLE=="
                 f"{q.oracle or ''}\n==STAGED=={staged}"
                 f"\n==HARNESS=={harness}"
             )[:24]

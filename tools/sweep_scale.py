@@ -108,18 +108,25 @@ def _fingerprints() -> dict:
     """Compute semantic fingerprints in a SUBPROCESS (its Spark JVM
     must not linger in the sweep driver while chunks run)."""
     tmp = f"/tmp/sweep_fps_{os.getpid()}.json"
-    with open(tmp, "w") as f:
-        p = subprocess.run(
-            [sys.executable, os.path.join(_HERE, "plan_fingerprint.py")],
-            stdout=f, stderr=subprocess.DEVNULL, timeout=3600,
-        )
-    if p.returncode != 0:
-        print("fingerprinting failed — every query runs fresh")
+    try:
+        with open(tmp, "w") as f:
+            p = subprocess.run(
+                [sys.executable, os.path.join(_HERE, "plan_fingerprint.py")],
+                stdout=f, stderr=subprocess.DEVNULL, timeout=3600,
+            )
+        if p.returncode != 0:
+            print("fingerprinting failed — every query runs fresh")
+            return {}
+        with open(tmp) as f:
+            return json.load(f)
+    except (subprocess.TimeoutExpired, OSError, ValueError):
+        # a hung/failed fingerprint pass must degrade to all-fresh,
+        # never crash the sweep (ADVICE r12)
+        print("fingerprinting timed out/failed — every query runs fresh")
         return {}
-    with open(tmp) as f:
-        fps = json.load(f)
-    os.remove(tmp)
-    return fps
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def main() -> int:
