@@ -1158,3 +1158,444 @@ def curation_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.sum("tk"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v4 — the four-modality curation chain (VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+
+_P4_BUDGET = 15_000
+_P4_STAGES = (
+    "raw",
+    "tokenizable",
+    "exact_keeper",
+    "minhash_keeper",
+    "image_keeper",
+    "audio_keeper",
+    "video_keeper",
+    "quality",
+    "token_budget",
+)
+
+
+def _p4_stages() -> list[tuple[str, str]]:
+    """The v4 oracle as an ordered list of (name, SELECT body) stages.
+
+    Two composition rules keep BOTH rendered forms tractable:
+
+    * each stage references every earlier stage AT MOST ONCE at the
+      top level (modality signature stages read ``documents``
+      directly — a per-asset signature is static, so joining the
+      GLOBAL signature table onto the survivor set yields the same
+      keeper minima as signaturing only survivors), and the audit
+      tail aggregates ``survival`` exactly once (per_stage x 9-row
+      dim theta-join, the Spark plan's own shape) — so the chained
+      WITH form expands linearly, not exponentially, under DuckDB's
+      CTE re-inlining;
+    * every stage body is a self-contained SELECT (nested WITH
+      allowed), so the staged twin can materialize each as a
+      CREATE TEMP TABLE verbatim for the 10x/100x replicas.
+    """
+    from .llm import _PMH_BANDS, _PMH_N, _PMH_TAU_E6
+    from .llm3 import _md5_u32_sql
+
+    h = _md5_u32_sql("J", "s")
+    sig_cols = ",\n             ".join(
+        f"min({_md5_u32_sql(str(i), 's')}) AS m{i}" for i in range(_PMH_N)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(CAST(m{2 * b} AS VARCHAR), ':', "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS bucket FROM msig"
+        for b in range(_PMH_BANDS)
+    )
+    jac = (
+        "CAST(floor(len(list_intersect(x.hs, y.hs))"
+        " / CAST(len(x.hs) + len(y.hs)"
+        " - len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " * 1e6) AS BIGINT)"
+    )
+    g8 = ", ".join(str(i) for i in range(8))
+    dim_rows = ", ".join(
+        f"({k}, '{name}')" for k, name in enumerate(_P4_STAGES)
+    )
+    return [
+        ("feat", f"""
+      WITH base AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+                 AS fp,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS ws
+        FROM documents)
+      SELECT doc_id, fp, ws,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+      FROM base"""),
+        ("k2", """
+      SELECT doc_id, ws, n_tokens, n_distinct FROM (
+        SELECT doc_id, ws, n_tokens, n_distinct,
+               min(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM feat WHERE n_tokens > 0)
+      WHERE doc_id = keeper"""),
+        ("msig", f"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[i:i + 2], ' '))) AS s
+          FROM k2 WHERE len(ws) >= 3))
+      SELECT doc_id, list(DISTINCT {h}) AS hs,
+             {sig_cols}
+      FROM sh GROUP BY doc_id"""),
+        ("k3", f"""
+      WITH mbands AS (
+        {band_selects}),
+      mcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mbands a JOIN mbands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id),
+      mdrops AS (
+        SELECT DISTINCT doc_b AS doc_id FROM mcand
+        JOIN msig x ON x.doc_id = doc_a
+        JOIN msig y ON y.doc_id = doc_b
+        WHERE {jac} >= {_PMH_TAU_E6})
+      SELECT k2.* FROM k2
+      WHERE NOT EXISTS (SELECT 1 FROM mdrops d WHERE d.doc_id = k2.doc_id)"""),
+        ("ibits", f"""
+      WITH ip AS (
+        SELECT doc_id AS asset_id,
+               8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+               CASE WHEN doc_id % 3 = 1 THEN 3
+                    WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c,
+               doc_id % 256 AS d
+        FROM documents WHERE doc_id % 3 < 2),
+      igcell AS (
+        SELECT asset_id, u.y * 8 + v.x AS idx,
+               (d + (((u.y * h) // 8) * w + (v.x * w) // 8) * c) % 256
+                 AS gv
+        FROM ip, unnest([{g8}]) AS u(y), unnest([{g8}]) AS v(x)),
+      itot AS (
+        SELECT asset_id, sum(gv) AS total FROM igcell GROUP BY asset_id),
+      ihalves AS (
+        SELECT igcell.asset_id,
+               sum(CASE WHEN gv * 64 > total AND idx < 32
+                   THEN 1::BIGINT << idx ELSE 0 END) AS lo,
+               sum(CASE WHEN gv * 64 > total AND idx >= 32
+                   THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS hi
+        FROM igcell JOIN itot USING (asset_id) GROUP BY igcell.asset_id)
+      SELECT asset_id,
+             CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN u - 18446744073709551616::HUGEINT ELSE u END
+                  AS BIGINT) AS iph
+      FROM (SELECT asset_id,
+                   lo::HUGEINT + hi::HUGEINT * 4294967296 AS u
+            FROM ihalves)"""),
+        ("k4", """
+      SELECT doc_id, ws, n_tokens, n_distinct FROM (
+        SELECT k3.*, ibits.iph,
+               min(k3.doc_id) OVER (PARTITION BY ibits.iph) AS ikeep
+        FROM k3 LEFT JOIN ibits ON ibits.asset_id = k3.doc_id)
+      WHERE iph IS NULL OR doc_id = ikeep"""),
+        ("abits", """
+      WITH ap AS (
+        SELECT doc_id AS asset_id, 1 + (doc_id % 2) AS nc,
+               64 + (doc_id % 64) AS nf, doc_id % 256 AS d
+        FROM documents WHERE doc_id % 3 = 2),
+      asamp AS (
+        SELECT asset_id, nf, fx.f,
+               ((d + 2 * fx.f * nc) % 256)
+               + 256 * ((d + 2 * fx.f * nc + 1) % 256)
+               - CASE WHEN (d + 2 * fx.f * nc + 1) % 256 >= 128
+                      THEN 65536 ELSE 0 END AS s
+        FROM ap, unnest(range(0, nf)) AS fx(f)),
+      aeseg AS (
+        SELECT asset_id, (f * 8) // nf AS seg,
+               sum(abs(s)) AS es, count(*) AS en
+        FROM asamp GROUP BY asset_id, (f * 8) // nf),
+      aetot AS (
+        SELECT asset_id, sum(es) AS ts, sum(en) AS tn
+        FROM aeseg GROUP BY asset_id),
+      aebits AS (
+        SELECT aeseg.asset_id,
+               sum(CASE WHEN es * tn > ts * en THEN 1 << seg ELSE 0 END)
+                 AS eb
+        FROM aeseg JOIN aetot USING (asset_id) GROUP BY aeseg.asset_id),
+      across AS (
+        SELECT a.asset_id, a.nf, a.f,
+               CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 ELSE 0 END AS c
+        FROM asamp a JOIN asamp b
+          ON b.asset_id = a.asset_id AND b.f = a.f + 1),
+      azseg AS (
+        SELECT asset_id, (f * 8) // (nf - 1) AS seg,
+               sum(c) AS zs, count(*) AS zn
+        FROM across GROUP BY asset_id, (f * 8) // (nf - 1)),
+      aztot AS (
+        SELECT asset_id, sum(zs) AS tzs, sum(zn) AS tzn
+        FROM azseg GROUP BY asset_id),
+      azbits AS (
+        SELECT azseg.asset_id,
+               sum(CASE WHEN zs * tzn > tzs * zn
+                   THEN 1 << (8 + seg) ELSE 0 END) AS zb
+        FROM azseg JOIN aztot USING (asset_id) GROUP BY azseg.asset_id)
+      SELECT asset_id, eb + zb AS aph
+      FROM aebits JOIN azbits USING (asset_id)"""),
+        ("k5", """
+      SELECT doc_id, ws, n_tokens, n_distinct FROM (
+        SELECT k4.*, abits.aph,
+               min(k4.doc_id) OVER (PARTITION BY abits.aph) AS akeep
+        FROM k4 LEFT JOIN abits ON abits.asset_id = k4.doc_id)
+      WHERE aph IS NULL OR doc_id = akeep"""),
+        ("vbits", """
+      WITH vpp AS (
+        SELECT doc_id AS asset_id,
+               8 + (doc_id % 24) AS w, 8 + (doc_id % 16) AS h,
+               2 + (doc_id % 5) AS nf, doc_id % 256 AS d
+        FROM documents),
+      vfcell AS (
+        SELECT asset_id, nf, fx.f, u.y * 4 + v.x AS idx,
+               ((d + 37 * fx.f) % 256
+                + (((u.y * h) // 4) * w + (v.x * w) // 4) * 3) % 256 AS gv
+        FROM vpp, unnest(range(0, nf)) AS fx(f),
+             unnest([0, 1, 2, 3]) AS u(y), unnest([0, 1, 2, 3]) AS v(x)),
+      vftot AS (
+        SELECT asset_id, f, sum(gv) AS total
+        FROM vfcell GROUP BY asset_id, f),
+      vcnt AS (
+        SELECT vfcell.asset_id, idx, max(vfcell.nf) AS nf,
+               sum(CASE WHEN gv * 16 > total THEN 1 ELSE 0 END) AS c
+        FROM vfcell JOIN vftot
+          ON vftot.asset_id = vfcell.asset_id AND vftot.f = vfcell.f
+        GROUP BY vfcell.asset_id, idx)
+      SELECT asset_id,
+             sum(CASE WHEN c * 2 > nf THEN 1 << idx ELSE 0 END) AS vph
+      FROM vcnt GROUP BY asset_id"""),
+        ("k6", """
+      SELECT doc_id, n_tokens, n_distinct FROM (
+        SELECT k5.*, vbits.vph,
+               min(k5.doc_id) OVER (PARTITION BY vbits.vph) AS vkeep
+        FROM k5 LEFT JOIN vbits ON vbits.asset_id = k5.doc_id)
+      WHERE vph IS NULL OR doc_id = vkeep"""),
+        ("k7", f"""
+      SELECT doc_id, n_tokens,
+             n_distinct / CAST(n_tokens AS DOUBLE) AS score
+      FROM k6
+      WHERE {_P3_Q_DEN} * n_distinct >= {_P3_Q_NUM} * n_tokens"""),
+        ("sel", f"""
+      SELECT doc_id FROM (
+        SELECT doc_id, CAST(sum(n_tokens) OVER
+                            (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM k7)
+      WHERE cum <= {_P4_BUDGET}"""),
+        ("survival", """
+      SELECT f.doc_id, f.n_tokens,
+             CASE
+               WHEN f.n_tokens = 0 THEN 0
+               WHEN k2.doc_id IS NULL THEN 1
+               WHEN k3.doc_id IS NULL THEN 2
+               WHEN k4.doc_id IS NULL THEN 3
+               WHEN k5.doc_id IS NULL THEN 4
+               WHEN k6.doc_id IS NULL THEN 5
+               WHEN k7.doc_id IS NULL THEN 6
+               WHEN sel.doc_id IS NULL THEN 7
+               ELSE 8
+             END AS surv
+      FROM feat f
+      LEFT JOIN k2 ON k2.doc_id = f.doc_id
+      LEFT JOIN k3 ON k3.doc_id = f.doc_id
+      LEFT JOIN k4 ON k4.doc_id = f.doc_id
+      LEFT JOIN k5 ON k5.doc_id = f.doc_id
+      LEFT JOIN k6 ON k6.doc_id = f.doc_id
+      LEFT JOIN k7 ON k7.doc_id = f.doc_id
+      LEFT JOIN sel ON sel.doc_id = f.doc_id"""),
+        ("__final__", f"""
+      WITH per_stage AS (
+        SELECT surv, count(*) AS d, sum(n_tokens) AS tk
+        FROM survival GROUP BY surv),
+      dim AS (SELECT * FROM (VALUES {dim_rows}) AS v(stage_id, stage))
+      SELECT CAST(dim.stage_id AS BIGINT) AS stage_id, dim.stage,
+             CAST(coalesce(sum(d), 0) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(tk), 0) AS BIGINT) AS n_tokens
+      FROM dim LEFT JOIN per_stage ON per_stage.surv >= dim.stage_id
+      GROUP BY dim.stage_id, dim.stage"""),
+    ]
+
+
+def _p4_oracle() -> str:
+    """Chained single-statement form of the v4 twin (the driver
+    contract's oracle_sql)."""
+    stages = _p4_stages()
+    ctes = ",\n    ".join(
+        f"{name} AS ({body})" for name, body in stages[:-1]
+    )
+    # the final body opens its own WITH — legal as a subquery, not
+    # directly after the outer CTE list
+    return f"\n    WITH {ctes}\n    SELECT * FROM ({stages[-1][1]})\n    "
+
+
+def _p4_oracle_staged() -> list[str]:
+    """Materialized-staging twin for the 10x/100x replicas: each
+    stage computed exactly once (the staged_oracle discipline,
+    core.py)."""
+    stages = _p4_stages()
+    return [
+        f"CREATE OR REPLACE TEMP TABLE {name} AS {body}"
+        for name, body in stages[:-1]
+    ] + [stages[-1][1]]
+
+
+
+@query(
+    "curation_pipeline_v4",
+    oracle=_p4_oracle(),
+    staged_oracle=_p4_oracle_staged(),
+)
+def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
+    """The four-modality curation chain (VERDICT r12 #3) — the
+    end-to-end shape of a multimodal training-data pipeline now that
+    every modality carries a near-dup primitive: tokenizability
+    screen -> text exact-dedup keeper -> text MinHash near-dup keeper
+    (verified-Jaccard pairs, drop the larger id — the
+    dedup_minhash_portable machinery over the exact keepers) ->
+    image phash64 keeper -> audio fingerprint keeper -> video
+    temporal-hash keeper (each: among the docs still alive, keep the
+    min doc_id per identical signature; docs without that modality's
+    asset pass through) -> integer-exact TTR quality gate ->
+    token-budget prefix — emitting the v3-style PER-STAGE AUDIT
+    COUNTS (docs + tokens surviving each stage).
+
+    Scale: the audit is ONE aggregate over a last-surviving-stage
+    label (never a per-stage corpus re-scan); each modality's decode
+    runs only over that stage's SURVIVORS (the sig builders take the
+    doc subset) as per-asset Arrow-batched mapInPandas with no
+    shuffle; signature keeper windows are keyed shuffles over the
+    already-deduped survivor set; the budget prefix is the
+    score-bucketed two-phase cumsum.  Intermediate survivor frames
+    persist once each — the v3 multi-consumer discipline
+    (SCALE.md §10d)."""
+    from .llm import (
+        _PMH_TAU_E6,
+        _pmh_candidates,
+        _pmh_jac_e6,
+        _pmh_signatures,
+    )
+    from .mmq import (
+        audiofp_signatures,
+        phash_signatures,
+        videofp_signatures,
+    )
+
+    docs = t(spark, sf, "documents")
+    ws = tokens(F.col("text"), lowercase=True)
+    feat = docs.select(
+        "doc_id",
+        "text",
+        norm_fingerprint(F.col("text")).alias("fp"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    ).persist()
+    tok = feat.filter(F.col("n_tokens") > 0)
+    wk = W.partitionBy("fp")
+    k2 = (
+        tok.withColumn("keeper", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "n_tokens", "n_distinct")
+        .persist()
+    )
+    msig = _pmh_signatures(k2.select("doc_id", "text")).persist()
+    cand = _pmh_candidates(msig)
+    a = msig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = msig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    mdrops = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_b", _pmh_jac_e6().alias("jac_e6"))
+        .filter(F.col("jac_e6") >= _PMH_TAU_E6)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    k3 = k2.join(mdrops, "doc_id", "left_anti").persist()
+
+    def _sig_keeper(kin: DataFrame, sig: DataFrame, col: str) -> DataFrame:
+        """Among kin's docs: keep min doc_id per identical signature;
+        docs without a signature (no asset in this modality) pass."""
+        j = kin.join(
+            sig.select(
+                F.col("asset_id").alias("doc_id"), F.col("ph").alias(col)
+            ),
+            "doc_id",
+            "left",
+        )
+        keep = F.min("doc_id").over(W.partitionBy(col))
+        return (
+            j.withColumn("keep", keep)
+            .filter(F.col(col).isNull() | (F.col("doc_id") == F.col("keep")))
+            .drop(col, "keep")
+        )
+
+    k4 = _sig_keeper(
+        k3, phash_signatures(spark, sf, grid=8, docs=k3.select("doc_id")),
+        "iph",
+    ).persist()
+    k5 = _sig_keeper(
+        k4, audiofp_signatures(spark, sf, docs=k4.select("doc_id")), "aph"
+    ).persist()
+    k6 = _sig_keeper(
+        k5, videofp_signatures(spark, sf, docs=k5.select("doc_id")), "vph"
+    ).persist()
+    k7 = k6.filter(
+        _P3_Q_DEN * F.col("n_distinct") >= _P3_Q_NUM * F.col("n_tokens")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens").cast("double")).alias(
+            "score"
+        ),
+    )
+    sel = _budget_prefix(k7, _P4_BUDGET).select("doc_id")
+
+    flag = lambda df, name: df.select(  # noqa: E731
+        "doc_id", F.lit(True).alias(name)
+    )
+    surv = (
+        feat.select("doc_id", "n_tokens")
+        .join(flag(k2, "f2"), "doc_id", "left")
+        .join(flag(k3, "f3"), "doc_id", "left")
+        .join(flag(k4, "f4"), "doc_id", "left")
+        .join(flag(k5, "f5"), "doc_id", "left")
+        .join(flag(k6, "f6"), "doc_id", "left")
+        .join(flag(k7, "f7"), "doc_id", "left")
+        .join(flag(sel, "f8"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") == 0, 0)
+            .when(F.col("f2").isNull(), 1)
+            .when(F.col("f3").isNull(), 2)
+            .when(F.col("f4").isNull(), 3)
+            .when(F.col("f5").isNull(), 4)
+            .when(F.col("f6").isNull(), 5)
+            .when(F.col("f7").isNull(), 6)
+            .when(F.col("f8").isNull(), 7)
+            .otherwise(8)
+            .alias("surv"),
+        )
+    )
+    per_stage = surv.groupBy("surv").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("tk")
+    )
+    stages = F.array(*[F.lit(s) for s in _P4_STAGES])
+    dim = spark.range(len(_P4_STAGES)).select(
+        F.col("id").cast("long").alias("stage_id"),
+        F.element_at(stages, (F.col("id") + 1).cast("int")).alias("stage"),
+    )
+    return (
+        dim.join(per_stage, per_stage.surv >= dim.stage_id, "left")
+        .groupBy("stage_id", "stage")
+        .agg(
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tk"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )

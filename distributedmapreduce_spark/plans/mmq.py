@@ -437,18 +437,24 @@ _PHASH_HAM = 3  # verified near-dup threshold (<= blocks - 1)
 
 
 def _panel_frame(
-    spark: SparkSession, sf: str, rows: int, cols: int
+    spark: SparkSession, sf: str, rows: int, cols: int,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(asset_id, gv): channel 0 of every image asset's REAL decoded
     raster nearest-neighbor-sampled to a rows×cols panel (the
     multimodal_resize coordinate rule), flattened row-major.  Decode
     is the only Python stage (Arrow-batched mapInPandas, per-asset
-    work, no shuffle) — shared by the aHash and dHash signatures."""
+    work, no shuffle) — shared by the aHash and dHash signatures.
+    ``docs`` optionally restricts to a doc subset (curation v4 decodes
+    only pipeline survivors); the fixture's modality filter still
+    applies on top."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 < 2)
+    docs = (
+        docs if docs is not None else t(spark, sf, "documents")
+    ).filter(F.col("doc_id") % 3 < 2)
     assets = encode_fixture_assets(docs)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -482,13 +488,16 @@ def _panel_frame(
     )
 
 
-def phash_signatures(spark: SparkSession, sf: str, grid: int = _PHASH_GRID) -> DataFrame:
+def phash_signatures(
+    spark: SparkSession, sf: str, grid: int = _PHASH_GRID,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """(asset_id, ph): ``grid²``-bit average-hash of every image
     asset's REAL decoded raster — bit i = 1 iff
     panel[i] * grid² > panel_total (integer-exact mean compare, no
     division); the mean threshold and bit packing run as builtin
     expressions over the shared decode panel."""
-    gv = _panel_frame(spark, sf, grid, grid)
+    gv = _panel_frame(spark, sf, grid, grid, docs=docs)
     n = grid * grid
     return gv.select(
         "asset_id",
@@ -892,7 +901,9 @@ def _dhash_classes_oracle() -> str:
 # hamming <= 3 complete by pigeonhole).
 
 
-def _audio_panel_frame(spark: SparkSession, sf: str) -> DataFrame:
+def _audio_panel_frame(
+    spark: SparkSession, sf: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(asset_id, ea, na, za, nz): per-WAV-asset 8-segment panels over
     channel 0 of the REAL decoded PCM — absolute-amplitude sums ``ea``
     with frame counts ``na`` (segment of frame f = (f*8)//nf), and
@@ -905,7 +916,9 @@ def _audio_panel_frame(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 2)
+    docs = (
+        docs if docs is not None else t(spark, sf, "documents")
+    ).filter(F.col("doc_id") % 3 == 2)
     assets = encode_fixture_assets(docs)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -946,14 +959,16 @@ def _audio_panel_frame(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def audiofp_signatures(spark: SparkSession, sf: str) -> DataFrame:
+def audiofp_signatures(
+    spark: SparkSession, sf: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(asset_id, ph): the 16-bit acoustic fingerprint — bit i
     (i < 8) = 1 iff segment i's mean |amplitude| exceeds the track
     mean (ea[i] * tn > ts * na[i], cross-multiplied — segments differ
     in size, so the compare can't share one denominator); bit 8+i = 1
     iff segment i's zero-crossing rate exceeds the track rate.
     Packing runs as builtin expressions over the decode panel."""
-    panel = _audio_panel_frame(spark, sf)
+    panel = _audio_panel_frame(spark, sf, docs=docs)
     return panel.select(
         "asset_id",
         "ea", "na", "za", "nz",
@@ -1264,7 +1279,9 @@ def multimodal_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def videofp_signatures(spark: SparkSession, sf: str) -> DataFrame:
+def videofp_signatures(
+    spark: SparkSession, sf: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(asset_id, ph): 16-bit TEMPORAL aHash — each decoded frame's
     channel 0 is sampled to the image queries' 4×4 panel and
     aHash-thresholded (integer-exact mean compare), then bit i of the
@@ -1277,7 +1294,7 @@ def videofp_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = t(spark, sf, "documents")
+    docs = docs if docs is not None else t(spark, sf, "documents")
     assets = encode_video_assets(docs)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1397,6 +1414,151 @@ def dedup_videofp_classes(spark: SparkSession, sf: str) -> DataFrame:
     stage is bounded by the distinct-signature population (pair-growth
     'videofp16' row)."""
     return _hash_class_pairs(videofp_signatures(spark, sf), bits=16)
+
+
+def encode_scenecut_video_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> (asset_id, payload): AVIs with ONE deliberate scene
+    cut — nf = 4 + d%5 frames whose ramp starts advance by 37 per
+    frame, plus a one-time +128 jump at frame c = 1 + (d % (nf-1)):
+    within a scene consecutive frames differ by a small constant
+    shift, at the cut by a large one.  Separate from
+    encode_video_assets so the three hash-green video queries keep
+    their fixture untouched."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.codecs import encode_avi, ramp_bytes
+
+    def _one(doc_id: int) -> bytes:
+        w, h, _pc, _nc, _rate, _nf, _start = _mm_params(doc_id)
+        d = doc_id % 256
+        nf = 4 + d % 5
+        c = 1 + (d % (nf - 1))
+        return encode_avi(
+            w, h,
+            [
+                ramp_bytes(
+                    (d + 37 * f + (128 if f >= c else 0)) % 256, w * h * 3
+                )
+                for f in range(nf)
+            ],
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _batches, schema="asset_id long, payload binary"
+    )
+
+
+def _scene_cut_oracle() -> str:
+    """Closed-form truth for the per-frame-pair byte delta.  Frame f
+    ramps from s_f = (d + 37f + 128*[f>=c]) % 256 over K = w*h*3
+    bytes, so consecutive frames differ per byte by t (= 37 within a
+    scene, 165 at the cut) except at the t positions per 256-cycle
+    where the later byte wraps, where the delta is 256-t.  wraps =
+    (K//256)*t plus the count of values >= 256-t in the circular
+    remainder window [s, s+K%256) — two GREATEST/LEAST window
+    intersections.  The cut flag is integer-exact: mean delta is
+    ~37-73 within scenes and ~101-126 at cuts (both bounds derived
+    over every K and s), so delta_sum >= 90*K separates them with
+    margin."""
+    return """
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             (8 + (doc_id % 24)) * (8 + (doc_id % 16)) * 3 AS kk,
+             4 + (doc_id % 256) % 5 AS nf, doc_id % 256 AS d
+      FROM documents),
+    q AS (
+      SELECT asset_id, kk, nf, d, 1 + (d % (nf - 1)) AS c FROM p),
+    fr AS (
+      SELECT asset_id, kk, fx.f AS f,
+             (d + 37*(fx.f-1)
+              + CASE WHEN fx.f-1 >= c THEN 128 ELSE 0 END) % 256 AS s,
+             CASE WHEN fx.f = c THEN 165 ELSE 37 END AS t
+      FROM q, unnest(range(1, nf)) AS fx(f)),
+    w AS (
+      SELECT asset_id, f, kk, s, t, 256 - t AS th,
+             kk % 256 AS r, kk // 256 AS fullc
+      FROM fr),
+    cnt AS (
+      SELECT asset_id, f, kk, t,
+             fullc * t
+             + GREATEST(0, LEAST(s + r, 256) - GREATEST(s, th))
+             + GREATEST(0, s + r - 256 - th) AS wraps
+      FROM w)
+    SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(t*(kk - wraps) + (256-t)*wraps AS BIGINT) AS delta_sum,
+           CAST(kk AS BIGINT) AS n_bytes,
+           t*(kk - wraps) + (256-t)*wraps >= 90 * kk AS is_cut
+    FROM cnt
+    """
+
+
+@query("multimodal_scene_cut_detect", oracle=_scene_cut_oracle())
+def multimodal_scene_cut_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded AVI frames (VERDICT r12
+    #6) — the video-analysis primitive a multimodal pipeline runs
+    after frame sampling: per consecutive-frame-pair delta (sum of
+    absolute byte differences over the full RGB rasters) plus a
+    threshold cut flag.  The fixture plants exactly one cut per clip
+    at a doc_id-derived position; the oracle re-derives every pair's
+    delta integer-exactly from the ramp arithmetic, so a frame-order
+    slip, a raster misalignment, or an off-by-one in the pairing
+    hash-mismatches.  Scale: per-asset Arrow-batched mapInPandas
+    decode+diff (the only Python stage, no shuffle — each clip's
+    frames never leave their partition); the threshold decision is a
+    builtin integer expression."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    assets = encode_scenecut_video_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import decode_avi_frames
+
+        for pdf in it:
+            out = {
+                "asset_id": [], "frame_idx": [], "delta_sum": [],
+                "n_bytes": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = [
+                    np.frombuffer(fr, dtype=np.uint8).astype("int64")
+                    for fr in decode_avi_frames(bytes(payload))
+                ]
+                for f in range(1, len(frames)):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(f)
+                    out["delta_sum"].append(
+                        int(np.abs(frames[f] - frames[f - 1]).sum())
+                    )
+                    out["n_bytes"].append(len(frames[f]))
+            yield pd.DataFrame(out)
+
+    deltas = assets.mapInPandas(
+        _batches,
+        schema="asset_id long, frame_idx long, delta_sum long,"
+        " n_bytes long",
+    )
+    return deltas.select(
+        "asset_id", "frame_idx", "delta_sum", "n_bytes",
+        (F.col("delta_sum") >= F.lit(90) * F.col("n_bytes")).alias(
+            "is_cut"
+        ),
+    )
 
 
 def _phash64_classes_oracle() -> str:

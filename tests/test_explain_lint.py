@@ -62,6 +62,7 @@ BNLJ_BY_DESIGN = {
     "bm25_search",
     "cosine_topk_bruteforce",
     "curation_pipeline_v3",
+    "curation_pipeline_v4",  # 9x9 suffix-cumulative audit theta join
     "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
     "ddsketch_pow2_quantiles",  # 3-row quantile panel x <=41 buckets
     "event_rate_deviation",
