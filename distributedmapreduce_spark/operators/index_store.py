@@ -171,60 +171,64 @@ def merge_chain(
     deltas,
     partition_by: str | None = None,
     params: object = None,
+    compact_every: int = 8,
 ) -> DataFrame:
-    """The multi-night RECURRENCE over :func:`merge_index`: night N's
-    merged artifact is the base of night N+1 (VERDICT r10 #4).
+    """The multi-night RECURRENCE: night N's merged state is the base
+    of night N+1 (VERDICT r10 #4), UNIFIED onto the log-structured
+    segment store (VERDICT r12 #4) — the nightly merge and the
+    continuous stream maintenance now share ONE artifact format and
+    one compaction mechanism.
 
     ``deltas`` is an ordered sequence of ``(snapshot_id, delta_fn)``
-    pairs — one per night.  Each night's artifact is keyed on
-    ``realpath(src_path) + (params, 'snap', snapshot_id)`` with
-    ``stable_src=True`` — the source file's size/mtime are
-    deliberately NOT folded in (ADVICE r11 item 4: in the
-    nightly-arrival scenario src_path mutates every night, so
-    mtime-keyed chain artifacts would re-key nightly and silently
-    degrade every lookup to a full rebuild).  The explicit MONOTONE
-    snapshot id carries content identity instead: night N+1's base
-    lookup lands on night N's key deterministically, in this session
-    or any later one.  The caller's contract is that snapshot ids
-    version content — never reuse an id for different rows under the
-    same path (pinned by
+    pairs — one per night.  The chain is a stream-index artifact
+    keyed on ``realpath(src_path)`` + params (NO size/mtime — ADVICE
+    r11 item 4: the nightly-arrival scenario mutates src_path every
+    night, and an mtime-keyed chain would silently re-key every
+    lookup into a full rebuild, pinned by
     tests/test_llm3.py::test_merge_chain_stable_keying_survives_src_mutation).
-    Steady state for a fully-merged chain is a single
-    parquet read of the LAST night's artifact — earlier nights are
-    looked up by key (an ``os.path.exists`` probe), never re-derived,
-    and each night's build reads only the previous artifact plus its
-    own delta: O(delta + base copy) per night, never a corpus re-scan.
+    The base is batch 0; the i-th delta is batch i, its segment
+    tagged with the snapshot id.  A night already at or below the
+    artifact's committed watermark never re-invokes its thunk —
+    steady state for a fully-merged chain is a pure read of the live
+    children (one listing, no builds, no rewrites), and a night's
+    first build writes ONE delta-sized segment: O(delta) per night
+    (the old per-night-artifact design paid a full base copy every
+    night), with :func:`compact_stream_index` folding the log every
+    ``compact_every`` nights exactly like the streaming path.
 
-    Correctness is the same distributivity argument as
-    :func:`merge_index`, applied inductively:
-    merged(merged(base, δ1), δ2) == rebuild(base ∪ δ1 ∪ δ2) bit-exact
-    for disjoint row sets — pinned cross-night by
+    Caller contract (unchanged in spirit, now validated where
+    possible): the deltas sequence is APPEND-ONLY and order-stable
+    across invocations — position is the batch id.  Reusing a
+    position for a different snapshot id raises while the segment is
+    still live (the tag is in the directory name); after a compaction
+    folds it the history is finalized and trusted, exactly like the
+    old design's documented id-reuse caveat.
+
+    Correctness is distributivity over disjoint row sets, applied
+    inductively: union-of-segments == rebuild(base ∪ δ1 ∪ ... ∪ δN)
+    bit-exact — pinned cross-night by
     tests/test_llm3.py::test_merge_chain_two_nights_equals_rebuild."""
-    df = cached_index(
-        spark,
-        kind,
-        src_path,
-        base_fn,
-        partition_by=partition_by,
-        params=(params, "snap", "base"),
-        stable_src=True,
-    )
-    for snapshot_id, delta_fn in deltas:
-        prev = df  # bind the current artifact, not the loop variable
-
-        def _night(prev=prev, delta_fn=delta_fn) -> DataFrame:
-            return prev.unionByName(delta_fn())
-
-        df = cached_index(
-            spark,
-            kind,
-            src_path,
-            _night,
-            partition_by=partition_by,
-            params=(params, "snap", snapshot_id),
-            stable_src=True,
-        )
-    return df
+    token = os.path.realpath(src_path)
+    path = stream_index_path(kind, token, params)
+    tags = stream_segment_tags(path)
+    last = stream_index_last_batch(path)
+    plan = [("base", base_fn)] + list(deltas)
+    for i, (snapshot_id, fn) in enumerate(plan):
+        have = tags.get(i)
+        if have is not None and have != _safe_tag(str(snapshot_id)):
+            raise ValueError(
+                f"merge_chain position {i} holds snapshot {have!r} but "
+                f"was invoked with {snapshot_id!r} — the deltas sequence "
+                "must be append-only and order-stable"
+            )
+        if i > last:
+            advance_index(
+                spark, kind, token, fn(), i, params=params,
+                compact_every=compact_every, partition_by=partition_by,
+                tag=str(snapshot_id),
+            )
+            last = i
+    return read_stream_index(spark, path)
 
 
 # On-disk format generation of the STREAM artifact layout, folded
@@ -304,6 +308,37 @@ _COMPACT_PREFIX = "compact-"
 _META_COLS = ("__v", "__del")
 
 
+def _safe_tag(tag: str) -> str:
+    """Directory-name-safe spelling of a segment tag."""
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9_.]", "_", tag)[:48]
+
+
+def _child_batch(name: str, prefix: str) -> int:
+    """Batch id from a child name — ``seg-<020d>`` or
+    ``seg-<020d>-<tag>`` (tags carry snapshot identity for
+    merge_chain validation)."""
+    return int(name[len(prefix):].split("-", 1)[0])
+
+
+def stream_segment_tags(path: str) -> dict[int, str]:
+    """batch id -> tag for every complete tagged segment still on
+    disk (compactions fold tags away — a compacted history is
+    finalized)."""
+    out: dict[int, str] = {}
+    if not os.path.isdir(path):
+        return out
+    for name in os.listdir(path):
+        if name.startswith(_SEG_PREFIX) and _complete(
+            os.path.join(path, name)
+        ):
+            rest = name[len(_SEG_PREFIX):].split("-", 1)
+            if len(rest) == 2:
+                out[int(rest[0])] = rest[1]
+    return out
+
+
 def _complete(child_path: str) -> bool:
     return os.path.exists(os.path.join(child_path, "_SUCCESS"))
 
@@ -347,9 +382,9 @@ def _scan_stream_index(path: str):
         if name.startswith(".tmp-"):
             tmps.append(child)
         elif name.startswith(_SEG_PREFIX) and _complete(child):
-            segs.append((int(name[len(_SEG_PREFIX):]), child))
+            segs.append((_child_batch(name, _SEG_PREFIX), child))
         elif name.startswith(_COMPACT_PREFIX) and _complete(child):
-            compacts.append((int(name[len(_COMPACT_PREFIX):]), child))
+            compacts.append((_child_batch(name, _COMPACT_PREFIX), child))
     floor, live, stale = -1, [], []
     if compacts:
         floor, best = max(compacts)
@@ -495,6 +530,7 @@ def advance_index(
     partition_by: str | None = None,
     key_col: str | None = None,
     deletes_df: DataFrame | None = None,
+    tag: str | None = None,
 ) -> None:
     """Advance a stream-maintained index artifact by one micro-batch:
     append the delta as a new segment, compacting on a fixed cadence
@@ -563,7 +599,10 @@ def advance_index(
             ).withColumn("__del", F.lit(True))
             seg_df = seg_df.unionByName(tomb)
     os.makedirs(path, exist_ok=True)
-    dest = os.path.join(path, f"{_SEG_PREFIX}{batch_id:020d}")
+    seg_name = f"{_SEG_PREFIX}{batch_id:020d}" + (
+        f"-{_safe_tag(tag)}" if tag else ""
+    )
+    dest = os.path.join(path, seg_name)
     tmp = os.path.join(path, f".tmp-s{batch_id}-{os.getpid()}")
     writer = seg_df.write.mode("overwrite")
     if partition_by:

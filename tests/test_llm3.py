@@ -221,20 +221,25 @@ def test_merge_index_lifecycle_persists_across_reads(spark):
 
 
 def test_merge_chain_two_nights_equals_rebuild(spark):
-    """The two-night RECURRENCE (VERDICT r10 #4): night 2 merges its
-    delta into NIGHT 1'S MERGED ARTIFACT, and
-    merged(merged(base, δ1), δ2) is bit-identical to a monolithic
-    rebuild over base ∪ δ1 ∪ δ2.  Also pins the O(delta) contract
-    mechanically: on a re-resolve of the fully-merged chain (the
-    cross-session steady state, simulated by clearing session caches)
-    NO thunk is invoked and no artifact is rewritten — every night is
-    found by its snapshot-id key."""
+    """The two-night RECURRENCE (VERDICT r10 #4), unified onto the
+    log-structured segment store (VERDICT r12 #4): night 2's delta
+    lands as one tagged segment on top of night 1's, and the live-set
+    read is bit-identical to a monolithic rebuild over
+    base ∪ δ1 ∪ δ2.  Also pins the O(delta) contract mechanically: a
+    re-resolve of the fully-merged chain (the cross-session steady
+    state, simulated by clearing session caches) invokes NO thunk and
+    rewrites NO child; each night's segment holds only its own delta
+    rows (never a base copy); losing the newest segment re-runs ONLY
+    that night's thunk; and reusing a position with a different
+    snapshot id raises instead of silently serving stale rows."""
     import os
     import shutil
 
+    import pytest
+
     from distributedmapreduce_spark.operators.index_store import (
-        index_path,
         merge_chain,
+        stream_index_path,
     )
     from distributedmapreduce_spark.plans.llm import (
         _PMH_DELTA_MOD,
@@ -247,12 +252,10 @@ def test_merge_chain_two_nights_equals_rebuild(spark):
     src = f"{SF}/documents.parquet"
     params = ("pmh-chain-test", _PMH_N, f"mod{_PMH_DELTA_MOD}")
     mod = F.col("doc_id") % _PMH_DELTA_MOD
-    paths = [
-        index_path("pmh-chain", src, (params, "snap", sid), stable_src=True)
-        for sid in ("base", "n1", "n2")
-    ]
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+    path = stream_index_path(
+        "pmh-chain", os.path.realpath(src), params
+    )
+    shutil.rmtree(path, ignore_errors=True)
 
     try:
         calls = {"base": 0, "d1": 0, "d2": 0}
@@ -275,10 +278,20 @@ def test_merge_chain_two_nights_equals_rebuild(spark):
         chained = merge_chain(
             spark, "pmh-chain", src, base_fn, deltas, params=params
         )
-        # first full build: each stage computed exactly once
+        # first full build: each stage computed exactly once, each
+        # night ONE tagged delta segment (no base copies)
         assert calls == {"base": 1, "d1": 1, "d2": 1}
-        successes = [os.path.join(p, "_SUCCESS") for p in paths]
-        assert all(os.path.exists(s) for s in successes)
+        children = sorted(os.listdir(path))
+        assert children == [
+            "seg-" + "0" * 20 + "-base",
+            "seg-" + "0" * 19 + "1-n1",
+            "seg-" + "0" * 19 + "2-n2",
+        ]
+        n_d2 = spark.read.parquet(os.path.join(path, children[2])).count()
+        assert n_d2 == docs.filter(mod == _PMH_NIGHT2_MOD).count()
+        successes = [
+            os.path.join(path, c, "_SUCCESS") for c in children
+        ]
         mtimes = [os.stat(s).st_mtime_ns for s in successes]
 
         def canon(df):
@@ -288,14 +301,11 @@ def test_merge_chain_two_nights_equals_rebuild(spark):
                 for r in df.collect()
             )
 
-        # capture the canonical rows NOW — the rmtree below replaces
-        # the n2 part files on disk, so re-collecting the `chained`
-        # frame later would read a stale file listing
         chained_rows = canon(chained)
         assert chained_rows == canon(_pmh_signatures(docs))
 
-        # steady-state re-resolve ("any later session"): pure key
-        # lookups — no thunk runs, no artifact is rewritten
+        # steady-state re-resolve ("any later session"): watermark
+        # lookups only — no thunk runs, no child is rewritten
         spark.catalog.clearCache()
         again = merge_chain(
             spark, "pmh-chain", src, base_fn, deltas, params=params
@@ -304,39 +314,101 @@ def test_merge_chain_two_nights_equals_rebuild(spark):
             "chain re-resolve re-invoked a build thunk"
         )
         assert [os.stat(s).st_mtime_ns for s in successes] == mtimes, (
-            "chain re-resolve rewrote an artifact"
+            "chain re-resolve rewrote a segment"
         )
         assert canon(again) == chained_rows
 
-        # night-2 NEW-SESSION arrival mid-chain: wipe only the n2
-        # artifact — the rebuild must re-run ONLY δ2 (night 1's merge
-        # is read back by key, base and δ1 never recompute)
-        shutil.rmtree(paths[2], ignore_errors=True)
+        # position reuse with a DIFFERENT snapshot id must raise
+        # while the segment is live — never silently serve stale rows
+        with pytest.raises(ValueError, match="append-only"):
+            merge_chain(
+                spark, "pmh-chain", src, base_fn,
+                [("n1", d1), ("n2-REBUILT", d2)], params=params,
+            )
+
+        # night-2 NEW-SESSION arrival mid-chain: lose only the newest
+        # segment — the rebuild re-runs ONLY δ2 (the watermark finds
+        # base and δ1 committed, their thunks never re-run)
+        shutil.rmtree(os.path.join(path, children[2]))
         night2 = merge_chain(
             spark, "pmh-chain", src, base_fn, deltas, params=params
         )
         assert calls == {"base": 1, "d1": 1, "d2": 2}
         assert canon(night2) == chained_rows
     finally:
-        for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
 
 
-def test_merge_chain_stable_keying_survives_src_mutation(spark, tmp_path):
-    """ADVICE r11 item 4: merge_chain keys chain artifacts on
-    realpath + snapshot id WITHOUT the source file's size/mtime — in
-    the nightly-arrival scenario src_path mutates every night, and a
-    mtime-keyed chain would silently re-key every artifact into a
-    full rebuild.  Pin: after the chain is built, mutate the source
-    file (new mtime AND new size), clear session caches, re-resolve —
-    every night must still be found by key (zero thunk invocations,
-    zero artifact rewrites)."""
+def test_merge_chain_compaction_folds_nights(spark, tmp_path):
+    """VERDICT r12 #4's unification dividend: the nightly chain uses
+    the SAME compaction mechanism as the streaming path — with
+    compact_every=2 the three nights fold into one compact child, the
+    read-back is unchanged, and later nights append on top of the
+    compaction."""
     import os
     import shutil
 
     from distributedmapreduce_spark.operators.index_store import (
-        index_path,
         merge_chain,
+        stream_index_path,
+    )
+
+    src = str(tmp_path / "corpus.parquet")
+    spark.range(0, 40).selectExpr(
+        "id AS doc_id", "id * 3 AS sig"
+    ).write.parquet(src)
+    params = ("compact-chain-test", 1)
+    path = stream_index_path(
+        "cmp-chain", os.path.realpath(src), params
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        rd = lambda lo, hi: spark.read.parquet(src).filter(  # noqa: E731
+            f"doc_id >= {lo} AND doc_id < {hi}"
+        )
+        got = merge_chain(
+            spark, "cmp-chain", src, lambda: rd(0, 20),
+            [("n1", lambda: rd(20, 30)), ("n2", lambda: rd(30, 40))],
+            params=params, compact_every=2,
+        )
+        assert sorted(r.doc_id for r in got.collect()) == list(range(40))
+        children = sorted(os.listdir(path))
+        assert len(children) == 1 and children[0].startswith("compact-")
+
+        # a later night appends a segment on top of the compaction
+        spark.range(40, 45).selectExpr(
+            "id AS doc_id", "id * 3 AS sig"
+        ).write.mode("append").parquet(src)
+        got2 = merge_chain(
+            spark, "cmp-chain", src, lambda: rd(0, 20),
+            [("n1", lambda: rd(20, 30)), ("n2", lambda: rd(30, 40)),
+             ("n3", lambda: rd(40, 45))],
+            params=params, compact_every=99,
+        )
+        assert sorted(r.doc_id for r in got2.collect()) == list(range(45))
+        assert any(
+            c.startswith("seg-") and c.endswith("-n3")
+            for c in os.listdir(path)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_merge_chain_stable_keying_survives_src_mutation(spark, tmp_path):
+    """ADVICE r11 item 4: merge_chain keys the chain artifact on
+    realpath + params WITHOUT the source file's size/mtime — in the
+    nightly-arrival scenario src_path mutates every night, and an
+    mtime-keyed chain would silently re-key every artifact into a
+    full rebuild.  Pin: after the chain is built, mutate the source
+    file (new mtime AND new size), clear session caches, re-resolve —
+    the watermark must find every night committed (zero thunk
+    invocations, zero child rewrites)."""
+    import os
+    import shutil
+
+    from distributedmapreduce_spark.operators.index_store import (
+        merge_chain,
+        stream_index_path,
     )
 
     src = str(tmp_path / "corpus.parquet")
@@ -344,12 +416,10 @@ def test_merge_chain_stable_keying_survives_src_mutation(spark, tmp_path):
         "id AS doc_id", "id * 3 AS sig"
     ).write.parquet(src)
     params = ("stable-key-test", 1)
-    paths = [
-        index_path("stk-chain", src, (params, "snap", sid), stable_src=True)
-        for sid in ("base", "n1")
-    ]
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+    path = stream_index_path(
+        "stk-chain", os.path.realpath(src), params
+    )
+    shutil.rmtree(path, ignore_errors=True)
     try:
         calls = {"base": 0, "d1": 0}
 
@@ -366,8 +436,10 @@ def test_merge_chain_stable_keying_survives_src_mutation(spark, tmp_path):
         )
         assert first.count() == 30
         assert calls == {"base": 1, "d1": 1}
+        children = sorted(os.listdir(path))
         mtimes = [
-            os.stat(os.path.join(p, "_SUCCESS")).st_mtime_ns for p in paths
+            os.stat(os.path.join(path, c, "_SUCCESS")).st_mtime_ns
+            for c in children
         ]
 
         # the nightly arrival: the corpus file grows in place — new
@@ -384,9 +456,9 @@ def test_merge_chain_stable_keying_survives_src_mutation(spark, tmp_path):
             "src mutation re-keyed the chain into a rebuild"
         )
         assert [
-            os.stat(os.path.join(p, "_SUCCESS")).st_mtime_ns for p in paths
+            os.stat(os.path.join(path, c, "_SUCCESS")).st_mtime_ns
+            for c in children
         ] == mtimes
         assert again.count() == 30  # the chain's own snapshots, unchanged
     finally:
-        for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
