@@ -108,6 +108,17 @@ TIER2 = [
     "dedup_phash_classes",
     "dedup_audiofp_classes",
     "dedup_videofp_classes",
+    # round-13 additions: the four-modality curation pipeline (VERDICT
+    # r12 #3 — the heaviest composed plan in the registry: six keeper
+    # stages + quality gate + token budget over one corpus scan per
+    # modality), the scene-cut detector (VERDICT r12 #6 — consecutive-
+    # frame byte deltas over real decoded AVI rasters), and the
+    # class-pair text near-dup representative (prefix-filtered exact
+    # Jaccard between distinct shingle-set classes — the covering
+    # variant for the 100x-excluded doc-pair text families)
+    "curation_pipeline_v4",
+    "multimodal_scene_cut_detect",
+    "dedup_jaccard_classes",
 ]
 
 

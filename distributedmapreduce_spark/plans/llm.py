@@ -1449,7 +1449,10 @@ _PSH_HAM = 3  # verified near-dup threshold
 _PSH_BUCKET_CAP = 100  # drop degenerate blocking buckets larger than this
 
 
-def _psh_oracle() -> str:
+def _psh_sig_sql() -> str:
+    """WITH-chain computing the portable-SimHash signature table
+    (doc_id, sig) — the shared head of the doc-pair oracle and the
+    class-pair oracle (dedup_simhash_classes)."""
     from .llm3 import _md5_u32_sql
 
     h = _md5_u32_sql("S", "w")
@@ -1472,7 +1475,11 @@ def _psh_oracle() -> str:
              {cnt_cols}
       FROM words GROUP BY doc_id),
     sig AS (
-      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg),
+      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg)"""
+
+
+def _psh_oracle() -> str:
+    return f"""{_psh_sig_sql()},
     blocks AS (
       SELECT doc_id, 0 AS blk, sig % 256 AS val FROM sig
       UNION ALL
@@ -1493,13 +1500,13 @@ def _psh_oracle() -> str:
     """
 
 
-def psh_pairs(docs: DataFrame) -> DataFrame:
-    """Portable-SimHash near-dup pairs (doc_a < doc_b, hamming <=
-    _PSH_HAM) over any (doc_id, ws: array<string>) frame — the shared
-    kernel of dedup_simhash_portable and curation_pipeline_v3's
-    near-dup keeper stage.  See dedup_simhash_portable for the scale
-    rationale (md5 bit-majority signatures, pigeonhole blocking,
-    bucket cap)."""
+def psh_signatures(docs: DataFrame) -> DataFrame:
+    """Portable-SimHash signatures (doc_id, sig: 16-bit long) over
+    any (doc_id, ws: array<string>) frame — the shared head of
+    psh_pairs and dedup_simhash_classes.  Bit k of the signature is
+    the majority of bit k over the doc's distinct-word md5 hashes;
+    the 16 majority sums are plain shiftright/AND aggregates with
+    map-side combine, no UDF."""
     from .llm3 import _md5_u32
 
     hashed = docs.select(
@@ -1518,7 +1525,17 @@ def psh_pairs(docs: DataFrame) -> DataFrame:
     for k in range(_PSH_BITS):
         term = F.when(2 * F.col(f"c{k}") > F.col("n"), 1 << k).otherwise(0)
         sig_col = term if sig_col is None else sig_col + term
-    sig = agg.select("doc_id", sig_col.cast("long").alias("sig"))
+    return agg.select("doc_id", sig_col.cast("long").alias("sig"))
+
+
+def psh_pairs(docs: DataFrame) -> DataFrame:
+    """Portable-SimHash near-dup pairs (doc_a < doc_b, hamming <=
+    _PSH_HAM) over any (doc_id, ws: array<string>) frame — the shared
+    kernel of dedup_simhash_portable and curation_pipeline_v3's
+    near-dup keeper stage.  See dedup_simhash_portable for the scale
+    rationale (md5 bit-majority signatures, pigeonhole blocking,
+    bucket cap)."""
+    sig = psh_signatures(docs)
     blocks = sig.select(
         "doc_id",
         F.posexplode(
@@ -2094,3 +2111,454 @@ def minhash_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("precision_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Class-pair text near-dup — the 100 TB shape of the minhash / simhash /
+# jaccard families (VERDICT r12 task 8)
+# --------------------------------------------------------------------------
+#
+# The doc-pair text near-dup queries (dedup_minhash_lsh/_portable,
+# dedup_simhash/_portable, dedup_ngram_jaccard,
+# set_similarity_prefix_join) are excluded from the 100x replica sweep
+# for the same reason dedup_phash_images is: a replicated corpus is an
+# exact-duplicate storm, the true DOC-pair set grows quadratically in
+# the duplication factor, and no blocking can shrink an output that
+# size (SCALE.md §9x).  The scale answer — proven for the image/audio/
+# video families by dedup_*_classes — is to stop materializing it:
+# collapse the corpus into equivalence classes FIRST (one shuffle,
+# class count bounded by the distinct-content population, not the
+# corpus), pair only the distinct classes, and carry multiplicities.
+# These three queries give each excluded text family that covering
+# variant, with full DuckDB oracles, so the 100x ledger's exclusions
+# all map to a hash-green same-shape query.
+
+
+_PSH_CLS_TAIL = f"""
+    SELECT CAST(a.sig AS BIGINT) AS ph_a, CAST(b.sig AS BIGINT) AS ph_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           CAST(a.n * b.n AS BIGINT) AS n_asset_pairs
+    FROM cls a JOIN cls b ON a.sig < b.sig
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_PSH_HAM}"""
+
+
+def _psh_classes_oracle() -> str:
+    """Distinct-signature SimHash class pairs.  The truth is ALL class
+    pairs within the Hamming threshold — the Spark side's 4x4-bit
+    banding is pigeonhole-complete for ham <= 3, so no banding appears
+    here (same structure as _phash_classes_oracle)."""
+    return f"""{_psh_sig_sql()},
+    cls AS (
+      SELECT sig, count(*) AS n, min(doc_id) AS rep
+      FROM sig GROUP BY sig)
+    {_PSH_CLS_TAIL}
+    """
+
+
+def _psh_classes_oracle_staged() -> list[str]:
+    """Chained form re-inlines the md5-signature CTE once per cls
+    reference and enumerates ALL class pairs; the staged form computes
+    the signature table ONCE and generates candidates through the same
+    4x4-bit Hamming banding the Spark plan uses (pigeonhole-complete
+    for ham <= 3, so the output is identical) — at a replica
+    scale the signature space is dense and the all-pairs form would be
+    |classes|^2."""
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT sig, {b} AS band, (sig // {1 << (4 * b)}) % 16 AS val "
+        "FROM pshc_cls"
+        for b in range(4)
+    )
+    return [
+        f"CREATE OR REPLACE TEMP TABLE pshc_sig AS {_psh_sig_sql()}"
+        " SELECT * FROM sig",
+        "CREATE OR REPLACE TEMP TABLE pshc_cls AS "
+        "SELECT sig, count(*) AS n, min(doc_id) AS rep "
+        "FROM pshc_sig GROUP BY sig",
+        f"CREATE OR REPLACE TEMP TABLE pshc_cand AS "
+        f"WITH bands AS (\n      {bands})\n    "
+        "SELECT DISTINCT a.sig AS sig_a, b.sig AS sig_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.val = b.val AND a.sig < b.sig "
+        f"WHERE bit_count(xor(a.sig, b.sig)) <= {_PSH_HAM}",
+        _PSH_CLS_TAIL.replace(
+            "FROM cls a JOIN cls b ON a.sig < b.sig",
+            "FROM pshc_cand c "
+            "JOIN pshc_cls a ON a.sig = c.sig_a "
+            "JOIN pshc_cls b ON b.sig = c.sig_b",
+        ),
+    ]
+
+
+@query(
+    "dedup_simhash_classes",
+    oracle=_psh_classes_oracle(),
+    staged_oracle=_psh_classes_oracle_staged(),
+)
+def dedup_simhash_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup CLASS pairs: the portable 16-bit md5
+    bit-majority signature (psh_signatures, bit-identical to
+    dedup_simhash_portable's), collapsed to distinct-signature classes
+    and Hamming-banded with mmq's shared class-pair kernel
+    (_hash_class_pairs: 4 blocks of sig_bits/4, pigeonhole-complete
+    for ham <= 3, candidate stage bounded by the distinct-signature
+    population — <= 2^16 here at ANY corpus size).  Unlike the
+    doc-pair portable twin, no bucket cap is needed: degenerate
+    content floods a CLASS's member count, never the banding buckets,
+    because banding only ever sees each signature once.  This is the
+    covering variant that keeps the simhash family 100x-sweepable
+    (SCALE.md §9x: the doc-pair form is excluded because exact
+    replicas explode the true pair set quadratically; classes
+    saturate instead)."""
+    from .mmq import _hash_class_pairs
+
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    docs = (
+        t(spark, sf, "documents")
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    sig = psh_signatures(docs).select(
+        F.col("doc_id").alias("asset_id"), F.col("sig").alias("ph")
+    )
+    return _hash_class_pairs(sig, bits=_PSH_BITS, ham=_PSH_HAM)
+
+
+def _pmh_classes_oracle() -> str:
+    """Distinct-signature MinHash class pairs.  Banding IS part of the
+    semantics here (minhash banding is recall-gated, not pigeonhole-
+    complete), so the oracle reproduces the 4 bands of 2 at the class
+    level exactly as _pmh_oracle does at the doc level, then verifies
+    exact Jaccard between the class representatives' hashed shingle
+    sets."""
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT rep, {b} AS band, "
+        f"concat(CAST(m{2 * b} AS VARCHAR), ':', "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS bucket FROM cls"
+        for b in range(_PMH_BANDS)
+    )
+    mcols = ", ".join(f"m{i}" for i in range(_PMH_N))
+    jac = (
+        "CAST(floor(len(list_intersect(x.hs, y.hs))"
+        " / CAST(len(x.hs) + len(y.hs)"
+        " - len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " * 1e6) AS BIGINT)"
+    )
+    return f"""{_pmh_sig_sql()},
+    cls AS (
+      SELECT {mcols}, count(*) AS n, min(doc_id) AS rep
+      FROM sig GROUP BY {mcols}),
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.rep < b.rep)
+    SELECT CAST(rep_a AS BIGINT) AS rep_a, CAST(rep_b AS BIGINT) AS rep_b,
+           {jac} AS jac_e6,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(ca.n * cb.n AS BIGINT) AS n_doc_pairs
+    FROM cand
+    JOIN cls ca ON ca.rep = rep_a
+    JOIN cls cb ON cb.rep = rep_b
+    JOIN sig x ON x.doc_id = rep_a
+    JOIN sig y ON y.doc_id = rep_b
+    WHERE {jac} >= {_PMH_TAU_E6}
+    """
+
+
+def _pmh_classes_oracle_staged() -> list[str]:
+    """The chained form re-inlines the 8-permutation md5 signature
+    CTE once per cls/bands/x/y reference (8x at the 100x replica);
+    the staged form computes sig and cls once each."""
+    chained = _pmh_classes_oracle()
+    tail = chained[chained.index("bands AS (") :]
+    return [
+        f"CREATE OR REPLACE TEMP TABLE pmhc_sig AS {_pmh_sig_sql()}"
+        " SELECT * FROM sig",
+        "CREATE OR REPLACE TEMP TABLE pmhc_cls AS SELECT "
+        + ", ".join(f"m{i}" for i in range(_PMH_N))
+        + ", count(*) AS n, min(doc_id) AS rep FROM pmhc_sig GROUP BY "
+        + ", ".join(f"m{i}" for i in range(_PMH_N)),
+        "WITH "
+        + tail.replace("FROM cls", "FROM pmhc_cls")
+        .replace("JOIN cls", "JOIN pmhc_cls")
+        .replace("JOIN sig", "JOIN pmhc_sig"),
+    ]
+
+
+@query(
+    "dedup_minhash_classes",
+    oracle=_pmh_classes_oracle(),
+    staged_oracle=_pmh_classes_oracle_staged(),
+)
+def dedup_minhash_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup CLASS pairs: the portable 8-permutation
+    signature (_pmh_signatures, bit-identical to
+    dedup_minhash_portable's), collapsed to distinct-SIGNATURE classes
+    — every exact duplicate (and every sig-colliding near-exact
+    duplicate) lands in one class, so the banding and the verify stage
+    see each signature once regardless of corpus duplication.  The
+    class exemplar is the min-doc_id representative; verification is
+    exact Jaccard between the representatives' hashed shingle sets
+    (deterministic: rep choice is a min, and Jaccard is
+    order-insensitive in the sets).  Output carries the class sizes
+    and n_doc_pairs = n_a*n_b, everything downstream dedup needs
+    without materializing the quadratic doc-pair set — the covering
+    variant that keeps the minhash family 100x-sweepable (SCALE.md
+    §9x)."""
+    grouped = _pmh_signatures(t(spark, sf, "documents"))
+    mcols = [f"m{i}" for i in range(_PMH_N)]
+    # min(struct(doc_id, hs)) picks the representative AND its shingle
+    # set in one aggregate (doc_id is unique, so the array field never
+    # drives the comparison) — no join-back to the doc table
+    cls = (
+        grouped.groupBy(*mcols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("hs").alias("h"))
+            ).alias("r"),
+        )
+        .select(
+            *mcols,
+            "n",
+            F.col("r.d").alias("rep"),
+            F.col("r.h").alias("hs"),
+        )
+        .persist()
+    )
+    bands = cls.select(
+        "rep",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"m{2 * b}").alias("x"),
+                        F.col(f"m{2 * b + 1}").alias("y"),
+                    )
+                    for b in range(_PMH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("rep_a"), y.alias("rep_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.rep_a", "pair.rep_b")
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    a = cls.select(
+        F.col("rep").alias("rep_a"),
+        F.col("n").alias("n_a"),
+        F.col("hs").alias("ha"),
+    )
+    b = cls.select(
+        F.col("rep").alias("rep_b"),
+        F.col("n").alias("n_b"),
+        F.col("hs").alias("hb"),
+    )
+    joined = cand.join(F.broadcast(a), "rep_a").join(F.broadcast(b), "rep_b")
+    return joined.select(
+        F.col("rep_a").cast("long"),
+        F.col("rep_b").cast("long"),
+        _pmh_jac_e6().alias("jac_e6"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("n_doc_pairs"),
+    ).filter(F.col("jac_e6") >= _PMH_TAU_E6)
+
+
+_JC_TAU_E6 = 500_000  # exact-Jaccard class-pair threshold, 1e-6 ticks
+
+
+def _jc_sets_sql() -> str:
+    """WITH-chain computing the per-doc sorted hashed-shingle sets
+    (doc_id, hss) — the shared head of the chained and staged
+    Jaccard-class oracles."""
+    from .llm3 import _md5_u32_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i:i + 2], ' '))) AS s
+        FROM toks WHERE len(ws) >= 3)),
+    sets AS (
+      SELECT doc_id,
+             list_sort(list(DISTINCT {_md5_u32_sql('J', 's')})) AS hss
+      FROM sh GROUP BY doc_id)"""
+
+
+_JC_JAC = (
+    "CAST(floor(len(list_intersect(a.hss, b.hss))"
+    " / CAST(len(a.hss) + len(b.hss)"
+    " - len(list_intersect(a.hss, b.hss)) AS DOUBLE)"
+    " * 1e6) AS BIGINT)"
+)
+
+_JC_CLS_TAIL = f"""
+    SELECT CAST(a.rep AS BIGINT) AS rep_a, CAST(b.rep AS BIGINT) AS rep_b,
+           {_JC_JAC} AS jac_e6,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(a.n * b.n AS BIGINT) AS n_doc_pairs
+    FROM cls a JOIN cls b ON a.rep < b.rep
+    WHERE {_JC_JAC} >= {_JC_TAU_E6}"""
+
+
+def _jac_classes_oracle() -> str:
+    """Distinct shingle-set class pairs with exact Jaccard >= tau.
+    The truth enumerates ALL class pairs (bounded by the
+    distinct-content population); the Spark side's prefix filter is
+    candidate-complete by the standard all-pairs theorem (Bayardo et
+    al., WWW'07: two sets with Jaccard >= tau must share an element
+    within each side's first |s| - ceil(tau*|s|) + 1 elements under
+    any global canonical order), so no filter appears here."""
+    return f"""{_jc_sets_sql()},
+    cls AS (
+      SELECT hss, count(*) AS n, min(doc_id) AS rep
+      FROM sets GROUP BY hss)
+    {_JC_CLS_TAIL}
+    """
+
+
+def _jac_classes_oracle_staged() -> list[str]:
+    """Stages the shingle-set head once, and generates candidates
+    through the SAME prefix filter the Spark plan uses (provably
+    candidate-complete — Bayardo et al., WWW'07 — so the output is
+    identical to the chained all-pairs form).  At a replica scale the
+    all-pairs form is |classes|^2 with a list_intersect per pair; the
+    prefix-filtered form is bounded by classes-per-shared-prefix-
+    element, the same bound the Spark side carries."""
+    return [
+        f"CREATE OR REPLACE TEMP TABLE jcc_cls AS {_jc_sets_sql()}"
+        " SELECT hss, count(*) AS n, min(doc_id) AS rep"
+        " FROM sets GROUP BY hss",
+        "CREATE OR REPLACE TEMP TABLE jcc_cand AS "
+        "WITH pref AS ("
+        " SELECT rep, unnest(hss[1:CAST("
+        f" len(hss) - ((len(hss) * {_JC_TAU_E6} + 999999) // 1000000) + 1"
+        " AS BIGINT)]) AS h FROM jcc_cls)"
+        " SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b"
+        " FROM pref a JOIN pref b ON a.h = b.h AND a.rep < b.rep",
+        _JC_CLS_TAIL.replace(
+            "FROM cls a JOIN cls b ON a.rep < b.rep",
+            "FROM jcc_cand c "
+            "JOIN jcc_cls a ON a.rep = c.rep_a "
+            "JOIN jcc_cls b ON b.rep = c.rep_b",
+        ),
+    ]
+
+
+@query(
+    "dedup_jaccard_classes",
+    oracle=_jac_classes_oracle(),
+    staged_oracle=_jac_classes_oracle_staged(),
+)
+def dedup_jaccard_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup CLASS pairs with prefix-filter
+    candidate generation — the covering variant for
+    dedup_ngram_jaccard and set_similarity_prefix_join's shape at
+    100x (SCALE.md §9e/§9f: their doc-pair truths are quadratic on a
+    replicated corpus; distinct shingle-SET classes saturate).
+
+    Classes are distinct hashed-3-gram-shingle sets, so every exact
+    duplicate collapses before any pairing.  Candidates come from the
+    classic prefix filter (Bayardo et al., WWW'07): under the
+    canonical ascending-hash order, a pair with Jaccard >= tau must
+    share an element within each side's first
+    |s| - ceil(tau*|s|) + 1 elements, so only those prefixes enter
+    the inverted index; the index fan-out is bounded by classes per
+    shingle, never corpus size.  Verification is exact set Jaccard
+    via array_intersect over the full sorted sets (broadcast of the
+    class table — bounded by distinct content).  Prefix length uses
+    pure integer arithmetic (ceil(tau*n) = (n*tau_e6 + 999999) div
+    1e6) so Spark and DuckDB agree bit-for-bit at any set size."""
+    from .llm3 import _md5_u32
+
+    sh = t(spark, sf, "documents").select(
+        "doc_id", _shingles_col(3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sets = ex.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(_md5_u32("J", F.col("s")))).alias("hss")
+    )
+    cls = (
+        sets.groupBy("hss")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep"))
+        .persist()
+    )
+    plen = F.expr(
+        f"size(hss) - ((size(hss) * {_JC_TAU_E6}L + 999999) div 1000000) + 1"
+    )
+    pref = cls.select(
+        "rep", F.explode(F.slice(F.col("hss"), F.lit(1), plen)).alias("h")
+    )
+    cand = (
+        pref.groupBy("h")
+        .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size("ids")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("rep_a"), y.alias("rep_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.rep_a", "pair.rep_b")
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    a = cls.select(
+        F.col("rep").alias("rep_a"),
+        F.col("n").alias("n_a"),
+        F.col("hss").alias("ha"),
+    )
+    b = cls.select(
+        F.col("rep").alias("rep_b"),
+        F.col("n").alias("n_b"),
+        F.col("hss").alias("hb"),
+    )
+    joined = cand.join(F.broadcast(a), "rep_a").join(F.broadcast(b), "rep_b")
+    return joined.select(
+        F.col("rep_a").cast("long"),
+        F.col("rep_b").cast("long"),
+        _pmh_jac_e6().alias("jac_e6"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("n_doc_pairs"),
+    ).filter(F.col("jac_e6") >= _JC_TAU_E6)

@@ -742,7 +742,11 @@ def dedup_phash_classes(spark: SparkSession, sf: str) -> DataFrame:
     return _hash_class_pairs(phash_signatures(spark, sf, _PHASH_GRID))
 
 
-def _hash_class_pairs(sig: DataFrame, bits: int = _PHASH_GRID * _PHASH_GRID) -> DataFrame:
+def _hash_class_pairs(
+    sig: DataFrame,
+    bits: int = _PHASH_GRID * _PHASH_GRID,
+    ham: int = _PHASH_HAM,
+) -> DataFrame:
     """(asset_id, ph) -> Hamming-banded near-dup CLASS pairs with
     multiplicities — the shared scale shape of the aHash/dHash/audio
     class queries (see dedup_phash_classes for the full rationale).
@@ -753,7 +757,11 @@ def _hash_class_pairs(sig: DataFrame, bits: int = _PHASH_GRID * _PHASH_GRID) -> 
     at 16-bit width keeps buckets sparse; banding it at the 4-bit test
     width would silently collapse selectivity).  Block extraction
     masks after the arithmetic shiftright, so a signature with bit
-    ``bits-1`` set (negative long at bits=64) bands correctly."""
+    ``bits-1`` set (negative long at bits=64) bands correctly.
+
+    ``ham`` is the verified Hamming threshold; it must stay <= 3 for
+    the 4-block banding to remain pigeonhole-complete (ham differing
+    bits can ruin at most ham of the 4 blocks)."""
     # the class table feeds three consumers (banding + both join
     # sides); persist it so the corpus decode scan runs ONCE — it is
     # bounded by the distinct-hash population, the smallest frame in
@@ -800,8 +808,7 @@ def _hash_class_pairs(sig: DataFrame, bits: int = _PHASH_GRID * _PHASH_GRID) -> 
         .select("pair.ph_a", "pair.ph_b")
         .dropDuplicates(["ph_a", "ph_b"])
         .filter(
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-            <= _PHASH_HAM
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= ham
         )
     )
     a = cls.select(
