@@ -2562,3 +2562,81 @@ def dedup_jaccard_classes(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_b").cast("long"),
         (F.col("n_a") * F.col("n_b")).cast("long").alias("n_doc_pairs"),
     ).filter(F.col("jac_e6") >= _JC_TAU_E6)
+
+
+def psh_distinct_block_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(ph, band, bucket) over DISTINCT 16-bit SimHash signatures —
+    the candidate stage of dedup_simhash_classes, exposed for the
+    pair-growth audit (the audiofp_distinct_block_buckets pattern:
+    the signature space bounds the class population, so the row
+    should saturate as the corpus grows)."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    docs = (
+        t(spark, sf, "documents")
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    cls = psh_signatures(docs).select(F.col("sig").alias("ph")).distinct()
+    blockbits = _PSH_BITS // 4
+    return cls.select(
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), blockbits * b).bitwiseAND(
+                        F.lit((1 << blockbits) - 1)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def pmh_class_band_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(rep, band, bucket) over distinct MinHash-signature classes —
+    the candidate stage of dedup_minhash_classes, exposed for the
+    pair-growth audit.  On the suffix-perturbed replica fixture the
+    class population (and the TRUE class-pair answer) grows with
+    replication by construction; the audit's value is the measured
+    buckets-per-class discipline, not a flat alpha (SCALE.md §15d)."""
+    grouped = _pmh_signatures(t(spark, sf, "documents"))
+    cls = grouped.groupBy(*[f"m{i}" for i in range(_PMH_N)]).agg(
+        F.min("doc_id").alias("rep")
+    )
+    return cls.select(
+        "rep",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"m{2 * b}").alias("x"),
+                        F.col(f"m{2 * b + 1}").alias("y"),
+                    )
+                    for b in range(_PMH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def jc_class_prefix_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(rep, h) prefix-element buckets over distinct shingle-set
+    classes — the candidate stage of dedup_jaccard_classes, exposed
+    for the pair-growth audit (same replica caveat as
+    pmh_class_band_buckets)."""
+    from .llm3 import _md5_u32
+
+    sh = t(spark, sf, "documents").select(
+        "doc_id", _shingles_col(3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sets = sh.select("doc_id", F.explode("shingles").alias("s")).groupBy(
+        "doc_id"
+    ).agg(F.sort_array(F.collect_set(_md5_u32("J", F.col("s")))).alias("hss"))
+    cls = sets.groupBy("hss").agg(F.min("doc_id").alias("rep"))
+    plen = F.expr(
+        f"size(hss) - ((size(hss) * {_JC_TAU_E6}L + 999999) div 1000000) + 1"
+    )
+    return cls.select(
+        "rep", F.explode(F.slice(F.col("hss"), F.lit(1), plen)).alias("h")
+    )

@@ -203,6 +203,32 @@ def main() -> None:
                 ["band", "bucket"],
                 "ph",
             )
+        # text class-pair families (round 13): simhash_cls16 is keyed
+        # on a BOUNDED signature space (should saturate like phash16/
+        # audiofp16); the minhash/jaccard class rows grow with the
+        # suffix-perturbed replica's class population BY CONSTRUCTION
+        # (the true class-pair answer grows — SCALE.md §15d), so their
+        # value is the buckets-per-class discipline, not a flat alpha
+        from distributedmapreduce_spark.plans.llm import (
+            jc_class_prefix_buckets,
+            pmh_class_band_buckets,
+            psh_distinct_block_buckets,
+        )
+
+        if want("simhash_cls16"):
+            results.setdefault("simhash_cls16", {})[n] = _bucket_stats(
+                psh_distinct_block_buckets(spark, sf),
+                ["band", "bucket"],
+                "ph",
+            )
+        if want("minhash_cls"):
+            results.setdefault("minhash_cls", {})[n] = _bucket_stats(
+                pmh_class_band_buckets(spark, sf), ["band", "bucket"], "rep"
+            )
+        if want("jaccard_cls_prefix"):
+            results.setdefault("jaccard_cls_prefix", {})[n] = _bucket_stats(
+                jc_class_prefix_buckets(spark, sf), ["h"], "rep"
+            )
         if want("phash16_blocks"):
             results.setdefault("phash16_blocks", {})[n] = _bucket_stats(
                 phash_block_buckets(spark, sf, grid=4),

@@ -73,6 +73,7 @@ EXCLUDE: dict[str, str] = {
     "math_functions": "output == input cardinality (60M rows); gate canonicalization-bound, 10x-verified (SCALE.md §9f)",
     "triangle_count_copurchase": "oracle-side triangle enumeration (edge x edge self-join) spills past the box's disk at 100x — Spark side completes (67,200 rows in ~15 min); 10x staged-verified (SCALE.md §12d)",
     "dedup_phash_images": "oracle is a deliberate ALL-PAIRS enumeration (complete truth for the banded plan) — O(n^2) in image count, infeasible at 100x; 10x-verified, pair growth audited (phash16/phash64 rows in tools/pair_growth.py)",
+    "dedup_jaccard_classes": "the suffix-perturbed replica makes every replica a DISTINCT near-dup class, so the TRUE class-pair answer (and the measured prefix fan-out: jaccard_cls_prefix row, 66M at 10x, alpha 2.0) grows ~C(replicas,2) by construction — growth in the answer, not the algorithm; 10x hash-green (248,740 rows), staged==chained completeness pinned by hypothesis (SCALE.md §15d)",
 }
 
 # Known-heavy ORACLES get a process to themselves with an individual
@@ -84,6 +85,9 @@ EXCLUDE: dict[str, str] = {
 # (frequent_itempairs: 5,032 s green — SCALE.md §12d).
 HEAVY: dict[str, int] = {
     "frequent_itempairs": 7200,
+    "curation_pipeline_v4": 7200,  # 653 s at 10x (six-stage twin)
+    "dedup_minhash_classes": 3600,
+    "dedup_simhash_classes": 3600,
     "bpe_train_merges": 3600,
     "bpe_encode_token_counts": 3600,
     "bpe_encode_corpus_stream": 3600,
