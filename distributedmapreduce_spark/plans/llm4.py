@@ -16,7 +16,7 @@ doubles rounded at 4dp otherwise).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .core import query, t
@@ -692,3 +692,149 @@ def _u32_col(tag: str, j: "F.Column", key: "F.Column") -> "F.Column":
         )
     )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+# --- DSIR importance selection (round 13) -----------------------------
+#
+# Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log importance
+# weight of a hashed-n-gram bag-of-features model fit to a TARGET
+# domain vs the RAW pool, then keep the top of the pool.  Features
+# are hashed word bigrams (the paper's choice) into _DSIR_B buckets
+# via the repo's portable md5-u32 primitive; both bucket models use
+# add-1 smoothing.  The published weight is
+#   logw(d) = Σ_b n_db·[ln(ct_b+1) − ln(cr_b+1)]
+#             + len_d·[ln(R+B) − ln(T+B)]
+# (the doc's cross-entropy gap between the two smoothed multinomials,
+# unseen-bucket terms factored out algebraically — the naive-Bayes
+# discipline), published at 6 dp with the winner set chosen on the
+# ROUNDED score + doc_id tiebreak.
+
+_DSIR_B = 512   # feature-hash buckets
+_DSIR_K = 100   # selection budget (top-K of the raw pool)
+_DSIR_R = 6     # publication rounding (the NB/bm25 ln precedent)
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    feat AS (
+      SELECT doc_id, {_md5_u32_sql('D', 'bigram')} % {_DSIR_B} AS b
+      FROM bg),
+    db AS (
+      SELECT doc_id, b, count(*) AS n FROM feat GROUP BY doc_id, b),
+    meta AS (SELECT doc_id, lang, source FROM documents),
+    buckets AS (SELECT u.b FROM unnest(range(0, {_DSIR_B})) AS u(b)),
+    tc AS (
+      SELECT b, sum(n) AS ct FROM db JOIN meta USING (doc_id)
+      WHERE lang = 'en' GROUP BY b),
+    rc AS (SELECT b, sum(n) AS cr FROM db GROUP BY b),
+    panel AS (
+      SELECT buckets.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+      FROM buckets LEFT JOIN tc ON tc.b = buckets.b
+                   LEFT JOIN rc ON rc.b = buckets.b),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS rr FROM panel),
+    sc AS (
+      SELECT db.doc_id, sum(db.n) AS n_feats,
+             sum(db.n * (ln(CAST(panel.ct + 1 AS DOUBLE))
+                         - ln(CAST(panel.cr + 1 AS DOUBLE)))) AS s
+      FROM db JOIN panel ON panel.b = db.b GROUP BY db.doc_id),
+    scored AS (
+      SELECT m.doc_id, m.lang, m.source,
+             CAST(n_feats AS BIGINT) AS n_feats,
+             round(s + n_feats
+                   * (ln(CAST(rr + {_DSIR_B} AS DOUBLE))
+                      - ln(CAST(tt + {_DSIR_B} AS DOUBLE))),
+                   {_DSIR_R}) AS logw_r
+      FROM sc JOIN meta m ON m.doc_id = sc.doc_id CROSS JOIN tot),
+    top AS (
+      SELECT * FROM scored
+      ORDER BY logw_r DESC, doc_id LIMIT {_DSIR_K})
+    SELECT doc_id, lang, source, n_feats, logw_r,
+           CAST(row_number() OVER (ORDER BY logw_r DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM top
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): fit two add-1-smoothed hashed-bigram multinomials — the
+    TARGET domain (lang='en' here) and the RAW pool — and keep the
+    top-K raw documents by log importance weight
+    ln p_tgt(d)/p_raw(d), the standard pretraining-corpus selection
+    pass that biases a crawl toward a high-quality target domain.
+    Buckets use the portable md5-u32 hash (identical in DuckDB), the
+    unseen-bucket terms are factored out algebraically so only
+    (doc, bucket) pairs PRESENT in the doc are joined, and the weight
+    publishes at 6 dp with the selection made on the ROUNDED score +
+    doc_id tiebreak (exactly as deterministic as the published
+    values — the naive-Bayes argmax discipline).
+
+    Scale: ONE corpus scan feeds the bigram stream; the per-doc
+    bucket counts aggregate map-side; both models are B=512-row
+    panels (broadcast to the scoring join, which fans out by the
+    doc's DISTINCT buckets only); selection is Spark's two-phase
+    bounded TakeOrdered, and the final ordinal windows over the K
+    selected rows."""
+    bg = _bigrams(spark, sf)
+    h = F.md5(F.concat(F.lit("D:"), F.col("bigram")))
+    feat = bg.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+         % _DSIR_B).alias("b"),
+    )
+    db = feat.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    meta = t(spark, sf, "documents").select("doc_id", "lang", "source")
+    db = db.join(meta, "doc_id").persist()
+    tc = (
+        db.filter(F.col("lang") == "en")
+        .groupBy("b").agg(F.sum("n").alias("ct"))
+    )
+    rc = db.groupBy("b").agg(F.sum("n").alias("cr"))
+    buckets = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    panel = (
+        buckets.join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    tot = panel.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("rr")
+    )
+    sc = (
+        db.join(F.broadcast(panel), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("source").alias("source"),
+            F.sum("n").cast("long").alias("n_feats"),
+            F.sum(
+                F.col("n")
+                * (F.log((F.col("ct") + 1).cast("double"))
+                   - F.log((F.col("cr") + 1).cast("double")))
+            ).alias("s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "lang", "source", "n_feats",
+            F.round(
+                F.col("s")
+                + F.col("n_feats")
+                * (F.log((F.col("rr") + _DSIR_B).cast("double"))
+                   - F.log((F.col("tt") + _DSIR_B).cast("double"))),
+                _DSIR_R,
+            ).alias("logw_r"),
+        )
+    )
+    top = sc.orderBy(F.desc("logw_r"), "doc_id").limit(_DSIR_K)
+    wk = W.orderBy(F.desc("logw_r"), "doc_id")
+    return top.select(
+        "doc_id", "lang", "source", "n_feats", "logw_r",
+        F.row_number().over(wk).cast("long").alias("rnk"),
+    )

@@ -10,7 +10,7 @@ doc_id alone (never from the Python codecs themselves).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .core import query, t
@@ -1653,3 +1653,314 @@ def dedup_dhash_classes(spark: SparkSession, sf: str) -> DataFrame:
     oracle discipline; hamming <= 3 complete by pigeonhole over the 4
     blocks."""
     return _hash_class_pairs(dhash_signatures(spark, sf))
+
+
+# --- audio activity segmentation (round 13) ---------------------------
+#
+# The segmentation primitive an audio curation pipeline runs after
+# decode and before fingerprinting: split each track into
+# active/inactive spans by windowed energy (the classic VAD shape —
+# energy-thresholded windows coalesced into contiguous segments).
+# Sixteen windows per track, activity = window mean |amplitude| above
+# the track mean (the same integer-exact cross-multiplied compare as
+# the audiofp energy bits), segments via gaps-and-islands over the
+# active windows — fully integer, same closed-form PCM oracle family
+# as dedup_audiofp_classes.
+
+_VAD_W = 16  # windows per track (nf >= 64, so every window non-empty)
+
+
+def _audio_energy_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """(asset_id, w, es, en, ts, tn): per-WAV-asset 16-window energy
+    panel over channel 0 of the REAL decoded PCM — window of frame f
+    is (f*16)//nf, ``es``/``en`` the window's absolute-amplitude sum
+    and frame count, ``ts``/``tn`` the track totals.  Decode (RIFF
+    walk + int16-LE channel slice) is the only Python stage —
+    Arrow-batched mapInPandas, per-asset work, no shuffle; the window
+    rows are exploded with builtin expressions downstream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 2)
+    assets = encode_fixture_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import wav_layout
+
+        for pdf in it:
+            out = {"asset_id": [], "ea": [], "na": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                fmt, data_pos, data_len, _ = wav_layout(data)
+                nc = fmt[1]
+                pcm = np.frombuffer(
+                    data, dtype="<i2", count=data_len // 2, offset=data_pos
+                ).astype("int64")
+                ch0 = pcm[::nc]
+                nf = len(ch0)
+                seg = (np.arange(nf) * _VAD_W) // nf
+                ea = np.bincount(seg, weights=np.abs(ch0), minlength=_VAD_W)
+                na = np.bincount(seg, minlength=_VAD_W)
+                out["asset_id"].append(int(aid))
+                out["ea"].append(ea.astype("int64").tolist())
+                out["na"].append(na.astype("int64").tolist())
+            yield pd.DataFrame(out)
+
+    panel = assets.mapInPandas(
+        _batches, schema="asset_id long, ea array<long>, na array<long>"
+    )
+    return panel.select(
+        "asset_id",
+        "ea",
+        "na",
+        F.expr("aggregate(ea, 0L, (a, x) -> a + x)").alias("ts"),
+        F.expr("aggregate(na, 0L, (a, x) -> a + x)").alias("tn"),
+    ).select(
+        "asset_id",
+        "ts",
+        "tn",
+        F.posexplode(F.arrays_zip("ea", "na")).alias("w", "z"),
+    ).select(
+        "asset_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("z.ea").alias("es"),
+        F.col("z.na").alias("en"),
+        "ts",
+        "tn",
+    )
+
+
+def _audio_segment_oracle() -> str:
+    """Closed-form DuckDB twin: channel-0 sample f re-derived from
+    doc_id alone (the _audiofp_classes_oracle arithmetic), 16-window
+    energy sums brute-forced over unnest(range(0, nf)), activity by
+    the same cross-multiplied compare, islands via the
+    w - row_number() gaps-and-islands construction."""
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS asset_id, 1 + (doc_id % 2) AS nc,
+             64 + (doc_id % 64) AS nf, doc_id % 256 AS d
+      FROM documents WHERE doc_id % 3 = 2),
+    samp AS (
+      SELECT asset_id, nf, fx.f,
+             ((d + 2 * fx.f * nc) % 256)
+             + 256 * ((d + 2 * fx.f * nc + 1) % 256)
+             - CASE WHEN (d + 2 * fx.f * nc + 1) % 256 >= 128
+                    THEN 65536 ELSE 0 END AS s
+      FROM p, unnest(range(0, nf)) AS fx(f)),
+    win AS (
+      SELECT asset_id, (f * {_VAD_W}) // nf AS w,
+             sum(abs(s)) AS es, count(*) AS en
+      FROM samp GROUP BY asset_id, (f * {_VAD_W}) // nf),
+    tot AS (
+      SELECT asset_id, sum(es) AS ts, sum(en) AS tn
+      FROM win GROUP BY asset_id),
+    act AS (
+      SELECT win.asset_id, w, es, en
+      FROM win JOIN tot USING (asset_id)
+      WHERE es * tn > ts * en),
+    isl AS (
+      SELECT asset_id, w, es, en,
+             w - row_number() OVER (
+               PARTITION BY asset_id ORDER BY w) AS grp
+      FROM act),
+    seg AS (
+      SELECT asset_id, grp, min(w) AS start_w, max(w) AS end_w,
+             count(*) AS n_windows, sum(en) AS frames,
+             sum(es) AS energy
+      FROM isl GROUP BY asset_id, grp)
+    SELECT asset_id,
+           CAST(row_number() OVER (
+             PARTITION BY asset_id ORDER BY start_w) AS BIGINT)
+             AS seg_id,
+           CAST(start_w AS BIGINT) AS start_w,
+           CAST(end_w AS BIGINT) AS end_w,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(frames AS BIGINT) AS frames,
+           CAST(energy AS BIGINT) AS energy
+    FROM seg
+    """
+
+
+@query("multimodal_audio_segment", oracle=_audio_segment_oracle())
+def multimodal_audio_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed-energy activity segmentation over the REAL decoded
+    PCM — the VAD-shaped primitive an audio curation pipeline runs
+    between decode and fingerprinting: each track splits into 16
+    windows, a window is ACTIVE iff its mean |amplitude| exceeds the
+    track mean (integer-exact cross-multiplication — the audiofp
+    energy-bit compare), and consecutive active windows coalesce into
+    segments via gaps-and-islands (w - row_number() grouping), each
+    segment publishing its window span, frame count, and energy sum.
+
+    Fully integer end-to-end, so the deterministic ramp PCM admits
+    the same closed-form oracle as dedup_audiofp_classes: every
+    sample, window sum, activity decision, and island boundary is
+    re-derived arithmetically from doc_id alone.  Scale: decode+panel
+    is per-asset Arrow-batched mapInPandas (no shuffle); the windows
+    explode to exactly 16 rows per asset, and every window function
+    partitions by asset_id over <= 16 rows — never corpus-wide."""
+    win = _audio_energy_windows(spark, sf)
+    act = win.filter(F.col("es") * F.col("tn") > F.col("ts") * F.col("en"))
+    wa = W.partitionBy("asset_id").orderBy("w")
+    isl = act.select(
+        "asset_id", "w", "es", "en",
+        (F.col("w") - F.row_number().over(wa)).alias("grp"),
+    )
+    seg = isl.groupBy("asset_id", "grp").agg(
+        F.min("w").alias("start_w"),
+        F.max("w").alias("end_w"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("en").cast("long").alias("frames"),
+        F.sum("es").cast("long").alias("energy"),
+    )
+    ws = W.partitionBy("asset_id").orderBy("start_w")
+    return seg.select(
+        "asset_id",
+        F.row_number().over(ws).cast("long").alias("seg_id"),
+        "start_w",
+        "end_w",
+        "n_windows",
+        "frames",
+        "energy",
+    )
+
+
+# --- keyframe extraction (round 13) -----------------------------------
+#
+# Composes scene-cut detection into the next pipeline stage: a
+# keyframe per scene (frame 0 plus the first frame of every new
+# scene), each published with its raster byte sum — the frame a
+# multimodal training pipeline would thumbnail, caption, or embed.
+# Shares the scene-cut fixture and threshold; the byte sum has a
+# closed form from the ramp arithmetic (full 256-cycles contribute
+# 32640 each, plus one circular partial-window sum).
+
+
+def _keyframe_oracle() -> str:
+    """Closed-form DuckDB twin: cut frames re-derived through the SAME
+    delta-threshold arithmetic as _scene_cut_oracle (not from the
+    fixture's cut position directly — a threshold or pairing slip must
+    mismatch), keyframes = frame 0 UNION cut frames, and each
+    keyframe's raster sum from the ramp closed form: (kk // 256) full
+    cycles of 32640 plus the circular partial window [s, s + kk%256)."""
+    return """
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             (8 + (doc_id % 24)) * (8 + (doc_id % 16)) * 3 AS kk,
+             4 + (doc_id % 256) % 5 AS nf, doc_id % 256 AS d
+      FROM documents),
+    q AS (
+      SELECT asset_id, kk, nf, d, 1 + (d % (nf - 1)) AS c FROM p),
+    fr AS (
+      SELECT asset_id, kk, fx.f AS f,
+             (d + 37*(fx.f-1)
+              + CASE WHEN fx.f-1 >= c THEN 128 ELSE 0 END) % 256 AS s,
+             CASE WHEN fx.f = c THEN 165 ELSE 37 END AS t
+      FROM q, unnest(range(1, nf)) AS fx(f)),
+    w AS (
+      SELECT asset_id, f, kk, s, t, 256 - t AS th,
+             kk % 256 AS r, kk // 256 AS fullc
+      FROM fr),
+    cnt AS (
+      SELECT asset_id, f, kk, t,
+             fullc * t
+             + GREATEST(0, LEAST(s + r, 256) - GREATEST(s, th))
+             + GREATEST(0, s + r - 256 - th) AS wraps
+      FROM w),
+    cuts AS (
+      SELECT asset_id, f FROM cnt
+      WHERE t*(kk - wraps) + (256-t)*wraps >= 90 * kk),
+    keys AS (
+      SELECT asset_id, 0 AS f FROM q
+      UNION ALL
+      SELECT asset_id, f FROM cuts),
+    kf AS (
+      SELECT k.asset_id, k.f, q.kk, q.kk % 256 AS r,
+             (q.d + 37*k.f
+              + CASE WHEN k.f >= q.c THEN 128 ELSE 0 END) % 256 AS s
+      FROM keys k JOIN q ON q.asset_id = k.asset_id)
+    SELECT asset_id,
+           CAST(row_number() OVER (
+             PARTITION BY asset_id ORDER BY f) AS BIGINT) AS scene_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST((kk // 256) * 32640
+                + CASE WHEN s + r <= 256
+                       THEN r*s + (r*(r-1)) // 2
+                       ELSE ((255+s)*(256-s)) // 2
+                            + ((s+r-256)*(s+r-257)) // 2
+                  END AS BIGINT) AS byte_sum,
+           CAST(kk AS BIGINT) AS n_bytes
+    FROM kf
+    """
+
+
+@query("multimodal_keyframe_extract", oracle=_keyframe_oracle())
+def multimodal_keyframe_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyframe extraction over REAL decoded AVI frames — the stage a
+    multimodal pipeline runs AFTER scene-cut detection: one keyframe
+    per scene (frame 0, plus the first frame whose delta from its
+    predecessor crosses the cut threshold), published with the
+    frame's raster byte sum and a per-asset scene ordinal.  Reuses
+    the scene-cut fixture and the same 90*n_bytes integer threshold;
+    the decode+diff+sum pass is per-asset Arrow-batched mapInPandas
+    (the only Python stage, no shuffle), the keyframe decision is a
+    builtin expression, and the scene ordinal windows over <= nf <= 8
+    rows per asset.  The oracle re-derives the cut set through the
+    SAME threshold arithmetic as multimodal_scene_cut_detect and each
+    keyframe's byte sum from the ramp closed form — a frame-order
+    slip, a stale-threshold keyframe, or a raster misread
+    hash-mismatches."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+    assets = encode_scenecut_video_assets(docs)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.codecs import decode_avi_frames
+
+        for pdf in it:
+            out = {
+                "asset_id": [], "frame_idx": [], "byte_sum": [],
+                "n_bytes": [], "prev_delta": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = [
+                    np.frombuffer(fr, dtype=np.uint8).astype("int64")
+                    for fr in decode_avi_frames(bytes(payload))
+                ]
+                for f in range(len(frames)):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(f)
+                    out["byte_sum"].append(int(frames[f].sum()))
+                    out["n_bytes"].append(len(frames[f]))
+                    out["prev_delta"].append(
+                        None if f == 0 else
+                        int(np.abs(frames[f] - frames[f - 1]).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    rows = assets.mapInPandas(
+        _batches,
+        schema="asset_id long, frame_idx long, byte_sum long,"
+        " n_bytes long, prev_delta long",
+    )
+    kf = rows.filter(
+        (F.col("frame_idx") == 0)
+        | (F.col("prev_delta") >= F.lit(90) * F.col("n_bytes"))
+    )
+    wk = W.partitionBy("asset_id").orderBy("frame_idx")
+    return kf.select(
+        "asset_id",
+        F.row_number().over(wk).cast("long").alias("scene_id"),
+        "frame_idx",
+        "byte_sum",
+        "n_bytes",
+    )

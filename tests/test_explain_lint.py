@@ -63,6 +63,7 @@ BNLJ_BY_DESIGN = {
     "cosine_topk_bruteforce",
     "curation_pipeline_v3",
     "curation_pipeline_v4",  # 9x9 suffix-cumulative audit theta join
+    "dsir_importance_select",  # (T, R) totals row: scalar broadcast
     "decile_lift_gains",  # 9-tuple boundary array: scalar broadcast
     "ddsketch_pow2_quantiles",  # 3-row quantile panel x <=41 buckets
     "event_rate_deviation",
@@ -125,6 +126,8 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "boilerplate_shingle_score": {"documents": 2},
     "cosine_topk_bruteforce": {"embeddings": 2},
     "dedup_minhash_portable": {"documents": 2},
+    # bigram stream + 3-column meta projection (column-pruned)
+    "dsir_importance_select": {"documents": 2},
     "dedup_simhash": {"documents": 2},
     "dup_span_detect": {"documents": 2},
     # two-phase boundary-rank selection BY DESIGN: bin-count pass +

@@ -204,3 +204,65 @@ def test_power_iteration_exact_integer_replay(spark):
         for r in QUERIES["embedding_power_iteration"](spark, SF01).collect()
     }
     assert got == want
+
+
+def test_dsir_importance_select_matches_python(spark):
+    """dsir_importance_select == a plain-Python DSIR reimplementation
+    (hashed-bigram multinomials, add-1 smoothing, log importance
+    weights, rounded-score top-K) built here from the raw parquet via
+    hashlib — independent of every Spark/DuckDB expression."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from distributedmapreduce_spark.plans.llm4 import (
+        _DSIR_B,
+        _DSIR_K,
+    )
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text, lang FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+    def bucket(bigram: str) -> int:
+        h = hashlib.md5(f"D:{bigram}".encode()).hexdigest()[:8]
+        return int(h, 16) % _DSIR_B
+
+    per_doc: dict[int, Counter] = {}
+    tc = Counter()
+    rc = Counter()
+    for doc_id, text, lang in docs:
+        toks = [x for x in text.split(" ") if x != ""]
+        c = Counter(
+            bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])
+        )
+        if not c:
+            continue
+        per_doc[doc_id] = c
+        rc.update(c)
+        if lang == "en":
+            tc.update(c)
+    tt, rr = sum(tc.values()), sum(rc.values())
+    shift = math.log(rr + _DSIR_B) - math.log(tt + _DSIR_B)
+    logw = {
+        d: sum(
+            n * (math.log(tc.get(b, 0) + 1) - math.log(rc[b] + 1))
+            for b, n in c.items()
+        )
+        + sum(c.values()) * shift
+        for d, c in per_doc.items()
+    }
+    expect = sorted(
+        logw, key=lambda d: (-round(logw[d], 6), d)
+    )[:_DSIR_K]
+
+    rows = QUERIES["dsir_importance_select"](spark, sf).collect()
+    got = [r.doc_id for r in sorted(rows, key=lambda r: r.rnk)]
+    assert got == expect
+    for r in rows:
+        assert abs(r.logw_r - round(logw[r.doc_id], 6)) < 2e-6
+        assert r.n_feats == sum(per_doc[r.doc_id].values())

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from distributedmapreduce_spark.operators.multimodal import (
     as_binary_assets,
     byte_histogram,
@@ -148,3 +150,104 @@ def test_phash_banded_equals_bruteforce(spark):
         for r in QUERIES["dedup_phash_images"](spark, sf).collect()
     }
     assert banded == brute and len(brute) > 0
+
+
+def test_audio_segment_matches_python_islands(spark):
+    """multimodal_audio_segment == a plain-Python reimplementation
+    over the decoded PCM: 16-window energy, cross-multiplied activity,
+    gaps-and-islands — derived here independently from the codec,
+    never from the query's own expressions."""
+    import numpy as np
+
+    from distributedmapreduce_spark.operators.codecs import wav_layout
+    from distributedmapreduce_spark.plans.mmq import (
+        _VAD_W,
+        encode_fixture_assets,
+    )
+    from distributedmapreduce_spark.plans.core import t
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents").filter("doc_id % 3 = 2").limit(40)
+    payloads = {
+        r.asset_id: bytes(r.payload)
+        for r in encode_fixture_assets(docs).collect()
+    }
+    expect = set()
+    for aid, data in payloads.items():
+        fmt, pos, dlen, _ = wav_layout(data)
+        pcm = np.frombuffer(data, "<i2", count=dlen // 2, offset=pos)
+        ch0 = pcm[:: fmt[1]].astype("int64")
+        nf = len(ch0)
+        w = (np.arange(nf) * _VAD_W) // nf
+        es = np.bincount(w, weights=np.abs(ch0), minlength=_VAD_W)
+        en = np.bincount(w, minlength=_VAD_W)
+        ts, tn = int(es.sum()), int(en.sum())
+        active = [
+            i for i in range(_VAD_W) if int(es[i]) * tn > ts * int(en[i])
+        ]
+        segs, cur = [], None
+        for i in active:
+            if cur and i == cur[-1] + 1:
+                cur.append(i)
+            else:
+                cur = [i]
+                segs.append(cur)
+        for sid, seg in enumerate(segs, 1):
+            expect.add((
+                aid, sid, seg[0], seg[-1], len(seg),
+                int(en[seg].sum()), int(es[seg].sum()),
+            ))
+    got = {
+        (r.asset_id, r.seg_id, r.start_w, r.end_w, r.n_windows,
+         r.frames, r.energy)
+        for r in QUERIES["multimodal_audio_segment"](spark, sf)
+        .filter(F.col("asset_id").isin(list(payloads)))
+        .collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_keyframe_extract_two_per_clip_at_planted_cut(spark):
+    """Every scene-cut clip yields EXACTLY two keyframes — frame 0 and
+    the planted cut frame c = 1 + (d % (nf-1)) — and each keyframe's
+    byte_sum equals the numpy sum of the decoded raster (independent
+    decode here, not the query's)."""
+    import numpy as np
+
+    from distributedmapreduce_spark.operators.codecs import (
+        decode_avi_frames,
+    )
+    from distributedmapreduce_spark.plans.mmq import (
+        encode_scenecut_video_assets,
+    )
+    from distributedmapreduce_spark.plans.core import t
+    from distributedmapreduce_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents").limit(30)
+    payloads = {
+        r.asset_id: bytes(r.payload)
+        for r in encode_scenecut_video_assets(docs).collect()
+    }
+    rows = (
+        QUERIES["multimodal_keyframe_extract"](spark, sf)
+        .filter(F.col("asset_id").isin(list(payloads)))
+        .collect()
+    )
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == set(payloads)
+    for aid, krows in by_asset.items():
+        d = aid % 256
+        nf = 4 + d % 5
+        c = 1 + (d % (nf - 1))
+        krows.sort(key=lambda r: r.scene_id)
+        assert [r.frame_idx for r in krows] == [0, c]
+        assert [r.scene_id for r in krows] == [1, 2]
+        frames = decode_avi_frames(payloads[aid])
+        for r in krows:
+            raster = np.frombuffer(frames[r.frame_idx], np.uint8)
+            assert r.byte_sum == int(raster.astype("int64").sum())
+            assert r.n_bytes == len(raster)
