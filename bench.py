@@ -119,6 +119,14 @@ TIER2 = [
     "curation_pipeline_v4",
     "multimodal_scene_cut_detect",
     "dedup_jaccard_classes",
+    # round-13 second wave: the DSIR hashed-bigram importance
+    # selection (corpus bigram stream + bucket-panel scoring join),
+    # the VAD-shaped audio activity segmentation, and the scene-cut
+    # composed keyframe extractor (full-raster decode + per-frame
+    # sums) — the three new training-pipeline stages of this round
+    "dsir_importance_select",
+    "multimodal_audio_segment",
+    "multimodal_keyframe_extract",
 ]
 
 
