@@ -254,6 +254,21 @@ SHOWCASE = [
         "the pair stage bounded by the fingerprint population — same "
         "class-pair shape as the image hashes",
     ),
+    (
+        "dsir_importance_select",
+        "DSIR selection (r13): map-side hashed-bigram stream, two "
+        "B=512-row model panels broadcast into the scoring join (no "
+        "shuffle on the corpus side beyond the doc-bucket aggregate), "
+        "scalar totals via 1-row BNLJ, selection as two-phase bounded "
+        "TakeOrdered — no corpus-wide window, no driver collect",
+    ),
+    (
+        "multimodal_keyframe_extract",
+        "keyframe extraction (r13): per-asset Arrow-batched AVI "
+        "decode+diff (mapInPandas, no shuffle), builtin threshold "
+        "filter, scene ordinal windowed per asset over <= 8 rows — "
+        "the composed stage after scene-cut detection",
+    ),
 ]
 
 
