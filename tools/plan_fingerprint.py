@@ -217,8 +217,72 @@ def query_fingerprints(names=None, fp_sf: str = FP_SF) -> dict[str, str | None]:
     return out
 
 
+_PYEVAL_RE = re.compile(
+    r"MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+    r"|ArrowEvalPython|BatchEvalPython|PythonUDF|mapInArrow",
+    re.I,
+)
+
+
+def query_components(names=None, fp_sf: str = FP_SF) -> dict[str, dict]:
+    """Per-query SEMANTIC SUB-COMPONENTS for cross-tree seeding of
+    module-rekeyed queries (SCALE.md §15i).  The full key folds in the
+    defining module + import-closure bytes because Python UDF bodies
+    and artifact-builder code are invisible in the plan string; but
+    for a query whose executed semantics live ENTIRELY in the JVM
+    plan — no Python-eval node anywhere in the analyzed plan, and
+    every relation a <SF> table scan (no engine-written artifact
+    paths) — the normalized analyzed plan + oracle + gate IS the
+    semantics, and bit-identity of those across two trees makes a
+    green verdict from either tree evidence for both.  Queries with a
+    Python stage or an artifact read keep the strict module-level
+    keying (``seedable: False``)."""
+    from distributedmapreduce_spark.plans.registry import get_registry
+    from distributedmapreduce_spark.session import get_spark
+
+    reg = get_registry()
+    if names is None:
+        names = sorted(reg)
+    harness = _file_sha(os.path.join(_HERE, "check_oracle.py"))
+    spark = get_spark(app_name="plan_components", cpus=8)
+    out: dict[str, dict] = {}
+    for name in names:
+        q = reg[name]
+        try:
+            df = q.fn(spark, fp_sf)
+            plan = normalize_plan(
+                df._jdf.queryExecution().analyzed().toString(), fp_sf
+            )
+            staged = "\n--\n".join(q.staged_oracle or [])
+            pyeval = bool(_PYEVAL_RE.search(plan))
+            # any scan outside the <SF> dir (warehouse/index/tmp
+            # artifacts) means fn() ran engine code whose semantics
+            # the plan cannot attest
+            nonsf = bool(
+                re.search(r"parquet [^\n]*(?:warehouse|/tmp/|indexes)",
+                          plan)
+            ) or ("spark-warehouse" in plan)
+            out[name] = {
+                "sem": _sha(
+                    f"{plan}\n==ORACLE=={q.oracle or ''}"
+                    f"\n==STAGED=={staged}\n==HARNESS=={harness}"
+                )[:24],
+                "seedable": not pyeval and not nonsf,
+            }
+        except Exception as e:  # noqa: BLE001 — degrade to fresh run
+            print(f"components FAILED for {name}: {e!r}", file=sys.stderr)
+            out[name] = {"sem": None, "seedable": False}
+    return out
+
+
 if __name__ == "__main__":
     import json
 
-    fps = query_fingerprints(sys.argv[1:] or None)
-    print(json.dumps(fps, indent=1, sort_keys=True))
+    if len(sys.argv) > 1 and sys.argv[1] == "--components":
+        print(json.dumps(
+            query_components(sys.argv[2:] or None), indent=1,
+            sort_keys=True,
+        ))
+    else:
+        fps = query_fingerprints(sys.argv[1:] or None)
+        print(json.dumps(fps, indent=1, sort_keys=True))
