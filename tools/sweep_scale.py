@@ -278,6 +278,31 @@ def main() -> int:
                  "chunks_done": ci + 1, "chunks_total": len(chunks)}},
                 f, indent=1, sort_keys=True,
             )
+        # ... and fold the chunk's fresh greens into the cross-round
+        # cache IMMEDIATELY (round 13): a sweep killed at a session
+        # boundary must not lose paid-for verdicts — the next
+        # session's sweep then re-runs only what never completed.
+        # (Same rule as the final fold below: green caches, a failed
+        # audit re-run evicts its stale entry.)
+        if not no_cache:
+            for n in chunk:
+                cell = merged.get(n)
+                if cell is None or not fps.get(n):
+                    continue
+                clean = {
+                    k: v for k, v in cell.items() if k != "provenance"
+                }
+                if _green(cell):
+                    cache[n] = {
+                        "key": fps[n],
+                        "replica_fp": replica_fp,
+                        "artifact": os.path.basename(out_path),
+                        "cell": clean,
+                    }
+                else:
+                    cache.pop(n, None)
+            with open(CACHE_PATH, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
 
     merged["__meta__"] = {
         "sf_dir": sf_dir,
