@@ -1470,11 +1470,26 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     label (never a per-stage corpus re-scan); each modality's decode
     runs only over that stage's SURVIVORS (the sig builders take the
     doc subset) as per-asset Arrow-batched mapInPandas with no
-    shuffle; signature keeper windows are keyed shuffles over the
-    already-deduped survivor set; the budget prefix is the
-    score-bucketed two-phase cumsum.  Intermediate survivor frames
-    persist once each — the v3 multi-consumer discipline
-    (SCALE.md §10d)."""
+    shuffle; signature keepers are partial-aggregating groupBys over
+    signature rows only (no NULL-modality window partition); the
+    budget prefix is the score-bucketed two-phase cumsum.
+
+    Optimization r13 — plan-size truncation: every stage boundary is
+    a ``localCheckpoint(eager=False)`` rather than a bare persist.
+    Each keeper stage references its predecessor twice (survivor set
+    + signature-builder input) and the audit tail references every
+    stage once more, so the ANALYZED tree without truncation holds an
+    exponentially-growing number of copies of the base corpus scan —
+    measured at sf0.1, driver planning alone dominated the query
+    (guide §3.3: "very wide joins produce enormous plans; planning
+    time itself can become the bottleneck — materialising an
+    intermediate truncates the plan").  The checkpoint materializes
+    doc-id-level frames (24 B/row), never the corpus payload; each
+    invocation builds fresh checkpoints, so nothing is reused across
+    runs.  Trade-off at cluster scale: localCheckpoint truncates
+    lineage non-fault-tolerantly (an executor loss fails the job
+    rather than recomputing) — the standard price of plan truncation
+    without a reliable checkpoint dir."""
     from .llm import (
         _PMH_TAU_E6,
         _pmh_candidates,
@@ -1495,16 +1510,18 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         norm_fingerprint(F.col("text")).alias("fp"),
         F.size(ws).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     tok = feat.filter(F.col("n_tokens") > 0)
     wk = W.partitionBy("fp")
     k2 = (
         tok.withColumn("keeper", F.min("doc_id").over(wk))
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "text", "n_tokens", "n_distinct")
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    msig = _pmh_signatures(k2.select("doc_id", "text")).persist()
+    msig = _pmh_signatures(k2.select("doc_id", "text")).localCheckpoint(
+        eager=False
+    )
     cand = _pmh_candidates(msig)
     a = msig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     b = msig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
@@ -1516,35 +1533,53 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    k3 = k2.join(mdrops, "doc_id", "left_anti").persist()
+    # ``text`` is consumed by msig above and never again — dropping it
+    # here keeps the document payload out of the three keeper-stage
+    # exchanges below (guide §2.3: project before the exchange)
+    k3 = (
+        k2.join(mdrops, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "n_distinct")
+        .localCheckpoint(eager=False)
+    )
 
     def _sig_keeper(kin: DataFrame, sig: DataFrame, col: str) -> DataFrame:
         """Among kin's docs: keep min doc_id per identical signature;
-        docs without a signature (no asset in this modality) pass."""
-        j = kin.join(
-            sig.select(
-                F.col("asset_id").alias("doc_id"), F.col("ph").alias(col)
-            ),
-            "doc_id",
-            "left",
+        docs without a signature (no asset in this modality) pass.
+
+        Optimization r13 restructure (same output multiset): the old
+        form left-joined the signature onto kin and ran
+        min(doc_id) OVER (PARTITION BY sig) — which put every
+        NO-modality doc into the single NULL window partition (at
+        corpus scale, one straggler task holding most of the corpus —
+        guide §2.5 null hot key) and shipped kin's payload columns
+        through the keeper exchange (guide §2.3).  Now the keeper is
+        a partial-aggregating groupBy over SIGNATURE rows only (the
+        modality subset; sig persists so the decode panel runs once),
+        non-keeper duplicates become a doc_id drop list, and
+        survivors come from one left_anti join — no NULL partition,
+        no payload in the shuffle, and the drop list is bounded by
+        the duplicate population."""
+        sig2 = sig.select(
+            F.col("asset_id").alias("doc_id"), F.col("ph").alias(col)
+        ).persist()
+        keep = sig2.groupBy(col).agg(F.min("doc_id").alias("keep_id"))
+        drops = (
+            sig2.join(keep, col)
+            .filter(F.col("doc_id") != F.col("keep_id"))
+            .select("doc_id")
         )
-        keep = F.min("doc_id").over(W.partitionBy(col))
-        return (
-            j.withColumn("keep", keep)
-            .filter(F.col(col).isNull() | (F.col("doc_id") == F.col("keep")))
-            .drop(col, "keep")
-        )
+        return kin.join(drops, "doc_id", "left_anti")
 
     k4 = _sig_keeper(
         k3, phash_signatures(spark, sf, grid=8, docs=k3.select("doc_id")),
         "iph",
-    ).persist()
+    ).localCheckpoint(eager=False)
     k5 = _sig_keeper(
         k4, audiofp_signatures(spark, sf, docs=k4.select("doc_id")), "aph"
-    ).persist()
+    ).localCheckpoint(eager=False)
     k6 = _sig_keeper(
         k5, videofp_signatures(spark, sf, docs=k5.select("doc_id")), "vph"
-    ).persist()
+    ).localCheckpoint(eager=False)
     k7 = k6.filter(
         _P3_Q_DEN * F.col("n_distinct") >= _P3_Q_NUM * F.col("n_tokens")
     ).select(

@@ -199,6 +199,25 @@ def _mm_params(doc_id: int) -> tuple[int, int, int, int, int, int, int]:
     return w, h, png_c, wav_nc, rate, n_frames, doc_id % 256
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """The (doc_id) input frame of a fixture encoder, spread to the
+    session's full parallelism.  The synth+decode mapInPandas chain
+    downstream is the expensive Python work of every multimodal query,
+    and a small corpus parquet arrives as ONE scan split (a 128 MB
+    maxPartitionBytes split swallows the whole file), which would
+    serialize that chain on a single core — guide §2.5 input skew:
+    "repartition immediately after the read".  The exchange this adds
+    moves 8 bytes/row; when the input already has >= defaultParallelism
+    partitions (a real corpus at scale, or a post-shuffle survivor
+    frame) it is a no-op, so the knob stays scale-adaptive rather than
+    tuned to local[32]."""
+    ids = docs.select("doc_id")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids
+
+
 def encode_fixture_assets(docs: DataFrame) -> DataFrame:
     """(doc_id) -> (asset_id, payload): synthesize a REAL PNG/BMP/WAV
     byte stream per document via the stdlib encoders.  Deliberately a
@@ -235,7 +254,7 @@ def encode_fixture_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _batches, schema="asset_id long, payload binary"
     )
 
@@ -334,29 +353,19 @@ def multimodal_feature_extract_real(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    from ..operators.codecs import decode_bmp, decode_png
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
             out = {"asset_id": [], "channel": [], "ch_sum": [], "n_px": []}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                data = bytes(payload)
-                meta = (
-                    decode_png(data)
-                    if data[:8] == b"\x89PNG\r\n\x1a\n"
-                    else decode_bmp(data)
-                )
-                c = meta["n_channels"]
-                raster = np.frombuffer(
-                    _raster_bytes(data, meta), dtype=np.uint8
-                ).astype("int64")
+                w, h, c, rb = _parse_image(bytes(payload))
+                raster = np.frombuffer(rb, dtype=np.uint8).astype("int64")
                 for ch in range(c):
                     out["asset_id"].append(int(aid))
                     out["channel"].append(ch)
                     out["ch_sum"].append(int(raster[ch::c].sum()))
-                    out["n_px"].append(meta["width"] * meta["height"])
+                    out["n_px"].append(w * h)
             yield pd.DataFrame(out)
 
     docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 < 2)
@@ -367,15 +376,18 @@ def multimodal_feature_extract_real(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _raster_bytes(data: bytes, meta: dict) -> bytes:
-    """Re-decode to the raw top-down raster bytes (the decoders return
-    geometry + checksum; feature extraction needs the bytes
-    themselves)."""
-    from ..operators.codecs import PNG_SIG, decode_bmp_raster, decode_png_raster
+def _parse_image(data: bytes) -> tuple[int, int, int, bytes]:
+    """ONE image parse to (width, height, n_channels, raster).  The
+    panel/feature hot paths used to call decode_png/decode_bmp for the
+    geometry and then decode_*_raster for the bytes — two full parses
+    (PNG: two zlib inflates + two filter reversals) per asset, the
+    same defect ADVICE r12 flagged on decode_avi."""
+    from ..operators.codecs import PNG_SIG, _bmp_parse, _png_parse
 
     if data[:8] == PNG_SIG:
-        return decode_png_raster(data)
-    return decode_bmp_raster(data)
+        return _png_parse(data)
+    w, h, raster = _bmp_parse(data)
+    return w, h, 3, raster
 
 
 @query(
@@ -460,21 +472,11 @@ def _panel_frame(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..operators.codecs import PNG_SIG, decode_bmp, decode_png
-
         for pdf in it:
             out = {"asset_id": [], "gv": []}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                data = bytes(payload)
-                meta = (
-                    decode_png(data)
-                    if data[:8] == PNG_SIG
-                    else decode_bmp(data)
-                )
-                w, h, c = meta["width"], meta["height"], meta["n_channels"]
-                raster = np.frombuffer(
-                    _raster_bytes(data, meta), dtype=np.uint8
-                )
+                w, h, c, rb = _parse_image(bytes(payload))
+                raster = np.frombuffer(rb, dtype=np.uint8)
                 chan0 = raster[::c].reshape(h, w)
                 ys = (np.arange(rows) * h) // rows
                 xs = (np.arange(cols) * w) // cols
@@ -1143,7 +1145,7 @@ def encode_video_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _batches, schema="asset_id long, payload binary"
     )
 
@@ -1461,7 +1463,7 @@ def encode_scenecut_video_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _batches, schema="asset_id long, payload binary"
     )
 
