@@ -79,3 +79,23 @@ def registry() -> dict[str, Query]:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shorthand table loader used by the query definitions."""
     return load_table(spark, name, sf_dir)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition ``df`` up to the session's default
+    parallelism when it arrives with fewer partitions — used in front
+    of expensive per-row map work (Python decode panels, per-shingle
+    hashing explodes) whose input is either a small-file scan (one
+    128 MB split swallows a small corpus parquet) or an
+    AQE-coalesced tiny shuffle (coalesced to ONE partition at bench
+    scale), both of which would serialize the map stage on a single
+    core (guide §2.5 input skew).  No-op when the input is already at
+    or above the session's parallelism — a real corpus at scale —
+    so the knob is scale-adaptive, not local-mode tuning.  Call it on
+    scan-rooted or checkpoint/persist-leaf frames only: the partition
+    probe compiles the frame's physical plan, which is only cheap
+    when the plan is shallow."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

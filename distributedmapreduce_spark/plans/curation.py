@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_fingerprint, shingles, tokens
-from .core import EVENTS_US, query, t
+from .core import EVENTS_US, query, spread, t
 from .llm3 import _md5_uniform, _md5_uniform_sql
 
 
@@ -1519,9 +1519,13 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "text", "n_tokens", "n_distinct")
         .localCheckpoint(eager=False)
     )
-    msig = _pmh_signatures(k2.select("doc_id", "text")).localCheckpoint(
-        eager=False
-    )
+    # spread before the per-shingle 9x-md5 explode: AQE coalesces
+    # k2's tiny keeper shuffle to ONE partition at bench scale, which
+    # serialized the signature map side on a single core (the probe
+    # is cheap — k2 is a checkpoint leaf)
+    msig = _pmh_signatures(
+        spread(k2.select("doc_id", "text"))
+    ).localCheckpoint(eager=False)
     cand = _pmh_candidates(msig)
     a = msig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     b = msig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.text import norm_fingerprint, shingles as _shingles
 from ..functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm  # noqa: F401
 from ..operators.index_store import cached_index, merge_index
-from .core import query, t
+from .core import query, spread, t
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -2501,7 +2501,10 @@ def dedup_jaccard_classes(spark: SparkSession, sf: str) -> DataFrame:
     1e6) so Spark and DuckDB agree bit-for-bit at any set size."""
     from .llm3 import _md5_u32
 
-    sh = t(spark, sf, "documents").select(
+    # spread before the per-shingle hashing explode: the corpus
+    # arrives as one scan split at bench scale and would hash on a
+    # single core (guide §2.5; no-op on an already-parallel scan)
+    sh = spread(t(spark, sf, "documents").select("doc_id", "text")).select(
         "doc_id", _shingles_col(3).alias("shingles")
     ).filter(F.size("shingles") > 0)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -2518,29 +2521,20 @@ def dedup_jaccard_classes(spark: SparkSession, sf: str) -> DataFrame:
     )
     pref = cls.select(
         "rep", F.explode(F.slice(F.col("hss"), F.lit(1), plen)).alias("h")
-    )
+    ).persist()
+    # Candidate pairs via an equi self-join on the prefix element
+    # rather than collect_list + pairwise array explode (opt r13,
+    # same pair set): the explode form materializes a hot prefix
+    # element's ENTIRE pair fan-out from one array row inside one
+    # task — a serial straggler the moment one shingle is frequent —
+    # while the join form distributes the same pairs across tasks and
+    # stays AQE-skew-splittable (guide §2.5; joins split, single
+    # exploding rows don't).  Measured 2.1 -> 1.0 s at sf0.1.
     cand = (
-        pref.groupBy("h")
-        .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"), i + F.lit(2), F.size("ids")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("rep_a"), y.alias("rep_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("pair")
-        )
-        .select("pair.rep_a", "pair.rep_b")
+        pref.select(F.col("rep").alias("rep_a"), "h")
+        .join(pref.select(F.col("rep").alias("rep_b"), "h"), "h")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
         .dropDuplicates(["rep_a", "rep_b"])
     )
     a = cls.select(

@@ -89,6 +89,10 @@ def _bigrams(spark: SparkSession, sf: str) -> DataFrame:
 
     Built with slice+zip_with on the token array (no join, no UDF):
     the bigram stream is produced map-side in whole-stage codegen.
+    (Optimization r13 measured a pre-spread of the corpus frame here
+    NET-NEGATIVE — the per-bigram work downstream is light JVM
+    hashing, and the extra exchange cost more than the parallelism
+    won, the same verdict as tfidf's map side.)
     """
     docs = t(spark, sf, "documents")
     pairs = F.expr(

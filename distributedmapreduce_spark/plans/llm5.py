@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles as _shingles, tokens as _tokens
-from .core import EVENTS_US, query, t
+from .core import EVENTS_US, query, spread, t
 from .llm3 import _md5_u32, _md5_u32_sql, _md5_uniform, _md5_uniform_sql
 
 # --------------------------------------------------------------------------
@@ -655,7 +655,11 @@ def heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = t(spark, sf, "documents")
+    # spread before the sketch pass: the per-partition MG counter is
+    # the heavy Python stage of this query, and a small corpus file
+    # arrives as one scan split (guide §2.5) — without the spread the
+    # whole pass-1 token stream runs through one Python worker
+    docs = spread(t(spark, sf, "documents"))
     toks = docs.select(
         F.explode(
             F.filter(F.split("text", " "), lambda x: x != F.lit(""))
@@ -664,23 +668,32 @@ def heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     k = _MG_K
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # WEIGHTED Misra-Gries (opt r13, was a per-token Python loop —
+        # guide §4.2): each Arrow batch collapses to exact (word,
+        # count) pairs via the C-implemented value_counts, and the
+        # sketch ingests counts.  The decrement step subtracts the
+        # minimum surviving counter from all k+1 entries at once;
+        # every unit decremented is matched on k other counters plus
+        # the incoming item, so total decrement per item stays
+        # <= n_p/(k+1) — the SAME deficiency bound as the unit-step
+        # sketch (Misra & Gries 1982, weighted form), hence the same
+        # coverage guarantee: any item with partition count
+        # > n_p/(k+1) survives.  Candidate SETS may differ from the
+        # unit-step sketch (MG summaries are not unique); the query
+        # output cannot — pass 2 publishes exact counts filtered by
+        # the exact global threshold, and coverage is what the proof
+        # needs.  The oracle hash-checks exactly that.
         counters: dict[str, int] = {}
         n_part = 0
         for pdf in batches:
             n_part += len(pdf)
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < k:
-                    counters[w] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {
+                        key: v - m for key, v in counters.items() if v > m
+                    }
         yield pd.DataFrame(
             {
                 "word": list(counters) + [None],
