@@ -134,10 +134,28 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration_ms() -> float:
+    """Fixed single-thread busy-loop, reported in ms (VERDICT r13 #1:
+    an environment fingerprint).  The work is pinned (10M integer
+    adds in interpreted Python, no allocation), so the reading moves
+    ONLY with the box — CPU frequency, contention, thermal state —
+    never with the engine's code.  Two readings (bench start/end)
+    bracket the session; cross-round ratios of this number separate
+    box swings from real plan regressions."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    assert s > 0
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    calib_start = _calibration_ms()
 
     spark = get_spark(app_name="bench")
     from distributedmapreduce_spark.operators import text as T
@@ -217,6 +235,28 @@ def main() -> None:
             tier2[name] = min(tier2[name], time.time() - t0)
     tier2 = {name: round(v, 3) for name, v in tier2.items()}
 
+    # COLD-CACHE round (VERDICT r13 #1 / what's-wrong #3): one timed
+    # run per query with spark.catalog.clearCache() immediately before
+    # it, so persist-using queries are measured WITHOUT plan-equal
+    # cache hits from their earlier repetitions.  Reported as separate
+    # `*_cold` dicts — ADDITIONS ONLY: the `queries`/`tier2` min-of-N
+    # warm protocol above is unchanged, keeping BENCH_r{N} comparable
+    # across rounds, while the cold column exposes what cache
+    # retention was flattering.  JIT stays warm (this runs last), so
+    # cold-vs-warm deltas here are cache effects, not compilation.
+    cold: dict[str, float] = {}
+    for name, fn in jobs:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        cold[name] = round(time.time() - t0, 3)
+    tier2_cold: dict[str, float] = {}
+    for name, fn in t2_jobs:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        tier2_cold[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -230,6 +270,17 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "bucket_build_sec": bucket_build_sec,
+                # environment fingerprint (VERDICT r13 #1): proves the
+                # local[$SPARK_GRAFT_CPUS] contract to the driver and
+                # makes box swings visible across rounds
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+                ),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "calibration_ms_start": calib_start,
+                "calibration_ms_end": _calibration_ms(),
+                "queries_cold": cold,
+                "tier2_cold": tier2_cold,
             }
         )
     )

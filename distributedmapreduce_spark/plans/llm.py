@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_fingerprint, shingles as _shingles
-from ..functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm  # noqa: F401
+from ..functions.vector import (  # noqa: F401
+    cosine as _cosine,
+    dot as _dot,
+    l2_norm as _norm,
+    pair_dot as _pair_dot,
+)
 from ..operators.index_store import cached_index, merge_index
 from .core import query, spread, t
 
@@ -739,7 +744,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     n = emb.select("vec_id", "embedding", "nrm")
-    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    # Arrow-batched sequential dot (opt r14): the verify stage runs
+    # once per candidate pair (787k at sf0.1) and the HOF fold is
+    # CodegenFallback — see functions/vector.py::pair_dot for the
+    # bit-identity argument (same left-to-right IEEE order)
+    cos = _pair_dot(F.col("e_a"), F.col("e_b")) / (
+        F.col("n_a") * F.col("n_b")
+    )
     return (
         cand.join(
             n.select(

@@ -30,7 +30,12 @@ from .llm import (
     _EMB_LSH_BANDS,
     embedding_band_buckets,
 )
-from ..functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm
+from ..functions.vector import (
+    cosine as _cosine,
+    dot as _dot,
+    l2_norm as _norm,
+    pair_dot as _pair_dot,
+)
 from .mlops import (
     _KM_K_CTE,
     _KM_KX,
@@ -204,7 +209,12 @@ def semdedup_cluster_prune(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("e_b"),
         F.col("nrm").alias("n_b"),
     )
-    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    # Arrow-batched sequential dot for the within-cluster pair filter
+    # (opt r14 — Σ|c|² candidate rows; bit-identical to the HOF fold,
+    # see functions/vector.py::pair_dot)
+    cos = _pair_dot(F.col("e_a"), F.col("e_b")) / (
+        F.col("n_a") * F.col("n_b")
+    )
     pr = (
         a.join(b, "cluster")
         .filter(F.col("keep_cand") < F.col("pruned"))
@@ -716,8 +726,10 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     n = emb.select("vec_id", "embedding", "nrm")
+    # Arrow-batched sequential dot on the candidate-bounded verify
+    # stage (opt r14; bit-identical — functions/vector.py::pair_dot)
     cos_e6 = F.floor(
-        _dot(F.col("e_a"), F.col("e_b"))
+        _pair_dot(F.col("e_a"), F.col("e_b"))
         / (F.col("n_a") * F.col("n_b"))
         * 1_000_000
     ).cast("long")

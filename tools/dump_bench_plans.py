@@ -1,13 +1,14 @@
-"""Dump .explain("formatted") for bench-tier queries to plans/r13/.
+"""Dump .explain("formatted") for bench-tier queries to plans/<round>/.
 
 Usage:
     python3 tools/dump_bench_plans.py SUFFIX [QUERY ...]
 
-Writes plans/r13/<query>_<SUFFIX>.txt for each named query (default:
-every HEADLINE + TIER2 query in bench.py).  SUFFIX is usually
-"before" or "after".  Env: SPARK_GRAFT_SF_DIR (default sf0.1 — plan
-shape, not data volume, is what these files pin, but the bench SF
-keeps AQE/broadcast estimates honest).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<SUFFIX>.txt (round
+defaults to r14) for each named query (default: every HEADLINE +
+TIER2 query in bench.py).  SUFFIX is usually "before" or "after".
+Env: SPARK_GRAFT_SF_DIR (default sf0.1 — plan shape, not data volume,
+is what these files pin, but the bench SF keeps AQE/broadcast
+estimates honest).
 """
 
 from __future__ import annotations
@@ -34,8 +35,11 @@ def main() -> int:
         names = list(bench.HEADLINE) + list(bench.TIER2)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="dump_bench_plans")
