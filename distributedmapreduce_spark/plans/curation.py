@@ -1519,6 +1519,47 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "text", "n_tokens", "n_distinct")
         .localCheckpoint(eager=False)
     )
+    # --- opt r14 (guide §2.6): the three modality signature tables
+    # are built over k2 — a superset of every keeper's live set — and
+    # their decode panels (the expensive Python stages of this query)
+    # materialize CONCURRENTLY, from a driver thread pool, WHILE the
+    # main thread builds the minhash keeper chain (msig/mdrops/k3).
+    # Correctness is unchanged: each sig builder is a per-asset pure
+    # function (decode + threshold of one asset's bytes, no cross-doc
+    # statistics), so a signature row for a doc a keeper later drops
+    # is identical to what the old per-stage build produced — and
+    # each keeper's bookkeeping below SEMI-JOINS the sig table to its
+    # own live set before aggregating, so keep-id selection (min
+    # doc_id per signature among THAT stage's survivors) is exactly
+    # as before.  Cost trade at scale: docs the minhash/image/audio
+    # keepers drop still get decoded (bounded by the near-dup rate
+    # among exact-deduped survivors); win: the decode wall-clock
+    # overlaps the minhash chain instead of running strictly
+    # sequentially inside three keeper-stage checkpoints.
+    k2_ids = k2.select("doc_id")
+    sig2 = {
+        col: s.select(
+            F.col("asset_id").alias("doc_id"), F.col("ph").alias(col)
+        ).persist()
+        for col, s in (
+            ("iph", phash_signatures(spark, sf, grid=8, docs=k2_ids)),
+            ("aph", audiofp_signatures(spark, sf, docs=k2_ids)),
+            ("vph", videofp_signatures(spark, sf, docs=k2_ids)),
+        )
+    }
+
+    def _mat(col: str) -> None:
+        # job descriptions are thread-local (guide §2.6), so each
+        # concurrent decode panel is labelled in the UI
+        spark.sparkContext.setJobDescription(f"v4: {col} signature panel")
+        sig2[col].write.format("noop").mode("overwrite").save()
+        spark.sparkContext.setJobDescription(None)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=len(sig2))
+    panels = [pool.submit(_mat, col) for col in sig2]
+
     # spread before the per-shingle 9x-md5 explode: AQE coalesces
     # k2's tiny keeper shuffle to ONE partition at bench scale, which
     # serialized the signature map side on a single core (the probe
@@ -1546,44 +1587,36 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    def _sig_keeper(kin: DataFrame, sig: DataFrame, col: str) -> DataFrame:
+    # join the decode panels: every sig2 frame is cached past here, so
+    # the keeper bookkeeping below never touches a decode again
+    for p in panels:
+        p.result()
+    pool.shutdown()
+
+    def _sig_keeper(kin: DataFrame, s2: DataFrame, col: str) -> DataFrame:
         """Among kin's docs: keep min doc_id per identical signature;
         docs without a signature (no asset in this modality) pass.
 
-        Optimization r13 restructure (same output multiset): the old
-        form left-joined the signature onto kin and ran
-        min(doc_id) OVER (PARTITION BY sig) — which put every
-        NO-modality doc into the single NULL window partition (at
-        corpus scale, one straggler task holding most of the corpus —
-        guide §2.5 null hot key) and shipped kin's payload columns
-        through the keeper exchange (guide §2.3).  Now the keeper is
-        a partial-aggregating groupBy over SIGNATURE rows only (the
-        modality subset; sig persists so the decode panel runs once),
-        non-keeper duplicates become a doc_id drop list, and
-        survivors come from one left_anti join — no NULL partition,
-        no payload in the shuffle, and the drop list is bounded by
-        the duplicate population."""
-        sig2 = sig.select(
-            F.col("asset_id").alias("doc_id"), F.col("ph").alias(col)
-        ).persist()
-        keep = sig2.groupBy(col).agg(F.min("doc_id").alias("keep_id"))
+        r13 restructure (same output multiset): the keeper is a
+        partial-aggregating groupBy over SIGNATURE rows only (no
+        NULL-modality window partition — guide §2.5 null hot key; no
+        payload in the shuffle — §2.3), non-keeper duplicates become
+        a doc_id drop list, survivors one left_anti join.  r14: the
+        sig table arrives pre-built over k3 and cached, so the semi
+        join restricts it to THIS stage's live set — identical
+        keep-id aggregate, zero decode work in the keeper itself."""
+        live = s2.join(kin.select("doc_id"), "doc_id", "left_semi")
+        keep = live.groupBy(col).agg(F.min("doc_id").alias("keep_id"))
         drops = (
-            sig2.join(keep, col)
+            live.join(keep, col)
             .filter(F.col("doc_id") != F.col("keep_id"))
             .select("doc_id")
         )
         return kin.join(drops, "doc_id", "left_anti")
 
-    k4 = _sig_keeper(
-        k3, phash_signatures(spark, sf, grid=8, docs=k3.select("doc_id")),
-        "iph",
-    ).localCheckpoint(eager=False)
-    k5 = _sig_keeper(
-        k4, audiofp_signatures(spark, sf, docs=k4.select("doc_id")), "aph"
-    ).localCheckpoint(eager=False)
-    k6 = _sig_keeper(
-        k5, videofp_signatures(spark, sf, docs=k5.select("doc_id")), "vph"
-    ).localCheckpoint(eager=False)
+    k4 = _sig_keeper(k3, sig2["iph"], "iph").localCheckpoint(eager=False)
+    k5 = _sig_keeper(k4, sig2["aph"], "aph").localCheckpoint(eager=False)
+    k6 = _sig_keeper(k5, sig2["vph"], "vph").localCheckpoint(eager=False)
     k7 = k6.filter(
         _P3_Q_DEN * F.col("n_distinct") >= _P3_Q_NUM * F.col("n_tokens")
     ).select(
