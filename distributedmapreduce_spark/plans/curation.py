@@ -1567,7 +1567,7 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     msig = _pmh_signatures(
         spread(k2.select("doc_id", "text"))
     ).localCheckpoint(eager=False)
-    cand = _pmh_candidates(msig)
+    cand = _pmh_candidates(msig, persist_bands=False)
     a = msig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     b = msig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     mdrops = (

@@ -658,8 +658,12 @@ def heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     # spread before the sketch pass: the per-partition MG counter is
     # the heavy Python stage of this query, and a small corpus file
     # arrives as one scan split (guide §2.5) — without the spread the
-    # whole pass-1 token stream runs through one Python worker
-    docs = spread(t(spark, sf, "documents"))
+    # whole pass-1 token stream runs through one Python worker.
+    # Narrowed to the text column (opt r14, VERDICT r13 #5): the
+    # spread exchange round-robins ROWS, so every projected-out column
+    # is shuffle bytes for nothing — the unnarrowed form shipped the
+    # full documents row (guide §2.3: project before the exchange).
+    docs = spread(t(spark, sf, "documents").select("text"))
     toks = docs.select(
         F.explode(
             F.filter(F.split("text", " "), lambda x: x != F.lit(""))
