@@ -914,12 +914,30 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     switches to the table-driven broadcast-join form pq_codebook_sse
     already uses), the LUT stays per-query constant, and candidates
     per query are |list|·nprobe — the pruning IS the index."""
-    base, cents, k, low = _km_train(spark, sf)
+    # --- opt r14 (guide §2.6): the PQ trainer depends only on the
+    # quantized base relation, never on the coarse centroids, so its
+    # codebook job chain (x build -> init assign -> refine -> collect)
+    # runs on a driver thread CONCURRENTLY with the T sequential Lloyd
+    # rounds instead of after them.  _km_quantized is plan-equal to
+    # the frame _km_train persists, so both sides share ONE cache.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .mlops import _km_quantized
+
+    def _pq_side():
+        x, c1, assign = _pq_train(
+            spark, sf, base=_km_quantized(spark, sf).persist()
+        )
+        return x, c1, assign, c1.collect()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pq_fut = pool.submit(_pq_side)
+        base, cents, k, low = _km_train(spark, sf)
+        _x, c1, _assign, c1_rows = pq_fut.result()
     asg = base.select(
         "vec_id",
         (_km_code_col(cents, k) % k).cast("long").alias("cluster"),
     )
-    _x, c1, _assign = _pq_train(spark, sf, base=base)
     codes = _assign(c1).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("m").cast("long").alias("m"),
@@ -929,7 +947,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # a subset of its low-id seed rows) — no extra collect job
     qrows = {i: q for i, q in low.items() if i < _IVFPQ_NQ}
     cb: dict[tuple[int, int], dict[int, int]] = {}
-    for r in c1.collect():
+    for r in c1_rows:
         cb.setdefault((int(r["m"]), int(r["j"])), {})[int(r["d"])] = int(
             r["c"]
         )
