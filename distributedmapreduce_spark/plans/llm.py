@@ -250,32 +250,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     -> rows-only driver check."""
     grouped = minhash_signatures(spark, sf)
     bands = minhash_band_buckets(grouped)
-    # Candidate pairs WITHOUT a self-join (a self-join would evaluate
-    # the whole minhash subtree once per side): group each band bucket,
-    # enumerate in-bucket pairs with nested array HOFs, explode.
-    # Buckets are tiny (collision groups), so the pair arrays are too.
+    # Candidate pairs via an equi self-join on (band, bucket) — opt
+    # r14, VERDICT r13 #3 applied to the production recipe too.  The
+    # old collect_list + pairwise-array-explode form (kept since r02
+    # because a self-join then re-evaluated the whole minhash subtree
+    # per side) no longer buys anything: the signature table has been
+    # a PERSISTED INDEX artifact since r07, so each join side is a
+    # cheap index read — and a hot band bucket at 100 TB is
+    # distributed/AQE-splittable instead of one serial exploding row.
+    # Identical pair set (in-bucket, doc_a < doc_b, deduplicated);
+    # isolated A/B at sf0.1: 0.61 -> 0.50 s.
     cand = (
-        bands.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"), i + F.lit(2), F.size("ids")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("pair")
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
         )
-        .select("pair.doc_a", "pair.doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
         # persisted like `sets` below: the pair table feeds the main
         # verification branch AND the touched-docs prune, so as pure
