@@ -1467,12 +1467,14 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     COUNTS (docs + tokens surviving each stage).
 
     Scale: the audit is ONE aggregate over a last-surviving-stage
-    label (never a per-stage corpus re-scan); each modality's decode
-    runs only over that stage's SURVIVORS (the sig builders take the
-    doc subset) as per-asset Arrow-batched mapInPandas with no
-    shuffle; signature keepers are partial-aggregating groupBys over
-    signature rows only (no NULL-modality window partition); the
-    budget prefix is the score-bucketed two-phase cumsum.
+    label (never a per-stage corpus re-scan); the modality decodes run
+    over the EXACT-DEDUP survivors (k2 — a superset of each keeper's
+    live set, per-asset pure functions, so keeper bookkeeping is
+    unchanged; opt r14 overlaps the three panels on driver threads)
+    as per-asset Arrow-batched mapInPandas with no shuffle; signature
+    keepers are partial-aggregating groupBys over signature rows only
+    (no NULL-modality window partition); the budget prefix is the
+    score-bucketed two-phase cumsum.
 
     Optimization r13 — plan-size truncation: every stage boundary is
     a ``localCheckpoint(eager=False)`` rather than a bare persist.
@@ -1483,8 +1485,12 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     measured at sf0.1, driver planning alone dominated the query
     (guide §3.3: "very wide joins produce enormous plans; planning
     time itself can become the bottleneck — materialising an
-    intermediate truncates the plan").  The checkpoint materializes
-    doc-id-level frames (24 B/row), never the corpus payload; each
+    intermediate truncates the plan").  The k3..k6 checkpoints
+    materialize doc-id-level frames (24 B/row); feat and k2 DO carry
+    the text payload until msig consumes it (ADVICE r13 — at cluster
+    scale those two checkpoints hold one corpus copy each in executor
+    storage; the alternative, re-scanning the corpus to re-attach
+    text for the minhash stage, was judged the worse trade).  Each
     invocation builds fresh checkpoints, so nothing is reused across
     runs.  Trade-off at cluster scale: localCheckpoint truncates
     lineage non-fault-tolerantly (an executor loss fails the job
@@ -1536,6 +1542,13 @@ def curation_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     # among exact-deduped survivors); win: the decode wall-clock
     # overlaps the minhash chain instead of running strictly
     # sequentially inside three keeper-stage checkpoints.
+    # Cache lifetime (ADVICE r13): the sig2 persists are per-invocation
+    # (k2 is a fresh checkpoint leaf each call, so they are never
+    # plan-equal across runs) and deliberately NOT unpersisted here —
+    # the keeper drop lists in the RETURNED plan still read them at
+    # execution time.  Session-lifetime accumulation is bounded by the
+    # callers: bench.py's cold round clearCache()s, and long sweeps
+    # call session.release_caches between cohorts.
     k2_ids = k2.select("doc_id")
     sig2 = {
         col: s.select(
